@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, zero driver collect) after an untimed warmup run that absorbs
+JVM/codegen warmup — the steady-state number is what a cluster would see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the plans that
+# stress shuffle/join/window/vector paths at scale.
+HEADLINE = (
+    "q_flagship_monthly_revenue",
+    "q_agg_group_sum",
+    "q_join_multi_star",
+    "q_join_broadcast_dim",
+    "q_window_rank_topn",
+    "q_window_running_sum",
+    "q_agg_count_distinct",
+    "q_dedup_exact_hash",
+    "q_text_tokenize_wordcount",
+    "q_text_quality_score",
+    "q_similarity_cosine_topk",
+    "q_events_sessionize",
+    "q_events_tumbling_window",
+    "q_topk_orderby_limit",
+    "q_builtin_charge",
+)
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warmup (untimed)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from datawarehouse1_spark import get_spark, registry
+
+    registry.load_all()
+    spark = get_spark("datawarehouse1-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, registry.QUERIES[name], SF_DIR), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor operators over array<float> embeddings.
+
+Exact brute force (queries/similarity.py) is the correctness baseline;
+this module holds the scale paths:
+
+  * lsh_topk — random-hyperplane LSH: Arrow-vectorized signature (one
+    numpy matmul per batch), bucket equi-join, cosine only within buckets.
+    At 100 TB the bucket join shuffles (bucket, vector) pairs instead of
+    forming the O(q·n) cross product.
+  * ivf_topk — IVF-style coarse quantization: assign every vector to its
+    nearest of k seeded centroids, probe only the query's nprobe closest
+    lists.
+
+Determinism: planes/centroids derive from a fixed seed inside the UDF, so
+every Arrow batch and both sides of the join see identical parameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.functions.vector import cosine
+
+DEFAULT_SEED = 42
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def lsh_signature(col: str | Column, n_planes: int = 8, seed: int = DEFAULT_SEED) -> Column:
+    """Bit-string LSH bucket id for an array<float> column (pandas_udf:
+    one (batch×dim)@(dim×planes) matmul per Arrow batch)."""
+
+    @F.pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        planes = _hyperplanes(mat.shape[1], n_planes, seed)
+        bits = mat @ planes > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return _sig(F.col(col) if isinstance(col, str) else col)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query, candidates restricted to the
+    query's LSH bucket. Returns (query_id, neighbor_id, cos, rnk)."""
+    sig = lambda df: df.withColumn("bucket", lsh_signature(vec_col, n_planes, seed))  # noqa: E731
+    c = sig(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    q = sig(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    seed: int = DEFAULT_SEED,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest seeded random centroid (coarse
+    quantizer). A trained k-means would come from MLlib; seeded random
+    centroids keep the operator deterministic and dependency-free."""
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        cents = np.random.default_rng(seed).standard_normal((n_centroids, mat.shape[1]))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((normed @ cents.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(vec_col))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe with nprobe=1: score only the query's centroid list."""
+    c = ivf_assign(corpus, n_centroids, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    q = ivf_assign(queries, n_centroids, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

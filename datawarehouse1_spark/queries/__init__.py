@@ -1,0 +1,22 @@
+"""Declared-query modules. Importing them registers into registry.QUERIES."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "relational",
+    "aggregates",
+    "windows",
+    "warehouse",
+    "strings_dates",
+    "events",
+    "text",
+    "similarity",
+    "udfs",
+)
+
+
+def load() -> None:
+    for m in _MODULES:
+        importlib.import_module(f"datawarehouse1_spark.queries.{m}")

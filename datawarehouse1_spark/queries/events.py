@@ -1,0 +1,150 @@
+"""Event-stream analytics (SURVEY.md C19-C20): tumbling windows and
+sessionization over the `events` table — batch-checkable here, with the
+true streaming forms (watermark / session_window) in streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import money_sum, sql_money_sum
+from datawarehouse1_spark.registry import declared
+
+SESSION_GAP_SECONDS = 1800  # 30 min, the classic web-session gap
+
+
+# --- C19: event-time tumbling window aggregation ---
+@declared(
+    "q_events_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_money_sum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window is the native tumbling-window operator (streaming-ready:
+    add withWatermark and this same plan handles late data). Oracle twin
+    is date_trunc('hour') since 1h windows are epoch-aligned."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- C20: sessionization via gap detection ---
+@declared(
+    "q_events_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           SUM(is_new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-gap > 30min starts a session; running sum of the starts numbers
+    sessions per user. Streaming twin: F.session_window (streaming/
+    session.py). One shuffle on user_id serves both window passes."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SECONDS), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select("event_id", "user_id", "ts").withColumn(
+        "session_id", F.sum(is_new).over(running)
+    )
+
+
+# --- C20b: session stats (events per session, duration) ---
+@declared(
+    "q_events_session_stats",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+           {sql_money_sum('value', 'session_value')}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SECONDS), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.select("user_id", "ts", "value", "event_id").withColumn(
+        "session_id", F.sum(is_new).over(running)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+        money_sum("value", "session_value"),
+    )
+
+
+# --- JSON extraction from the props column (C23 family) ---
+@declared(
+    "q_events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props is a JSON string (TESTDATA.md); get_json_object is the
+    JVM-side extraction path (no Python)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )

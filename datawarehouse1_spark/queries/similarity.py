@@ -1,0 +1,106 @@
+"""Similarity search over the embeddings table (SURVEY.md C22 + north-star
+ANN): exact brute-force cosine top-k (the oracle-matched baseline) and
+embedding-cosine near-dup pairs. The LSH/IVF scale paths live in
+operators/similarity.py (rows-only checked — bucketing is engine-specific).
+
+All vector math is JVM-side higher-order functions (functions/vector.py):
+sequential double folds, bit-deterministic against the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.vector import cosine, sql_cosine
+from datawarehouse1_spark.registry import declared
+
+N_QUERY_VECTORS = 8  # bounded query set: pairwise stays O(q·n), not O(n²)
+TOP_K = 5
+
+
+# --- C22: exact cosine top-k (brute force — the correctness baseline) ---
+@declared(
+    "q_similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECTORS}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, {sql_cosine('qv', 'cv')} AS cos
+           FROM q CROSS JOIN c
+           WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN baseline: broadcast the (small) query set against
+    every candidate partition — no shuffle of the big side; the top-k
+    window only sees q·n scored pairs. Scale path: operators/similarity.py
+    LSH bucketing replaces the cross join."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("qv", "cv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --- north-star: embedding-cosine near-duplicate pairs ---
+@declared(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection in embedding space: pairs above a cosine
+    threshold. Bounded subset for the exact oracle; the full-corpus path
+    goes through LSH bucketing (operators/similarity.py) so candidate
+    pairs, not all pairs, are scored."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine("ea", "eb").alias("cos"))
+        .filter(F.col("cos") > 0.4)
+    )
+
+
+# --- north-star: centroid distance per label (IVF building block) ---
+@declared("q_similarity_lsh_topk", oracle=None)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing then top-k within
+    buckets only. Rows-only check (bucket boundaries are engine-specific);
+    recall vs the exact baseline is asserted in tests/test_similarity.py."""
+    from datawarehouse1_spark.operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return lsh_topk(emb, queries, k=TOP_K, n_planes=8)

@@ -1,0 +1,291 @@
+"""Text-analysis queries over `documents` (SURVEY.md C21 + north-star
+extensions): tokenize/word-count, token stats & quality scoring,
+language-ID scoring, fingerprinting, exact-hash dedup.
+
+All JVM-side expressions (split/explode/regexp/md5) — the hot path stays
+in whole-stage codegen; no Python in any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+# Tiny English stopword list for quality scoring (deterministic, shared
+# verbatim with the SQL oracle).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+# --- C21: tokenize + word count (the canonical explode/groupBy) ---
+@declared(
+    "q_text_tokenize_wordcount",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- ext: per-document token counting (whitespace tokenizer) ---
+@declared(
+    "q_text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+             AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget accounting for a training-data pipeline: cheap
+    whitespace tokens per doc (a BPE-ish regex variant is in
+    operators/text_pipeline.py)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --- ext: quality scoring (length / stopword-ratio / mean token length) ---
+@declared(
+    "q_text_quality_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(tokens) AS n_tokens,
+           len(list_filter(tokens,
+               t -> list_contains({list(STOPWORDS)!r}, t))) AS n_stopwords,
+           CAST(len(list_filter(tokens,
+               t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+             / len(tokens) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(tokens) AS chars_per_token,
+           (len(tokens) BETWEEN 10 AND 100000)
+             AND (CAST(n_chars AS DOUBLE) / len(tokens) BETWEEN 3.0 AND 12.0)
+             AS quality_ok
+    FROM toks
+    WHERE len(tokens) > 0
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gates: doc length, stopword ratio,
+    mean token length — the pre-training filter battery, all as codegen'd
+    array expressions."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    out = (
+        d.select("doc_id", F.length("text").alias("n_chars"), toks.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("tokens").alias("n_tokens"),
+            F.size(F.filter("tokens", lambda t: F.array_contains(stop, t))).alias(
+                "n_stopwords"
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token", F.col("n_chars").cast("double") / F.col("n_tokens")
+        )
+        .withColumn(
+            "quality_ok",
+            F.col("n_tokens").between(10, 100000)
+            & F.col("chars_per_token").between(3.0, 12.0),
+        )
+    )
+    return out
+
+
+# --- ext: language-ID scoring (stopword-hit heuristic) ---
+@declared(
+    "q_text_lang_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(list_filter(tokens,
+                t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+             / len(tokens) AS en_score,
+           CAST(len(list_filter(tokens,
+                t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+             / len(tokens) >= 0.05 AS looks_english
+    FROM toks WHERE len(tokens) > 0
+    """,
+)
+def q_text_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (the testdata text is synthetic
+    word salad, so the interesting part is the deterministic scoring
+    plumbing; a real corpus would carry per-language marker lists)."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    scored = (
+        d.select("doc_id", "lang", toks.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.size(F.filter("tokens", lambda t: F.array_contains(stop, t))).cast(
+                    "double"
+                )
+                / F.size("tokens")
+            ).alias("en_score"),
+        )
+        .withColumn("looks_english", F.col("en_score") >= 0.05)
+    )
+    return scored
+
+
+# --- ext: document fingerprinting (normalized md5) + exact-hash dedup ---
+@declared(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize (lower, trim, collapse whitespace) then md5 — the content
+    fingerprint used by the exact-dedup path; md5 hex matches DuckDB's."""
+    d = table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@declared(
+    "q_dedup_exact_hash",
+    oracle=r"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM staged
+    )
+    SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM hashed GROUP BY fp
+    """,
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: hash-groupBy on the md5 fingerprint, keep the
+    smallest doc_id. Only (hash, id) pairs cross the shuffle — not the
+    document bodies — which is what survives 100 TB."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        staged.select("doc_id", F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- ext: n-gram (shingle) Jaccard near-dup on a bounded pair set ---
+@declared(
+    "q_dedup_ngram_jaccard",
+    oracle=r"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+                     AS toks
+            FROM documents WHERE doc_id < 40)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word shingle Jaccard similarity, exact, on a bounded doc subset
+    (pairwise is O(n²) — this is the small-scale oracle twin; the scale
+    path is MinHash+LSH in operators/dedup.py, rows-only checked)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    docs = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    # sequence() flips direction when start > stop, so guard the <3-token
+    # case explicitly to get an empty shingle set (matches the oracle's
+    # range(1, greatest(len-2,0)+1)).
+    shingles = F.array_distinct(
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    sh = docs.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union_sz = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    jac = inter.cast("double") / union_sz
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )

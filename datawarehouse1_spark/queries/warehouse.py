@@ -1,0 +1,213 @@
+"""Warehouse-semantics operators (SURVEY.md §2A O8-O11, §2B O12-O14, C16):
+the reference's actual value-add — surrogate keys, unique-key and full-row
+dedup, incremental change detection, metadata upsert, re-ingest union.
+
+The reference gets these from Postgres constraints + a hand-rolled
+metadata table (init-db/init.sql:11-17, 23, 50, 58-59; etl/app.py:36-89);
+Spark enforces none of them, so each is an explicit, testable transform
+(also exposed as reusable ops in operators/warehouse.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+
+# --- O11: surrogate key generation (SERIAL analog) ---
+@declared(
+    "q_surrogate_key",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id, c_custkey, c_name
+    FROM customer
+    """,
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIAL PRIMARY KEY (init-db/init.sql:12,22,36,49) re-expressed as
+    row_number over a total order — deterministic, unlike
+    monotonically_increasing_id. NOTE the empty-partitionBy window is a
+    single-task global sort: fine for dimension-sized tables; for a 100 TB
+    fact use zipWithIndex-style per-partition offsets (operators/
+    warehouse.py:add_surrogate_key_distributed)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return c.select(
+        F.row_number().over(w).alias("id"), "c_custkey", "c_name"
+    )
+
+
+# --- O12: unique-business-key dedup (keep-latest) ---
+@declared(
+    "q_dedup_business_key",
+    oracle="""
+    WITH staged AS (
+      SELECT c_custkey, c_name, c_acctbal, 1 AS batch FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 2 AS batch
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal, batch FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY batch DESC) AS rn
+      FROM staged
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_business_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIQUE NOT NULL on the business key (init-db/init.sql:23,37,50): a
+    re-delivered key must supersede, not duplicate. Keep-latest via
+    row_number over (key, recency desc) — the standard Spark idiom; a
+    plain dropDuplicates([key]) is the nondeterministic fast path."""
+    c = table(spark, sf_dir, "customer")
+    batch1 = c.select("c_custkey", "c_name", "c_acctbal", F.lit(1).alias("batch"))
+    batch2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit(2).alias("batch"),
+        )
+    )
+    staged = batch1.unionByName(batch2)
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("batch"))
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- O13: full-row duplicate elimination (the CLI001/CLI003 case) ---
+@declared(
+    "q_dedup_rows",
+    oracle="""
+    SELECT DISTINCT doc_id, text, lang, source FROM (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 2 = 0
+    )
+    """,
+)
+def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's readme claims duplicate avoidance (readme.md:27) but
+    only dedups at file level, so content dupes (clients.xlsx CLI001/CLI003)
+    land in the warehouse. Full-row distinct after a re-ingest union."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    reingested = d.unionByName(d.filter(F.col("doc_id") % 2 == 0))
+    return reingested.distinct()
+
+
+# --- O13b: duplicate report (groupBy > 1), the audit flavor ---
+@declared(
+    "q_dup_report",
+    oracle="""
+    SELECT text, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc_id
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50)
+    GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(dup)
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- O8+O10: incremental-load change detection (file-level anti join) ---
+@declared(
+    "q_incremental_antijoin",
+    oracle="""
+    WITH listing AS (SELECT DISTINCT source, n_chars FROM documents),
+         processed AS (SELECT DISTINCT source FROM documents WHERE doc_id % 2 = 0)
+    SELECT l.source, l.n_chars
+    FROM listing l
+    WHERE NOT EXISTS (SELECT 1 FROM processed p WHERE p.source = l.source)
+    """,
+)
+def q_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file_needs_processing (etl/app.py:36-52): skip inputs already in
+    file_metadata. Batch analog = left_anti of the listing against the
+    control table; the streaming path gets this free from the file-source
+    checkpoint (streaming/file_ingest.py)."""
+    d = table(spark, sf_dir, "documents")
+    listing = d.select("source", "n_chars").distinct()
+    processed = d.filter(F.col("doc_id") % 2 == 0).select("source").distinct()
+    return listing.join(processed, "source", "left_anti").select("source", "n_chars")
+
+
+# --- O9: metadata upsert (insert-or-update keep-latest) ---
+@declared(
+    "q_upsert_latest",
+    oracle="""
+    WITH old AS (SELECT user_id, ts, value, 'success' AS status
+                 FROM events WHERE event_id < 500),
+         new AS (SELECT user_id, ts, value, 'reprocessed' AS status
+                 FROM events WHERE event_id >= 250),
+         merged AS (SELECT * FROM new UNION ALL SELECT * FROM old)
+    SELECT user_id, ts, value, status FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, value DESC, status ASC) AS rn
+      FROM merged
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_file_metadata (etl/app.py:55-89) is an UPSERT; on immutable
+    parquet that's a keep-latest rewrite of the (small) control table:
+    union old+new, row_number per key by recency, keep 1. Documented O(table)
+    — fine for control tables, not for facts (those append only)."""
+    ev = table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") < 500).select(
+        "user_id", "ts", "value", F.lit("success").alias("status")
+    )
+    new = ev.filter(F.col("event_id") >= 250).select(
+        "user_id", "ts", "value", F.lit("reprocessed").alias("status")
+    )
+    merged = new.unionByName(old)
+    # status ASC tiebreak: when the same (ts, value) row exists in both
+    # batches, 'reprocessed' < 'success' sorts the new row first — the new
+    # batch wins ties, which is exactly upsert semantics, deterministically.
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("value"), F.asc("status")
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- C16: union of incremental loads + distinct (re-ingest semantics) ---
+@declared(
+    "q_union_incremental",
+    oracle="""
+    SELECT DISTINCT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+)
+def q_union_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping load windows unioned then de-duplicated — the
+    O7 append + O12 unique-key composition for re-delivered batches."""
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    early = o.filter(F.col("o_orderdate") < "1997-01-01").select(*cols)
+    late = o.filter(F.col("o_orderdate") >= "1996-01-01").select(*cols)
+    return early.unionByName(late).distinct()

@@ -1,0 +1,92 @@
+"""Ordering + window family (SURVEY.md C13-C15): top-N, per-group ranking,
+running aggregates. Ties always broken by a unique key so the DuckDB
+oracle hash-matches (SURVEY.md §5.3 determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+
+# --- C13: global top-N (best clients/products dashboards) ---
+@declared(
+    "q_topk_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical plan is TakeOrderedAndProject: per-partition heap top-k,
+    single driver merge — no global sort at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- C14: ranking within group (top-3 orders per market segment) ---
+@declared(
+    "q_window_rank_topn",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- C15: running/cumulative aggregate (revenue to date per customer) ---
+@declared(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_to_date
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal running sum over a total order (o_orderkey tiebreak)
+    so every prefix is deterministic in both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_to_date"),
+    )

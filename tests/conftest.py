@@ -1,0 +1,103 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB oracle
+connection with the testdata views pre-registered (mirroring the driver's
+harness), and the comparison helper replicating its check: row count +
+sorted-by-name schema + order-insensitive value equality.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    from datawarehouse1_spark import get_spark
+
+    s = get_spark("datawarehouse1-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a value for cross-engine comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of the double — bit-exactness is the contract
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    # Decimal, int, str
+    return str(v)
+
+
+def rows_to_canon(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, normalize cells, sort rows — the driver's
+    order-insensitive value-hash, materialized for useful diffs."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    canon.sort()
+    return canon
+
+
+def compare_query(spark, oracle, fn, sql, sf_dir=SF_DIR):
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = oracle.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    sc = rows_to_canon(spark_cols, spark_rows)
+    dc = rows_to_canon(duck_cols, duck_rows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"value mismatch; first diffs (spark, duck): {diffs}")
