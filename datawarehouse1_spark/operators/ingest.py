@@ -1,0 +1,102 @@
+"""Batch ingest pipeline: the reference's E2 dataflow (etl/app.py:235-289)
+as validate-then-write over Spark tables.
+
+Transaction-per-file semantics (etl/app.py:162,191,220: one to_sql per
+file, constraint violation rolls back the whole file) cannot lean on
+Parquet transactions — so the pipeline REJECTS BEFORE WRITING: a file's
+batch is appended only if every constraint check passes; otherwise the
+whole batch is rejected and recorded status=error. Never write-then-clean.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.operators.warehouse import (
+    duplicate_keys,
+    fk_orphans,
+    null_violations,
+)
+
+
+@dataclass
+class IngestResult:
+    table: str
+    source_file: str
+    status: str  # success | error
+    n_rows: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+def validate_batch(
+    batch: DataFrame,
+    business_key: str,
+    not_null_cols: list[str],
+    existing: DataFrame | None = None,
+    fk_checks: list[tuple[DataFrame, str, str]] | None = None,
+) -> list[str]:
+    """All constraint checks the reference delegates to Postgres, computed
+    in one pass where possible. Returns [] when the batch is appendable."""
+    errors: list[str] = []
+
+    n_null = null_violations(batch, not_null_cols).count()
+    if n_null:
+        errors.append(f"{n_null} rows violate NOT NULL on {not_null_cols}")
+
+    n_dup = duplicate_keys(batch, [business_key]).count()
+    if n_dup:
+        errors.append(f"{n_dup} duplicate business keys within the batch")
+
+    if existing is not None:
+        n_clash = (
+            batch.select(business_key)
+            .join(existing.select(business_key), business_key, "left_semi")
+            .count()
+        )
+        if n_clash:
+            errors.append(
+                f"{n_clash} business keys already present (UNIQUE violation)"
+            )
+
+    for dim, fact_key, dim_key in fk_checks or []:
+        n_orphan = fk_orphans(batch, dim, fact_key, dim_key).count()
+        if n_orphan:
+            errors.append(f"{n_orphan} orphan {fact_key} values (FK violation)")
+
+    return errors
+
+
+def append_if_valid(
+    batch: DataFrame,
+    table_path: str,
+    business_key: str,
+    not_null_cols: list[str],
+    source_file: str,
+    table_name: str = "",
+    existing: DataFrame | None = None,
+    fk_checks: list[tuple[DataFrame, str, str]] | None = None,
+    partition_by: list[str] | None = None,
+) -> IngestResult:
+    """Fail-the-file atomicity: validate everything, then one append.
+
+    partition_by is the physical analog of the reference's date index
+    (init-db/init.sql:67): facts partition by month(date) so date-range
+    queries prune files instead of scanning."""
+    errors = validate_batch(batch, business_key, not_null_cols, existing, fk_checks)
+    if errors:
+        return IngestResult(table_name, source_file, "error", 0, errors)
+
+    writer = batch.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    return IngestResult(table_name, source_file, "success", batch.count(), [])
+
+
+def with_month_partition(df: DataFrame, ts_col: str, out: str = "month") -> DataFrame:
+    """Derive the partition column for fact tables (yyyy-MM string keeps
+    partition dirs readable and prunes on date_trunc-month predicates)."""
+    return df.withColumn(out, F.date_format(F.col(ts_col), "yyyy-MM"))

@@ -49,23 +49,47 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k cosine neighbors per query, candidates restricted to the
-    query's LSH bucket. Returns (query_id, neighbor_id, cos, rnk)."""
-    sig = lambda df: df.withColumn("bucket", lsh_signature(vec_col, n_planes, seed))  # noqa: E731
-    c = sig(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
-    q = sig(queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
+    """Top-k cosine neighbors per query via multi-table LSH: L independent
+    hyperplane tables; a pair is a candidate if it collides in ANY table
+    (recall ~ 1-(1-p^b)^L). Candidates deduped, then exact cosine + top-k.
+
+    Scale shape: per table, one bucket equi-join keyed on a short bit
+    string; vectors shuffle once per table at most, never O(n²)."""
+
+    def with_sig(df: DataFrame, t: int) -> DataFrame:
+        return df.withColumn("bucket", lsh_signature(vec_col, n_planes, seed + t))
+
+    cand = None
+    for t in range(n_tables):
+        c = with_sig(corpus, t).select(
+            F.col(id_col).alias("neighbor_id"), "bucket"
+        )
+        q = with_sig(queries, t).select(F.col(id_col).alias("query_id"), "bucket")
+        pairs_t = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            ),
+            "query_id",
+        )
         .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

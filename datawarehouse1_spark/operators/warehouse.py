@@ -1,0 +1,102 @@
+"""Reusable warehouse-semantics operators.
+
+The declared queries in queries/warehouse.py exercise these shapes on the
+testdata; this module is the library form the ingest pipeline composes:
+constraint checks the reference delegates to Postgres
+(init-db/init.sql:23,50,58-59), surrogate keys, keep-latest dedup, and
+the control-table upsert (etl/app.py:55-89).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_surrogate_key(df: DataFrame, order_by: Sequence[str], out: str = "id") -> DataFrame:
+    """SERIAL analog (init-db/init.sql:12): deterministic row_number over a
+    total order. Single-task global window — use only for dimension-sized
+    tables; facts use add_surrogate_key_distributed."""
+    w = Window.orderBy(*[F.asc(c) for c in order_by])
+    return df.select(F.row_number().over(w).alias(out), "*")
+
+
+def add_surrogate_key_distributed(
+    df: DataFrame, order_by: Sequence[str], out: str = "id"
+) -> DataFrame:
+    """Scale path: ids dense and deterministic w.r.t. the given total order
+    without a global single-partition sort. Two passes:
+      1. range-partition sort by the key (repartitionByRange keeps Spark's
+         sampled-boundary parallel sort),
+      2. per-partition row_number + broadcast per-partition offsets.
+    zipWithIndex semantics in pure DataFrame ops."""
+    sorted_df = df.repartitionByRange(*[F.col(c) for c in order_by]).sortWithinPartitions(
+        *[F.asc(c) for c in order_by]
+    )
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_by])
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w_in))
+    counts = numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        numbered.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
+def dedup_keep_latest(
+    df: DataFrame, keys: Sequence[str], recency: Sequence[Column | str]
+) -> DataFrame:
+    """UNIQUE-key semantics (init-db/init.sql:23,37,50) as keep-latest:
+    re-delivered business keys supersede. `recency` must totally order
+    rows within a key for determinism."""
+    order = [F.desc(c) if isinstance(c, str) else c for c in recency]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def null_violations(df: DataFrame, not_null_cols: Sequence[str]) -> DataFrame:
+    """NOT NULL constraint report (init-db/init.sql:23-25,40-41,50-55)."""
+    cond = None
+    for c in not_null_cols:
+        cur = F.col(c).isNull()
+        cond = cur if cond is None else (cond | cur)
+    return df.filter(cond) if cond is not None else df.limit(0)
+
+
+def fk_orphans(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """FK orphan set (init-db/init.sql:58-59): rows of `fact` whose key has
+    no match in `dim`. Must be empty before an append (validate-then-write)."""
+    return fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_anti",
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """UNIQUE violation report: business keys appearing more than once."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def upsert_small_table(
+    old: DataFrame, new: DataFrame, keys: Sequence[str], recency: Sequence[Column | str]
+) -> DataFrame:
+    """MERGE emulation for control tables (etl/app.py:55-89 upsert): union
+    + keep-latest rewrite. O(table) per call — documented as control-table
+    only; fact tables append, never rewrite."""
+    return dedup_keep_latest(new.unionByName(old), keys, recency)

@@ -14,6 +14,8 @@ _MODULES = (
     "text",
     "similarity",
     "udfs",
+    "dedup_ext",
+    "multimodal_ext",
 )
 
 

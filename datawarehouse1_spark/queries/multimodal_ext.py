@@ -1,0 +1,53 @@
+"""Multimodal plumbing queries over a deterministic asset table
+synthesized from documents (no binary fixtures in the testdata). The
+JVM-side metadata pass is oracle-checked; the Arrow decode path is
+rows-only (stub decoder, engine-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.multimodal.binary_columns import (
+    extract_features,
+    frame_sample,
+    payload_metadata,
+    synthesize_assets_from_documents,
+)
+from datawarehouse1_spark.registry import declared
+
+
+@declared(
+    "q_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata entirely JVM-side (length + md5 over the
+    payload bytes) — the cheap pre-filter that runs before any decode."""
+    assets = synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
+    return payload_metadata(assets)
+
+
+@declared("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode -> feature vectors (stub decoder, real batch
+    plumbing; deterministic across runs via sha256-seeded fake)."""
+    assets = synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
+    return extract_features(assets)
+
+
+@declared("q_multimodal_frame_sample", oracle=None)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame."""
+    assets = synthesize_assets_from_documents(
+        table(spark, sf_dir, "documents")
+    ).filter("modality = 'video'").limit(50)
+    return frame_sample(assets, every_ms=5000)

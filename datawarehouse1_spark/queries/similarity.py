@@ -103,4 +103,4 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return lsh_topk(emb, queries, k=TOP_K, n_planes=8)
+    return lsh_topk(emb, queries, k=TOP_K, n_planes=4, n_tables=8)

@@ -1,0 +1,122 @@
+"""Excel (.xlsx) ingest source.
+
+Reference behavior being re-expressed (not ported):
+  * safe_read_excel: read one xlsx into a DataFrame, retrying on locked
+    files (etl/app.py:92-141) -> Spark task retries subsume the retry
+    loop; the read itself runs inside executors.
+  * lock-file skip: `~$`-prefixed names excluded (etl/app.py:262-263)
+    -> pathGlobFilter.
+  * required-columns check (etl/app.py:150-155,179-184,208-213)
+    -> validate_required_columns below, fail-the-file atomicity.
+
+Spark has no built-in xlsx reader, so the distributed shape is:
+`binaryFile` source (one row per file: path + bytes) -> mapInPandas
+parsing each file's bytes with pandas/openpyxl inside the task. Parsing
+is per-file parallel, bytes never hit the driver.
+
+openpyxl is not guaranteed in this container -> the parser import is
+gated; tests exercise the plumbing with a monkeypatched parser.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOCK_GLOB = "[!~]*.xlsx"  # excludes Excel `~$...` lock files
+
+
+class MissingColumnsError(ValueError):
+    """Raised when a file lacks required columns (whole file rejected —
+    the reference's fail-the-file semantics, etl/app.py:150-155)."""
+
+
+def default_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
+    """Parse xlsx bytes with pandas+openpyxl (gated: raises if absent)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "openpyxl not installed in this environment; inject a parser via "
+            "read_xlsx_dir(..., parser=...)"
+        ) from exc
+    return pd.read_excel(io.BytesIO(data), engine="openpyxl")
+
+
+def read_xlsx_dir(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType,
+    parser=default_xlsx_parser,
+    glob: str = LOCK_GLOB,
+) -> DataFrame:
+    """Distributed xlsx scan: binaryFile rows -> per-task pandas parse ->
+    rows cast to `schema`, plus lineage columns source_file/imported_at
+    (the reference's enrichment, etl/app.py:158-159)."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+        .select("path", "content")
+    )
+    col_order = [f.name for f in schema.fields]
+    # copy the field list: StructType.add mutates in place and would
+    # otherwise grow the caller's schema
+    out_schema = (
+        StructType(list(schema.fields))
+        .add("source_file", "string")
+        .add("imported_at", "timestamp")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        now = _dt.datetime.now()
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                parsed = parser(row["path"], row["content"])
+                validate_required_columns(parsed, col_order, row["path"])
+                out = parsed[col_order].copy()  # project to declared schema
+                out["source_file"] = os.path.basename(row["path"])
+                out["imported_at"] = now
+                yield out
+
+    return binary.mapInPandas(parse, schema=out_schema)
+
+
+def validate_required_columns(
+    df: pd.DataFrame, required: Sequence[str], path: str = "<df>"
+) -> None:
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise MissingColumnsError(f"{path}: missing required columns {missing}")
+
+
+def route_table(filename: str) -> str | None:
+    """File-type dispatch (etl/app.py:235-246): substring of the lowered
+    basename -> warehouse table, None = skip with warning."""
+    base = os.path.basename(filename).lower()
+    if base.startswith("~$"):
+        return None
+    for marker, tbl in (("client", "clients"), ("produit", "produits"), ("vente", "ventes")):
+        if marker in base:
+            return tbl
+    return None
+
+
+def route_column(path_col: str = "source_file") -> F.Column:
+    """The same dispatch as a vectorized column expression."""
+    base = F.lower(F.element_at(F.split(F.col(path_col), "/"), -1))
+    return (
+        F.when(base.startswith("~$"), F.lit(None).cast("string"))
+        .when(base.contains("client"), F.lit("clients"))
+        .when(base.contains("produit"), F.lit("produits"))
+        .when(base.contains("vente"), F.lit("ventes"))
+        .otherwise(F.lit(None).cast("string"))
+    )

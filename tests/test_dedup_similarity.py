@@ -1,0 +1,93 @@
+"""Approximate tiers validated against exact baselines: MinHash-LSH recall
+vs exact Jaccard, SimHash collision behavior, LSH/IVF ANN recall vs brute
+force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from datawarehouse1_spark.operators.similarity import ivf_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark):
+    d = table(spark, SF, "documents").select("doc_id", "text").filter("doc_id < 80")
+    return d.unionByName(
+        d.filter("doc_id < 20").select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+
+
+def test_exact_dedup_removes_injected_copies(spark, docs_with_dupes):
+    out = exact_dedup(docs_with_dupes)
+    # every injected copy (doc_id >= 1000) must lose to its original
+    assert out.filter("doc_id >= 1000").count() == 0
+    assert out.count() == 80
+
+
+def test_minhash_lsh_finds_exact_dupes(spark, docs_with_dupes):
+    pairs = minhash_lsh_pairs(docs_with_dupes, jaccard_threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 1000) for i in range(20)}
+    # exact duplicates have jaccard 1.0 -> identical signatures -> every
+    # band collides; recall on true dupes must be 100%
+    assert expected <= found
+
+
+def test_minhash_recall_against_exact_jaccard(spark, docs_with_dupes):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs_with_dupes, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs_with_dupes, jaccard_threshold=0.5).collect()
+    }
+    assert approx <= exact  # exact-verified candidates: zero false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_simhash_groups_exact_dupes(spark, docs_with_dupes):
+    out = simhash_dedup(docs_with_dupes)
+    injected = out.filter("doc_id >= 1000").collect()
+    assert all(not r.keeper for r in injected)  # original always wins (lower id)
+    assert all(r.n_copies >= 2 for r in injected)
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["q_similarity_cosine_topk"](spark, SF).collect()
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=8).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # multi-table LSH on random gaussian data (weak neighborhood structure):
+    # it must recover a solid fraction of true top-5 neighbors
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"LSH ANN recall {recall:.2f}"
+    assert all(r.rnk <= 5 for r in approx)
+
+
+def test_ivf_topk_shape(spark):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    out = ivf_topk(emb, queries, k=5).collect()
+    assert out and all(r.query_id != r.neighbor_id for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

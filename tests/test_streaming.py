@@ -1,0 +1,153 @@
+"""Structured Streaming ingest: the reference's polling loop semantics —
+only-new-files processing (file_metadata analog), lock-file skip,
+validate-then-write per micro-batch — via the file source + foreachBatch."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datawarehouse1_spark.streaming.file_ingest import (
+    make_ingest_sink,
+    stream_ingest,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+
+SCHEMA = StructType(
+    [StructField("produit_id", StringType()), StructField("nom", StringType())]
+)
+
+
+def _write_parquet(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _wait(query, predicate, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        if predicate():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    sink_path = str(tmp_path / "warehouse_produits")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_parquet(spark, str(watch / "produits_1.parquet"), [("P1", "USB"), ("P2", "HDMI")])
+
+    q = stream_ingest(
+        spark,
+        str(watch) + "/*",
+        SCHEMA,
+        make_ingest_sink(sink_path, "produit_id", ["produit_id", "nom"]),
+        ckpt,
+        trigger_seconds=1,
+    )
+    try:
+        import os
+
+        ok = _wait(q, lambda: os.path.exists(sink_path) and spark.read.parquet(sink_path).count() == 2)
+        assert ok, "first micro-batch not ingested"
+
+        # second file arrives later -> only it is processed (checkpoint
+        # replaces file_metadata change detection)
+        _write_parquet(spark, str(watch / "produits_2.parquet"), [("P3", "CABLE")])
+        ok = _wait(q, lambda: spark.read.parquet(sink_path).count() == 3)
+        assert ok, "incremental file not picked up"
+
+        got = {r.produit_id for r in spark.read.parquet(sink_path).collect()}
+        assert got == {"P1", "P2", "P3"}
+        cols = set(spark.read.parquet(sink_path).columns)
+        assert {"source_file", "imported_at"} <= cols  # O5 enrichment
+    finally:
+        q.stop()
+
+
+def test_stream_invalid_batch_skipped_stream_survives(spark, tmp_path):
+    watch = tmp_path / "watch2"
+    watch.mkdir()
+    sink_path = str(tmp_path / "wh2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    # duplicate business key inside one file -> batch rejected whole
+    _write_parquet(spark, str(watch / "produits_bad.parquet"), [("P1", "USB"), ("P1", "USB-C")])
+
+    q = stream_ingest(
+        spark,
+        str(watch) + "/*",
+        SCHEMA,
+        make_ingest_sink(sink_path, "produit_id", ["produit_id", "nom"]),
+        ckpt,
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+        import os
+
+        assert not os.path.exists(sink_path)  # nothing written
+
+        # stream still alive: a good file afterwards ingests fine
+        _write_parquet(spark, str(watch / "produits_good.parquet"), [("P9", "OK")])
+        ok = _wait(q, lambda: os.path.exists(sink_path) and spark.read.parquet(sink_path).count() == 1)
+        assert ok
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_and_session_plans_start(spark, tmp_path):
+    """The C19/C20 streaming forms must run as real streaming queries
+    (rate source -> memory sink) with watermarks accepted."""
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+    )
+    q1 = (
+        stream_tumbling_counts(events, window="1 minute", watermark="10 seconds")
+        .writeStream.format("memory").queryName("tumbling_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "c1")).start()
+    )
+    q2 = (
+        stream_sessionize(events, gap="30 seconds", watermark="10 seconds")
+        .writeStream.format("memory").queryName("session_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "c2")).start()
+    )
+    try:
+        time.sleep(3)
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert q1.isActive and q2.isActive
+        assert q1.lastProgress is not None
+    finally:
+        q1.stop()
+        q2.stop()
+
+
+def test_multimodal_plumbing(spark):
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        extract_features,
+        synthesize_assets_from_documents,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    assets = synthesize_assets_from_documents(docs)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(r.sha256 and r.n_bytes > 0 for r in feats)
+    # determinism: same payload -> same stub feature
+    again = extract_features(assets).collect()
+    assert {r.asset_id: r.feature for r in feats} == {r.asset_id: r.feature for r in again}

@@ -1,0 +1,116 @@
+"""Unit tests on reference-shaped fixtures (FIXTURES.md §A): the exact
+quirks the reference's sample data encodes — content dupes under distinct
+ids (CLI001/CLI003), whitespace, Excel serial dates, FK orphans,
+re-delivered keys — against the reusable operators.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.functions.excel_serial import excel_serial_to_timestamp
+from datawarehouse1_spark.operators.warehouse import (
+    add_surrogate_key,
+    add_surrogate_key_distributed,
+    dedup_keep_latest,
+    duplicate_keys,
+    fk_orphans,
+    null_violations,
+    upsert_small_table,
+)
+
+
+@pytest.fixture(scope="module")
+def clients(spark):
+    # FIXTURES.md A1: CLI003 is a full content-dup of CLI001; CLI004 has a
+    # null not-null field; CLI001 re-delivered (same key) in a later batch.
+    rows = [
+        ("CLI001", "Dupont", "Jean", "j@d.fr", "0612345678", " 1 rue de Paris, Paris", 1),
+        ("CLI002", "Martin", "Anne", "a@m.fr", "698765432", "2 av Foch, Lyon", 1),
+        ("CLI003", "Dupont", "Jean", "j@d.fr", "0612345678", " 1 rue de Paris, Paris", 1),
+        ("CLI004", None, "Luc", None, None, None, 1),
+        ("CLI001", "Dupont", "Jean-Marie", "j@d.fr", "0612345678", "1 rue de Paris", 2),
+    ]
+    return spark.createDataFrame(
+        rows, "client_id string, nom string, prenom string, email string, telephone string, adresse string, batch int"
+    )
+
+
+def test_dedup_keep_latest_business_key(clients):
+    out = dedup_keep_latest(clients, ["client_id"], ["batch"])
+    rows = {r.client_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows["CLI001"].prenom == "Jean-Marie"  # batch 2 superseded batch 1
+
+
+def test_full_row_dedup_catches_content_dupes(clients):
+    content_cols = ["nom", "prenom", "email", "telephone", "adresse"]
+    dupes = duplicate_keys(clients.filter("batch = 1"), content_cols).collect()
+    assert len(dupes) == 1 and dupes[0].n_copies == 2  # CLI001/CLI003 pair
+
+
+def test_null_violation_report(clients):
+    bad = null_violations(clients, ["client_id", "nom", "prenom"]).collect()
+    assert [r.client_id for r in bad] == ["CLI004"]
+
+
+def test_telephone_stays_string(clients):
+    # leading-zero hazard: '0612345678' must survive untouched
+    tel = clients.filter("client_id = 'CLI001' and batch = 1").first().telephone
+    assert tel == "0612345678"
+
+
+def test_trim_quirk(clients):
+    out = clients.select(F.trim("adresse").alias("a")).first().a
+    assert out == "1 rue de Paris, Paris"
+
+
+def test_fk_orphans_on_ventes(spark, clients):
+    ventes = spark.createDataFrame(
+        [
+            ("VNT001", "CLI001", 2, Decimal("10000.00")),
+            ("VNT002", "CLI999", 1, Decimal("50.00")),  # orphan client
+        ],
+        "vente_id string, client_id string, quantite int, prix_total decimal(10,2)",
+    )
+    orphans = fk_orphans(ventes, clients, "client_id", "client_id").collect()
+    assert [r.vente_id for r in orphans] == ["VNT002"]
+
+
+def test_excel_serial_reference_value(spark):
+    # the exact value shipping in ventes.xlsx (verified from the raw sheet
+    # XML: F2 = 45787.604166666664). Standard 1899-12-30 epoch puts that at
+    # 2025-05-10 14:30:00 — SURVEY.md §5.2's "2025-04-10" annotation is off
+    # by a month; the epoch arithmetic here is the Excel-standard one.
+    df = spark.createDataFrame([(45787.604166666664,)], "serial double")
+    out = df.select(excel_serial_to_timestamp("serial").alias("ts")).first().ts
+    assert out == datetime(2025, 5, 10, 14, 30, 0)
+
+
+def test_surrogate_keys_dense_and_deterministic(spark):
+    df = spark.range(0, 1000).select((F.col("id") * 7 % 1000).alias("k")).repartition(8)
+    simple = add_surrogate_key(df, ["k"]).orderBy("k").collect()
+    dist = (
+        add_surrogate_key_distributed(df, ["k"]).orderBy("k").collect()
+    )
+    assert [r.id for r in simple] == list(range(1, 1001))
+    assert [r.id for r in dist] == list(range(1, 1001))
+    assert [r.k for r in simple] == [r.k for r in dist]
+
+
+def test_upsert_small_table(spark):
+    old = spark.createDataFrame(
+        [("a.xlsx", 1, "success"), ("b.xlsx", 1, "error")],
+        "filename string, version int, status string",
+    )
+    new = spark.createDataFrame(
+        [("b.xlsx", 2, "success"), ("c.xlsx", 1, "success")],
+        "filename string, version int, status string",
+    )
+    out = {r.filename: r for r in upsert_small_table(old, new, ["filename"], ["version"]).collect()}
+    assert len(out) == 3
+    assert out["b.xlsx"].version == 2 and out["b.xlsx"].status == "success"
