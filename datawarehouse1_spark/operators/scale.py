@@ -1,0 +1,131 @@
+"""Scale-posture operators: the physical-layout and skew tools a 100 TB
+deployment needs around the §2 logical operators.
+
+The reference's only performance artifacts are five b-tree indexes
+(init-db/init.sql:63-67) and a polling interval; everything else is
+delegated to Postgres (SURVEY.md §4). On Spark the equivalents are
+layout decisions made at write time and shuffle decisions made at join
+time — this module packages them:
+
+  * write_partitioned_fact  — date-partitioned Parquet (the
+    `idx_ventes_date` analog: partition pruning replaces the index)
+  * write_bucketed_table    — bucketBy on the join key (the join-key
+    index analog: co-located, shuffle-free fact⋈fact joins)
+  * analyze_for_cbo         — table/column stats so Catalyst's CBO can
+    order star joins (the PK-constraint cardinality-hint analog)
+  * salted_join             — hot-key skew mitigation for the shuffles
+    AQE's skew handling can't fix (single giant build-side key)
+
+All are ordinary DataFrame/catalog code — no custom planner rules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_fact(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "part_month",
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact table partitioned by month(ts_col).
+
+    Reading back with a date predicate prunes whole partitions before any
+    I/O — the Spark analog of the reference's `idx_ventes_date` b-tree
+    (init-db/init.sql:67). At 100 TB this is the difference between
+    scanning one month and scanning the decade.
+    """
+    (
+        df.withColumn(partition_col, F.date_format(F.col(ts_col), "yyyy-MM"))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table (the join-key index analog,
+    init-db/init.sql:63-66). Two tables bucketed on the same key with the
+    same bucket count join with ZERO shuffle — both sides are already
+    hash-distributed on the key. Pre-pays the shuffle once at write time;
+    every subsequent join reuses it.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def analyze_for_cbo(
+    spark: SparkSession, table_name: str, columns: Sequence[str] = ()
+) -> None:
+    """Compute table (and optionally column) statistics so the cost-based
+    optimizer can reorder joins and pick broadcast candidates — the role
+    the reference's PK/UNIQUE constraints play for the Postgres planner
+    (SURVEY.md §4)."""
+    spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (possibly skewed) fact side into
+    `n_salts` sub-keys and replicate the dim side once per salt, so a hot
+    key's rows spread over n_salts reducers instead of one.
+
+    The salt is `pmod(hash(fact-row), n_salts)` — deterministic, uniform,
+    and independent of the join key. Result set is identical to the plain
+    join (each fact row matches exactly the replicas carrying its salt).
+
+    Use when one build-side key dominates (AQE's skewJoin splits oversized
+    *partitions*, but cannot split a single giant *key* on the build side).
+    Cost: dim side is materialized n_salts times — keep n_salts modest and
+    the dim narrow.
+    """
+    fact_cols = [c for c in fact.columns]
+    dim_cols = [c for c in dim.columns]
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact_cols]), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return joined.select(
+        *[salted_fact[c] for c in fact_cols], *[salted_dim[c] for c in dim_cols]
+    )
+
+
+def explain_has_pruning(df: DataFrame) -> bool:
+    """True if the physical plan shows parquet filter pushdown — a cheap
+    assertion hook for tests that layout decisions actually reached the
+    scan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan

@@ -1,0 +1,89 @@
+"""Temporal join operators: as-of and range joins.
+
+Neither exists in the reference (SURVEY.md §2 negative findings) or as a
+Spark built-in, but both are staples of warehouse/event analytics. Each
+is built as a composition of existing DataFrame ops with single-shuffle
+scale shape — no O(n²) cross product, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join (backward): for each left row, attach the right row
+    with the same key and the greatest right_ts <= left_ts (NULL payload
+    if none). Equivalent of DuckDB/kdb `ASOF LEFT JOIN`.
+
+    Scale shape: tag both sides, union, ONE shuffle on (key) with a
+    (ts, side)-ordered window, forward-fill the right payload with
+    `last(..., ignorenulls)`, keep left rows. Cost is a single sort-shuffle
+    of |L|+|R| rows — same as any groupBy on the key — vs. the naive
+    inequality-join which Spark would execute as a cross product.
+
+    Right side must be unique per (key, ts); pre-dedup it if not, or the
+    fill is nondeterministic.
+    """
+    lcols = left.columns
+    sides_schema = (
+        [F.col(c) for c in lcols]
+        + [F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload]
+        + [
+            F.col(left_key).alias("__key"),
+            F.col(left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+        ]
+    )
+    l_tagged = left.select(*sides_schema)
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+    )
+    # right rows sort before left rows at equal ts => ties match (<=)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_payload
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join_broadcast(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/range join: match fact rows to [lo, hi) intervals of a SMALL
+    bands table. Executed as a BroadcastNestedLoopJoin — fine at any fact
+    scale because the inner side is the broadcast bands table (O(|fact| ×
+    |bands|) with |bands| tiny, streamed through codegen).
+
+    For large interval tables, pre-bucket both sides on a coarse grid and
+    equi-join the bucket first (turns BNLJ into a hash join) — not needed
+    for dimension-sized band tables.
+    """
+    cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
+    return fact.join(F.broadcast(bands), cond, "inner")

@@ -16,6 +16,7 @@ _MODULES = (
     "udfs",
     "dedup_ext",
     "multimodal_ext",
+    "scale_ext",
 )
 
 

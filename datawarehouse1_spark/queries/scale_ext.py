@@ -1,0 +1,185 @@
+"""Scale/temporal extension queries: skew-salted join, cube, set ops,
+array aggregation, as-of join, band (range) join.
+
+None of these exist in the reference (SURVEY.md §2 negative findings) —
+they're the operations the same warehouse needs at 100 TB event/fact
+scale, each built shuffle-consciously (see operators/scale.py and
+operators/temporal.py for the physical rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import money_sum
+from datawarehouse1_spark.operators.scale import salted_join
+from datawarehouse1_spark.operators.temporal import asof_join_backward, range_join_broadcast
+from datawarehouse1_spark.registry import declared
+
+
+@declared(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈fact join — result identical to the plain join
+    (the oracle IS the plain join); the salt spreads any hot orderkey over
+    8 reducers. See operators/scale.py::salted_join."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@declared(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 family: CUBE = all 2^k grouping sets in one pass (Expand +
+    single shuffle — not 4 separate scans)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice", "total_price"),
+    )
+
+
+@declared(
+    "q_set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers having both open and fulfilled orders.
+    Catalyst plans INTERSECT as an aggregate+semi-join, not a sort."""
+    o = table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(done)
+
+
+@declared(
+    "q_set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with open orders and no fulfilled ones (anti-join
+    shape at the set level)."""
+    o = table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(done)  # EXCEPT (distinct) — matches SQL EXCEPT
+
+
+@declared(
+    "q_array_agg_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS lines,
+           len(list(l_linenumber)) AS n_lines,
+           list_max(list(l_linenumber)) AS max_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted line-number list + array
+    functions (deterministic: collect_list is order-free only after
+    sort_array)."""
+    li = table(spark, sf_dir, "lineitem")
+    lst = F.collect_list("l_linenumber")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(lst).alias("lines"),
+        F.size(lst).alias("n_lines"),
+        F.array_max(lst).alias("max_line"),
+    )
+
+
+@declared(
+    "q_join_asof",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate AS ots, max(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.okey AS last_orderkey, r.ots AS last_orderdate
+    FROM events e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.ots
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event gets the user's most recent order
+    at-or-before the event time — one shuffle, no inequality cross-join.
+    See operators/temporal.py::asof_join_backward (right side pre-deduped
+    per (key, ts) for determinism)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    right = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").alias("ots"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    out = asof_join_backward(
+        ev, right, "user_id", "o_custkey", "ts", "ots", ["okey", "ots"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("okey").alias("last_orderkey"),
+        F.col("ots").alias("last_orderdate"),
+    )
+
+
+@declared(
+    "q_join_range_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('mid', 50000.0, 200000.0),
+             ('large', 200000.0, 1000000.0)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: orders matched to price intervals via a
+    broadcast nested-loop join against the tiny bands dim — the interval
+    side broadcasts, the fact side streams (scale-safe)."""
+    o = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("large", 200000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join_broadcast(o, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "total_price"),
+        )
+    )

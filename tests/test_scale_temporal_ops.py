@@ -1,0 +1,150 @@
+"""Unit tests for the scale-posture and temporal operators: logical
+equivalence (salted join == plain join; as-of edge cases) plus physical
+assertions (partition pruning reaches the scan; bucketed join plans
+without an exchange)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.operators.scale import (
+    salted_join,
+    write_bucketed_table,
+    write_partitioned_fact,
+)
+from datawarehouse1_spark.operators.temporal import (
+    asof_join_backward,
+    range_join_broadcast,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------- salted_join ----------
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "e")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk long, dv string")
+    got = sorted(
+        (r.k, r.v, r.dv)
+        for r in salted_join(fact, dim, "k", "dk", n_salts=4).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.dv) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key, every row identical except a discriminator -> salts differ
+    fact = spark.createDataFrame([(1, i) for i in range(100)], "k long, i long")
+    dim = spark.createDataFrame([(1, "x")], "dk long, dv string")
+    salted = fact.withColumn("__salt", F.pmod(F.hash("k", "i"), F.lit(8)))
+    n_salts_used = salted.select("__salt").distinct().count()
+    assert n_salts_used > 1  # the hot key's rows spread over >1 reducer
+    assert salted_join(fact, dim, "k", "dk", n_salts=8).count() == 100
+
+
+# ---------- partitioned fact writer ----------
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2025, 1, 5)),
+            (2, datetime(2025, 1, 20)),
+            (3, datetime(2025, 2, 3)),
+        ],
+        "id long, ts timestamp",
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned_fact(df, path, "ts")
+    back = spark.read.parquet(path).filter(F.col("part_month") == "2025-01")
+    assert back.count() == 2
+    # pruning happened at planning: only one partition dir in the scan
+    plan = _plan(back)
+    assert "2025-02" not in plan
+
+
+# ---------- bucketed table ----------
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "k long, av string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100)], "k long, bv string")
+    write_bucketed_table(a, spark, "t_bucket_a", "k", n_buckets=4)
+    write_bucketed_table(b, spark, "t_bucket_b", "k", n_buckets=4)
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        joined = ta.join(tb, "k")
+        assert joined.count() == 100
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+# ---------- as-of join ----------
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, datetime(2025, 1, 10)),  # after r1, before r2
+            (2, 10, datetime(2025, 1, 1)),   # exactly at r1 (tie -> matches)
+            (3, 10, datetime(2024, 12, 1)),  # before everything -> NULL
+            (4, 20, datetime(2025, 6, 1)),   # other key
+            (5, 30, datetime(2025, 6, 1)),   # key with no right rows -> NULL
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2025, 1, 1), 101),
+            (10, datetime(2025, 1, 15), 102),
+            (20, datetime(2025, 1, 1), 201),
+        ],
+        "k long, rts timestamp, payload long",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join_backward(left, right, "k", "k", "ts", "rts", ["payload"])
+    got = {r.event_id: r.payload for r in out.collect()}
+    assert got == {1: 101, 2: 101, 3: None, 4: 201, 5: None}
+    assert out.count() == left.count()  # left join: every left row kept
+
+
+def test_asof_single_shuffle(spark, asof_frames):
+    left, right = asof_frames
+    plan = _plan(asof_join_backward(left, right, "k", "k", "ts", "rts", ["payload"]))
+    # one exchange for the window; no BroadcastNestedLoop / CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# ---------- range join ----------
+
+
+def test_range_join_bands(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 150.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 100.0)], "band string, lo double, hi double"
+    )
+    got = {r.id: r.band for r in range_join_broadcast(fact, bands, "v").collect()}
+    assert got == {1: "lo", 2: "hi"}  # 150.0 outside all bands -> dropped
