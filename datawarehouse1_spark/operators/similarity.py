@@ -102,20 +102,33 @@ def ivf_assign(
     seed: int = DEFAULT_SEED,
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest seeded random centroid (coarse
-    quantizer). A trained k-means would come from MLlib; seeded random
-    centroids keep the operator deterministic and dependency-free."""
+    """Assign each vector to its `nprobe` nearest seeded random centroids
+    (coarse quantizer). nprobe=1 gives one list per vector (index build
+    side); nprobe>1 on the query side trades extra candidate lists for
+    recall, exactly like FAISS IVF probing. A trained k-means would come
+    from MLlib; seeded random centroids keep the operator deterministic
+    and dependency-free.
 
-    @F.pandas_udf("int")
+    nprobe>1 returns an array column — explode it to fan out the probes.
+    """
+
+    @F.pandas_udf("array<int>")
     def _assign(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy())
         cents = np.random.default_rng(seed).standard_normal((n_centroids, mat.shape[1]))
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
         normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((normed @ cents.T).argmax(axis=1).astype("int32"))
+        sims = normed @ cents.T
+        # top-nprobe centroid ids, best first
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
 
-    return df.withColumn(out_col, _assign(vec_col))
+    assigned = df.withColumn("__probes", _assign(vec_col))
+    if nprobe == 1:
+        return assigned.withColumn(out_col, F.col("__probes")[0]).drop("__probes")
+    return assigned.withColumn(out_col, F.explode("__probes")).drop("__probes")
 
 
 def ivf_topk(
@@ -123,15 +136,23 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
+    nprobe: int = 4,
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe with nprobe=1: score only the query's centroid list."""
-    c = ivf_assign(corpus, n_centroids, seed, vec_col).select(
+    """IVF top-k: corpus vectors land in exactly one inverted list; each
+    query probes its `nprobe` closest lists; exact cosine + top-k over the
+    union of probed lists.
+
+    Scale shape: the corpus partitions by centroid_id once (and on a real
+    deployment is WRITTEN partitioned by it — list probing then becomes
+    partition pruning); per query only |corpus|·nprobe/n_centroids
+    candidates are scored, never the full corpus."""
+    c = ivf_assign(corpus, n_centroids, seed, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    q = ivf_assign(queries, n_centroids, seed, vec_col).select(
+    q = ivf_assign(queries, n_centroids, seed, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
     scored = (

@@ -104,3 +104,16 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     return lsh_topk(emb, queries, k=TOP_K, n_planes=4, n_tables=8)
+
+
+@declared("q_similarity_ivf_topk", oracle=None)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #2: IVF coarse quantization — corpus in one inverted
+    list each, queries probe their nprobe nearest lists, exact rerank
+    within probed lists. Rows-only check; recall vs the exact baseline is
+    asserted in tests/test_dedup_similarity.py."""
+    from datawarehouse1_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return ivf_topk(emb, queries, k=TOP_K, n_centroids=16, nprobe=4)

@@ -91,3 +91,19 @@ def test_ivf_topk_shape(spark):
     for r in out:
         per_q.setdefault(r.query_id, []).append(r.rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["q_similarity_cosine_topk"](spark, SF).collect()
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # probing 4/16 lists scores ~25% of the corpus; on gaussian data the
+    # true neighbors concentrate in the probed lists
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF ANN recall {recall:.2f}"
