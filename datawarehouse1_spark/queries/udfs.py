@@ -64,3 +64,46 @@ def q_builtin_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) + F.col("l_tax"))
         ).alias("charge"),
     )
+
+
+# --- C23: Python UDTF (table function) — one input row => many output rows ---
+@declared(
+    "q_udtf_bigrams",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM words
+    """,
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram exploder as a Python UDTF invoked via LATERAL — the
+    UDTF leg of the C23 surface (scalar pandas_udf above, grouped
+    applyInPandas in multimodal/, stateful applyInPandasWithState in
+    streaming/). Arrow-backed (useArrow); for a pure-built-in equivalent
+    the same bigrams come from transform(slice(...)) array ops."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string", useArrow=True)
+    class BigramUDTF:
+        def eval(self, text: str):
+            words = [w for w in re.split(r"\s+", (text or "").lower()) if w]
+            for a, b in zip(words, words[1:]):
+                yield (a + " " + b,)
+
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram
+        FROM __docs_for_udtf d, LATERAL bigrams_udtf(d.text) b
+        """
+    )
