@@ -100,3 +100,27 @@ def upsert_small_table(
     + keep-latest rewrite. O(table) per call — documented as control-table
     only; fact tables append, never rewrite."""
     return dedup_keep_latest(new.unionByName(old), keys, recency)
+
+
+def merge_rollup(
+    old: DataFrame | None,
+    delta: DataFrame,
+    keys: Sequence[str],
+    additive_cols: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain an additive rollup table: `delta` is the
+    aggregate of ONLY the new batch; merging is union + re-sum on the
+    grouping keys — never a rescan of history. Works for any additive
+    measure (COUNT partials, DECIMAL SUMs). Keep sums in DECIMAL inside
+    the maintained table (exact, order/merge-independent); cast to double
+    only in the serving view.
+
+    At 100 TB this is the difference between an O(|batch|) nightly
+    refresh and an O(|history|) one. Non-additive measures (distinct
+    counts) need sketch columns instead (HLL) — exact distinct cannot be
+    merged and is recomputed or approximated.
+    """
+    merged = delta if old is None else old.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        *(F.sum(c).alias(c) for c in additive_cols)
+    )

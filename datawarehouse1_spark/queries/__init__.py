@@ -17,6 +17,7 @@ _MODULES = (
     "dedup_ext",
     "multimodal_ext",
     "scale_ext",
+    "profiling",
 )
 
 

@@ -1,0 +1,119 @@
+"""Data profiling + full GROUPING SETS — warehouse operations the
+reference delegates to eyeballing Metabase dashboards (readme.md:115-118)
+and to Postgres constraints; here first-class, one scan each.
+
+Profiling at 100 TB: one pass computes every column's stats in parallel
+(a single aggregate over the scan — NOT one query per column); distinct
+counts switch to approx_count_distinct on the scale path (the exact
+variant here is oracle-matched).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import money_sum
+from datawarehouse1_spark.registry import declared
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@declared(
+    "q_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN({c}) AS min_v,
+               MAX({c}) AS max_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (nulls / distinct / min / max) for the fact table's
+    numeric columns. Implementation note: all three profiles come from ONE
+    aggregate over ONE scan (Catalyst merges the agg expressions), then
+    unpivot to the narrow (col_name, stats) shape; the oracle's UNION ALL
+    of three scans is the semantic twin, not the physical plan."""
+    li = table(spark, sf_dir, "lineitem")
+    agg_exprs = []
+    for c in _PROFILE_COLS:
+        agg_exprs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min_v"),
+            F.max(c).alias(f"{c}__max_v"),
+        ]
+    wide = li.agg(*agg_exprs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return reduce(DataFrame.unionByName, per_col)
+
+
+@declared(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube C11),
+    expressed through the SQL front door — one Expand + one shuffle, not
+    three scans."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@declared(
+    "q_upsert_partition_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_upsert_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintainable monthly rollup: the full-history result
+    here is the oracle anchor; operators/warehouse.py::merge_rollup keeps
+    the same table current by recomputing ONLY the months present in each
+    new batch (partition-overwrite semantics) instead of rescanning
+    history — tested in tests/test_incremental_rollup.py."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice", "total_price"),
+    )
