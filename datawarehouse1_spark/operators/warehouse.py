@@ -124,3 +124,32 @@ def merge_rollup(
     return merged.groupBy(*keys).agg(
         *(F.sum(c).alias(c) for c in additive_cols)
     )
+
+
+def rollup_with_hll(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    sketch_col: str = "custkey_sketch",
+) -> DataFrame:
+    """Per-key aggregate carrying a mergeable HLL sketch for the distinct
+    count (Apache DataSketches via hll_sketch_agg). The sketch column is
+    what makes COUNT(DISTINCT) incrementally maintainable: exact distinct
+    partials cannot be merged, sketches union losslessly."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col).alias(sketch_col)
+    )
+
+
+def merge_hll_rollup(
+    old: DataFrame | None,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "custkey_sketch",
+) -> DataFrame:
+    """Merge HLL-sketch rollups (union per key). Serve the estimate with
+    hll_sketch_estimate(sketch_col)."""
+    merged = delta if old is None else old.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )

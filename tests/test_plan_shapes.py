@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the scale posture is an invariant,
+not an accident. Headline queries must keep their intended shapes (no
+sort-merge join where a broadcast belongs, no cartesian products, no
+Python eval in relational hot paths, bounded exchange counts), and
+results must survive the join-strategy flip that happens at real scale
+when a dimension outgrows the broadcast threshold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark import registry
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.operators.warehouse import (
+    merge_hll_rollup,
+    rollup_with_hll,
+)
+from tests.conftest import SF_DIR, rows_to_canon
+
+registry.load_all()
+
+# name -> max shuffle exchanges allowed (documented costs only)
+EXCHANGE_BUDGET = {
+    "q_flagship_monthly_revenue": 2,  # agg + count-distinct expand
+    "q_join_multi_star": 1,
+    "q_join_broadcast_dim": 1,
+    "q_agg_group_sum": 1,
+    "q_window_rank_topn": 1,
+    "q_window_running_sum": 1,
+    "q_dedup_exact_hash": 1,
+    "q_topk_orderby_limit": 0,  # TakeOrderedAndProject, no full sort shuffle
+    "q_join_salted_skew": 1,
+    "q_join_asof": 2,  # right-side pre-dedup + window
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_no_pathological_plan_nodes(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF_DIR))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= EXCHANGE_BUDGET[name], (
+        f"{name}: {n_shuffles} shuffle exchanges (budget "
+        f"{EXCHANGE_BUDGET[name]})\n{plan}"
+    )
+
+
+def test_scan_projection_pushdown(spark):
+    """A 2-column projection must not read the whole lineitem schema."""
+    df = registry.QUERIES["q_scan_project"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+
+
+def test_flagship_survives_no_broadcast(spark):
+    """When every dim outgrows the broadcast threshold (the 100 TB case),
+    the same plan must flip to shuffled joins and return identical rows."""
+    fn = registry.QUERIES["q_flagship_monthly_revenue"]
+    want = fn(spark, SF_DIR)
+    want_canon = rows_to_canon(want.columns, [tuple(r) for r in want.collect()])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = fn(spark, SF_DIR)
+        plan = _plan(got)
+        got_canon = rows_to_canon(got.columns, [tuple(r) for r in got.collect()])
+        assert got_canon == want_canon
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_hll_rollup_merge_equals_full(spark):
+    """Mergeable distinct: unioned per-batch HLL sketches give the same
+    estimate as a single full-scan sketch (lossless sketch union)."""
+    o = table(spark, SF_DIR, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    m = merge_hll_rollup(
+        None, rollup_with_hll(b1, ["o_orderstatus"], "o_custkey"), ["o_orderstatus"]
+    )
+    m = merge_hll_rollup(
+        m, rollup_with_hll(b2, ["o_orderstatus"], "o_custkey"), ["o_orderstatus"]
+    )
+    est = {
+        r.o_orderstatus: r.est
+        for r in m.select(
+            "o_orderstatus", F.hll_sketch_estimate("custkey_sketch").alias("est")
+        ).collect()
+    }
+    full = {
+        r.o_orderstatus: r.est
+        for r in rollup_with_hll(o, ["o_orderstatus"], "o_custkey")
+        .select("o_orderstatus", F.hll_sketch_estimate("custkey_sketch").alias("est"))
+        .collect()
+    }
+    assert est == full
