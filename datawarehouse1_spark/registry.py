@@ -44,5 +44,6 @@ def load_all() -> None:
     """Import every query module (side effect: registration)."""
     from datawarehouse1_spark import queries as _q  # noqa: F401
     from datawarehouse1_spark.plans import flagship as _fs  # noqa: F401
+    from datawarehouse1_spark.plans import llm_pipeline as _lp  # noqa: F401
 
     _q.load()
