@@ -117,3 +117,29 @@ def q_upsert_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice", "total_price"),
     )
+
+
+@declared(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal). Scale path: exact
+    percentile needs the group's values collected per partition —
+    switch to approx_percentile (t-digest, mergeable) when groups stop
+    fitting; same query shape."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

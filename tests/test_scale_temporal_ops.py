@@ -148,3 +148,23 @@ def test_range_join_bands(spark):
     )
     got = {r.id: r.band for r in range_join_broadcast(fact, bands, "v").collect()}
     assert got == {1: "lo", 2: "hi"}  # 150.0 outside all bands -> dropped
+
+
+# ---------- ANALYZE for CBO ----------
+
+
+def test_analyze_for_cbo_records_stats(spark):
+    from datawarehouse1_spark.operators.scale import analyze_for_cbo
+
+    df = spark.createDataFrame([(i, f"v{i % 7}") for i in range(500)], "k long, v string")
+    df.write.mode("overwrite").format("parquet").saveAsTable("t_cbo_stats")
+    try:
+        analyze_for_cbo(spark, "t_cbo_stats", ["k", "v"])
+        det = spark.sql("DESCRIBE TABLE EXTENDED t_cbo_stats").collect()
+        stats = {r.col_name: r.data_type for r in det}
+        assert "Statistics" in stats and "500 rows" in stats["Statistics"]
+        colstat = spark.sql("DESCRIBE EXTENDED t_cbo_stats v").collect()
+        kv = {r.info_name: r.info_value for r in colstat}
+        assert kv.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cbo_stats")

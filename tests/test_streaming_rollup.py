@@ -1,0 +1,91 @@
+"""Streaming rollup maintenance: after N micro-batches the maintained
+summary table equals a full recompute over everything ingested — exact
+decimal equality, across stream restarts (checkpoint)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from datawarehouse1_spark.streaming.rollup_maintenance import stream_maintain_rollup
+
+SCHEMA = StructType(
+    [
+        StructField("order_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("amount", DoubleType()),
+    ]
+)
+
+
+def _agg(df):
+    return df.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+def _feed(spark, src, rows):
+    from datetime import datetime
+
+    data = [(oid, datetime.fromisoformat(ts), amt) for oid, ts, amt in rows]
+    spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [("O1", "2025-01-05T10:00:00", 10.5), ("O2", "2025-01-20T11:00:00", 4.5)]
+    batch2 = [("O3", "2025-01-25T09:00:00", 1.0), ("O4", "2025-02-03T08:00:00", 99.99)]
+    _feed(spark, src, batch1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = stream_maintain_rollup(
+        spark, stream, rollup, ckpt, _agg, ["month"], ["n_orders", "total"],
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = {
+        str(r.month): (r.n_orders, str(r.total))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert maintained == {
+        "2025-01-01": (3, "16.00"),
+        "2025-02-01": (1, "99.99"),
+    }
+
+    # restart from checkpoint: a third batch merges, earlier ones not re-read
+    _feed(spark, src, [("O5", "2025-02-10T12:00:00", 0.01)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = stream_maintain_rollup(
+        spark, stream2, rollup, ckpt, _agg, ["month"], ["n_orders", "total"],
+        trigger_seconds=1,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = {
+        str(r.month): (r.n_orders, str(r.total))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert after == {
+        "2025-01-01": (3, "16.00"),
+        "2025-02-01": (2, "100.00"),
+    }
