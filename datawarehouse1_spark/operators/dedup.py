@@ -79,26 +79,44 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def hashed_shingles(shingle_col: str | Column) -> Column:
+    """Shingle strings -> distinct 31-bit positive ints (xxhash64 masked).
+    Hashing once up front means (a) every MinHash permutation runs integer
+    arithmetic over a pre-hashed array instead of re-hashing strings, and
+    (b) candidate-verify Jaccard intersects long arrays, not strings —
+    less compute AND less shuffle. Collision odds at 2^31 are negligible
+    for near-dup purposes."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.array_distinct(
+        F.transform(c, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    )
+
+
 def minhash_signature(
-    shingle_col: str | Column, num_hashes: int = 16, seed: int = DEFAULT_SEED
+    shingle_col: str | Column,
+    num_hashes: int = 16,
+    seed: int = DEFAULT_SEED,
+    pre_hashed: bool = False,
 ) -> Column:
     """array<long> MinHash signature: for each of num_hashes permutations
-    (a*h+b) mod p over xxhash64(shingle), take the min. All expression
-    code — whole-stage codegen, no Python."""
+    (a*h+b) mod p over the hashed shingle, take the min. All expression
+    code — whole-stage codegen, no Python. Pass pre_hashed=True when the
+    column already holds hashed_shingles() output (hash computed once,
+    not once per permutation)."""
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    hashed = c if pre_hashed else hashed_shingles(c)
 
     def perm(a: int, b: int):
         # one-arg lambda required: Spark maps the Python signature onto the
-        # higher-order function's arity. xxhash64 is signed; masking to 31
-        # bits keeps it positive and a*h+b under 2^62 (no ANSI overflow).
-        def h(s: Column) -> Column:
-            masked = F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1))
-            return (F.lit(a) * masked + F.lit(b)) % F.lit(MERSENNE_P)
+        # higher-order function's arity; 31-bit inputs keep a*h+b < 2^62
+        # (no int64 overflow under ANSI arithmetic).
+        def h(hv: Column) -> Column:
+            return (F.lit(a) * hv + F.lit(b)) % F.lit(MERSENNE_P)
 
         return h
 
     mins = [
-        F.array_min(F.transform(c, perm(a, b)))
+        F.array_min(F.transform(hashed, perm(a, b)))
         for a, b in _minhash_params(num_hashes, seed)
     ]
     return F.array(*mins)
@@ -127,9 +145,12 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
 
     docs = df.select(
-        F.col(id_col).alias("_id"), shingles(tokens(text_col), shingle_n).alias("_sh")
+        F.col(id_col).alias("_id"),
+        hashed_shingles(shingles(tokens(text_col), shingle_n)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    signed = docs.withColumn("_sig", minhash_signature("_sh", num_hashes, seed))
+    signed = docs.withColumn(
+        "_sig", minhash_signature("_sh", num_hashes, seed, pre_hashed=True)
+    )
 
     band_cols = [
         F.md5(
@@ -139,30 +160,34 @@ def minhash_lsh_pairs(
         ).alias(f"_band{b}")
         for b in range(bands)
     ]
-    banded = signed.select("_id", "_sh", *band_cols)
+    banded = signed.select("_id", *band_cols)
 
-    # candidate pairs: any band matches (union of per-band self-joins,
-    # de-duplicated on the pair key)
+    # candidate pairs: any band matches (union of per-band self-joins on
+    # the 16-byte band hash ONLY — ids cross these shuffles, shingle sets
+    # do not), de-duplicated on the pair key
     cand = None
     for b in range(bands):
-        left = banded.select(
-            F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), f"_band{b}"
-        )
-        right = banded.select(
-            F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), f"_band{b}"
-        )
+        left = banded.select(F.col("_id").alias("id_a"), f"_band{b}")
+        right = banded.select(F.col("_id").alias("id_b"), f"_band{b}")
         pairs_b = (
             left.join(right, f"_band{b}")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b")
         )
         cand = pairs_b if cand is None else cand.unionByName(pairs_b)
     cand = cand.dropDuplicates(["id_a", "id_b"])
 
+    # exact verify: shingle sets join back ONCE per side, onto the (small)
+    # candidate set — not once per band
+    sh = docs.select(F.col("_id"), F.col("_sh"))
+    verified = cand.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union_sz = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        verified.select(
             "id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard")
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
