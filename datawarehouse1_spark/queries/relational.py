@@ -278,3 +278,54 @@ def q_join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+# --- C6/C7 SQL face: correlated subqueries (Catalyst decorrelates to
+#     semi/anti joins — the DataFrame forms are q_join_semi/q_join_anti) ---
+@declared(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL front door; Catalyst rewrites to a
+    left-semi hash join (no per-row subquery execution)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__c_sq")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__o_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __c_sq c
+        WHERE EXISTS (SELECT 1 FROM __o_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+@declared(
+    "q_subquery_scalar_agg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average filter): planned as a
+    one-row broadcast into the scan filter, a single extra job — not a
+    rescan per row. (AVG of doubles is order-dependent in general; both
+    engines compute it over the same full scan as one reduction, and the
+    threshold comparison tolerates last-ulp differences far below data
+    spacing.)"""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__o_scalar")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __o_scalar
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __o_scalar)
+        """
+    )

@@ -107,3 +107,23 @@ def test_hll_rollup_merge_equals_full(spark):
         .collect()
     }
     assert est == full
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """The scale path must stay within its advertised error: default rsd
+    is 5%; assert the approximate per-group counts land within 10% of
+    exact on real data."""
+    fn = registry.QUERIES["q_agg_approx_distinct"]
+    approx_df = fn(spark, SF_DIR)
+    cols = approx_df.columns
+    key = [c for c in cols if not c.startswith("approx")][0]
+    val = [c for c in cols if c.startswith("approx")][0]
+    approx = {r[key]: r[val] for r in approx_df.collect()}
+    o = table(spark, SF_DIR, "orders")
+    exact = {
+        r[key]: r.n
+        for r in o.groupBy(key).agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.10 * n), (k, approx[k], n)
