@@ -124,22 +124,10 @@ def frame_sample(
     decode_fn: Callable[[bytes], np.ndarray] = deterministic_fake_decode,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame. Stubbed
-    decode, real fan-out shape (posexplode over the sample grid so
-    downstream ops see (asset_id, frame_idx, feature) rows)."""
-    grid = assets.select(
-        "asset_id",
-        "payload",
-        F.posexplode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int") - 1,
-                    F.lit(0),
-                ),
-            )
-        ).alias("frame_idx", "_t"),
-    ).select("asset_id", "payload", "frame_idx")
-
+    decode, real fan-out shape: the fan-out happens INSIDE mapInPandas
+    (one input row per asset in, n_frames rows out), so the payload
+    crosses the Arrow boundary exactly once per asset — never duplicated
+    per frame the way a posexplode-then-decode plan would duplicate it."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -150,24 +138,26 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b, idx in zip(pdf["payload"], pdf["frame_idx"]):
-                if b is None:
-                    feats.append(None)
-                else:
-                    # frame identity mixed into the stub seed
-                    feats.append(
-                        deterministic_fake_decode(bytes(b) + int(idx).to_bytes(4, "big")).tolist()
-                    )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "frame_idx": pdf["frame_idx"],
-                    "feature": feats,
-                }
-            )
+            ids, idxs, feats = [], [], []
+            for aid, b, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n_frames = max(int((0 if dur is None or pd.isna(dur) else dur) // every_ms), 1)
+                for idx in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(idx)
+                    if b is None:
+                        feats.append(None)
+                    else:
+                        # frame identity mixed into the stub seed
+                        feats.append(
+                            decode_fn(bytes(b) + idx.to_bytes(4, "big")).tolist()
+                        )
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "feature": feats})
 
-    return grid.mapInPandas(run, schema=out_schema)
+    return assets.select("asset_id", "payload", "duration_ms").mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def synthesize_assets_from_documents(docs: DataFrame, dim: int = 16) -> DataFrame:

@@ -1,0 +1,39 @@
+"""Determinism under re-partitioning: declared-query results must be
+invariant to shuffle partition count and input partitioning — the
+property that makes sf0.01 oracle hashes meaningful for a 1000-executor
+run. Exercises the riskiest families: decimal aggregation (order),
+window functions (ties), minhash/surrogate determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehouse1_spark import registry
+from tests.conftest import SF_DIR, rows_to_canon
+
+registry.load_all()
+
+RISKY = [
+    "q_flagship_monthly_revenue",  # decimal sums + two-level distinct
+    "q_agg_group_sum",
+    "q_window_rank_topn",          # rank ties
+    "q_surrogate_key",             # row_number totality
+    "q_dedup_business_key",
+    "q_similarity_cosine_topk",    # double fold order
+    "q_llm_curation_pipeline",
+]
+
+
+def _canon(df):
+    return rows_to_canon(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    fn = registry.QUERIES[name]
+    base = _canon(fn(spark, SF_DIR))
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        assert _canon(fn(spark, SF_DIR)) == base, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")

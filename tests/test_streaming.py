@@ -151,3 +151,24 @@ def test_multimodal_plumbing(spark):
     # determinism: same payload -> same stub feature
     again = extract_features(assets).collect()
     assert {r.asset_id: r.feature for r in feats} == {r.asset_id: r.feature for r in again}
+
+
+def test_multimodal_features_feed_ann(spark):
+    """Composition: stub-decoded multimodal features are real array<float>
+    vectors — they flow straight into the ANN operators (the multimodal ->
+    embedding -> similarity pipeline shape)."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        extract_features,
+        synthesize_assets_from_documents,
+    )
+    from datawarehouse1_spark.operators.similarity import ivf_topk
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    feats = extract_features(synthesize_assets_from_documents(docs)).select(
+        F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    queries = feats.limit(4)
+    out = ivf_topk(feats, queries, k=3, n_centroids=4, nprobe=2).collect()
+    assert out and all(r.query_id != r.neighbor_id for r in out)
+    assert all(r.rnk <= 3 for r in out)
