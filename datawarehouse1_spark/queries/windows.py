@@ -90,3 +90,58 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_to_date"),
     )
+
+
+# --- C15 family completion: lag deltas + RANGE frame ---
+@declared(
+    "q_window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER w AS prev_ts,
+           CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps per user — the building block under
+    sessionization (C20), exposed as its own operator. One shuffle on
+    user_id; ties broken by event_id so the oracle hash-matches."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("gap_seconds"),
+    )
+
+
+@declared(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_within_1000
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): for each order, how many of the
+    customer's orders fall within 1000 below its price — the frame spec
+    family the rows-frame queries don't cover."""
+    o = table(spark, sf_dir, "orders")
+    # fractional RANGE offsets need the SQL form (the Python
+    # Window.rangeBetween API accepts integral offsets only)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+            " RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_within_1000"),
+    )
