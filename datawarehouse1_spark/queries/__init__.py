@@ -18,6 +18,7 @@ _MODULES = (
     "multimodal_ext",
     "scale_ext",
     "profiling",
+    "analytics_ext",
 )
 
 

@@ -1,0 +1,115 @@
+"""Dashboard-class analytics the reference serves via Metabase
+(readme.md:115-118) that go beyond single-block SQL: funnel conversion,
+weekly retention cohorts, and pivoted cross-tabs. All pure built-ins,
+one or two shuffles each, oracle-matched."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+
+@declared(
+    "q_events_funnel",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           (MIN(ts) FILTER (WHERE event_type = 'view')
+              < MIN(ts) FILTER (WHERE event_type = 'purchase')) AS converted
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel per user (first view strictly before first
+    purchase): conditional aggregation in ONE groupBy — no self-join of
+    the events table against itself."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_view = F.col("event_type") == "view"
+    is_buy = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_view, 1)).alias("n_views"),
+        F.count(F.when(is_buy, 1)).alias("n_purchases"),
+        (
+            F.min(F.when(is_view, F.col("ts"))) < F.min(F.when(is_buy, F.col("ts")))
+        ).alias("converted"),
+    )
+
+
+@declared(
+    "q_events_retention_weekly",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT a.week,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained
+    FROM active a
+      LEFT JOIN active b
+        ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+    GROUP BY a.week
+    """,
+)
+def q_events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort: of the users active in week W, how many
+    are also active in W+1. Self-join of the (user, week) DISTINCT set —
+    tiny compared to raw events, so the retention join never touches the
+    event log twice."""
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    nxt = active.select(
+        F.col("user_id").alias("user_id_b"), F.col("week").alias("week_b")
+    )
+    return (
+        active.join(
+            nxt,
+            (F.col("user_id_b") == F.col("user_id"))
+            & (F.col("week_b") == F.date_add(F.col("week"), 7)),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("user_id_b").alias("n_retained"),
+        )
+    )
+
+
+@declared(
+    "q_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via pivot with EXPLICIT value list (an implicit pivot
+    adds a distinct-value collection job and nondeterministic column
+    order — never do that at scale)."""
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
