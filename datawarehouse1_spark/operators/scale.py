@@ -129,3 +129,45 @@ def explain_has_pruning(df: DataFrame) -> bool:
     scan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ~target-sized
+    files. Streaming/incremental appends (one file per micro-batch — see
+    streaming/file_ingest) accumulate small files that poison scan
+    planning at scale (per-file open cost, tiny row groups, starved
+    vectorized reads); periodic compaction is standard warehouse hygiene.
+
+    Returns the number of output files. Writes to a staging dir first,
+    then swaps — readers never see a half-written table. When
+    partition_col is given, files coalesce within each partition
+    (preserving pruning).
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    staging = f"{path}__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_col:
+        writer = (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+    writer.parquet(staging)
+
+    backup = f"{path}__precompact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return n_files

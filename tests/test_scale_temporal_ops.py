@@ -168,3 +168,28 @@ def test_analyze_for_cbo_records_stats(spark):
         assert kv.get("distinct_count") == "7"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cbo_stats")
+
+
+# ---------- compaction ----------
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from pathlib import Path
+
+    from datawarehouse1_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "frag")
+    # simulate streaming appends: 12 tiny files
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    assert before >= 12
+
+    rows_before = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    n_out = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = len(list(Path(path).rglob("*.parquet")))
+    assert n_out == 1 and after == 1
+    rows_after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before  # lossless rewrite
