@@ -19,6 +19,7 @@ _MODULES = (
     "scale_ext",
     "profiling",
     "analytics_ext",
+    "tpch",
 )
 
 
