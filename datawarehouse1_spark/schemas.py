@@ -73,3 +73,4 @@ NOT_NULL = {
 FOREIGN_KEYS = {  # fact column -> (dim table, dim column); init-db/init.sql:58-59
     "ventes": {"client_id": ("clients", "client_id"), "produit_id": ("produits", "produit_id")},
 }
+TABLE_SCHEMAS = {"clients": CLIENTS, "produits": PRODUITS, "ventes": VENTES}
