@@ -78,3 +78,59 @@ def q_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         converted.alias("converted_ts"),
         converted.cast("date").alias("converted_date"),
     )
+
+
+@declared(
+    "q_null_semantics",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(v_label, 'none') AS label,
+           (e.value IS NOT DISTINCT FROM 0.0) AS is_zero_nullsafe,
+           NULLIF(e.event_type, 'error') AS type_or_null
+    FROM (SELECT event_id, value, event_type,
+                 CASE WHEN value > 100 THEN 'big' END AS v_label
+          FROM events) e
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pack: COALESCE fallback, null-safe equality
+    (Spark <=> == SQL IS NOT DISTINCT FROM), NULLIF. The constraint
+    checks (O15) and left joins (C5) lean on exactly these rules."""
+    ev = table(spark, sf_dir, "events")
+    v_label = F.when(F.col("value") > 100, F.lit("big"))
+    return ev.select(
+        "event_id",
+        F.coalesce(v_label, F.lit("none")).alias("label"),
+        F.col("value").eqNullSafe(F.lit(0.0)).alias("is_zero_nullsafe"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )
+
+
+@declared(
+    "q_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth over the fact date column: parts extraction,
+    interval arithmetic, month boundaries. (ISO day-of-week: Spark's
+    dayofweek() is Sunday=1, so Monday=1 ISO form is derived.)"""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+    )

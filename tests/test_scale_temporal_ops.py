@@ -193,3 +193,23 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert n_out == 1 and after == 1
     rows_after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     assert rows_after == rows_before  # lossless rewrite
+
+
+def test_compact_table_preserves_partitions(spark, tmp_path):
+    from pathlib import Path
+
+    from datawarehouse1_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "frag_part")
+    for i in range(8):
+        spark.createDataFrame(
+            [(i, "2025-01" if i % 2 == 0 else "2025-02")], "k long, month string"
+        ).coalesce(1).write.mode("append").partitionBy("month").parquet(path)
+
+    compact_table(spark, path, target_file_bytes=10 * 1024 * 1024, partition_col="month")
+    # partition dirs survive (pruning preserved), and rows are intact
+    dirs = {p.name for p in Path(path).iterdir() if p.is_dir()}
+    assert dirs == {"month=2025-01", "month=2025-02"}
+    back = spark.read.parquet(path)
+    assert back.count() == 8
+    assert back.filter(F.col("month") == "2025-01").count() == 4
