@@ -213,3 +213,34 @@ def test_compact_table_preserves_partitions(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 8
     assert back.filter(F.col("month") == "2025-01").count() == 4
+
+
+def test_bucketed_fact_join_on_real_tables(spark):
+    """The flagship's only shuffled join (lineitem⋈orders on orderkey)
+    goes shuffle-free when both facts are bucketed on the key — the
+    pre-paid-shuffle layout a recurring 100 TB join would use."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.scale import write_bucketed_table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed_table(li, spark, "t_li_bkt", "l_orderkey", n_buckets=4)
+    write_bucketed_table(o, spark, "t_o_bkt", "o_orderkey", n_buckets=4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bli, bo = spark.table("t_li_bkt"), spark.table("t_o_bkt")
+        joined = bli.join(bo, bli.l_orderkey == bo.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed fact join still shuffles"
+        want = (
+            li.join(o, li.l_orderkey == o.o_orderkey).count()
+        )
+        assert joined.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_o_bkt")
