@@ -135,7 +135,9 @@ def rollup_with_hll(
     """Per-key aggregate carrying a mergeable HLL sketch for the distinct
     count (Apache DataSketches via hll_sketch_agg). The sketch column is
     what makes COUNT(DISTINCT) incrementally maintainable: exact distinct
-    partials cannot be merged, sketches union losslessly."""
+    partials cannot be merged; sketch union preserves the error bound
+    (within-rsd agreement with a single-pass sketch, not bit equality —
+    the union gadget re-targets the representation)."""
     return df.groupBy(*keys).agg(
         F.hll_sketch_agg(distinct_col).alias(sketch_col)
     )

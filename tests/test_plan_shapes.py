@@ -83,8 +83,11 @@ def test_flagship_survives_no_broadcast(spark):
 
 
 def test_hll_rollup_merge_equals_full(spark):
-    """Mergeable distinct: unioned per-batch HLL sketches give the same
-    estimate as a single full-scan sketch (lossless sketch union)."""
+    """Mergeable distinct: unioned per-batch HLL sketches estimate within
+    sketch error of both the single-pass sketch and the exact count.
+    (Union is NOT bit-identical to a one-pass sketch above the sparse
+    regime — the union gadget re-targets the representation — so the
+    assertion is a tolerance, not equality.)"""
     o = table(spark, SF_DIR, "orders")
     b1 = o.filter(F.col("o_orderkey") % 2 == 0)
     b2 = o.filter(F.col("o_orderkey") % 2 == 1)
@@ -106,7 +109,16 @@ def test_hll_rollup_merge_equals_full(spark):
         .select("o_orderstatus", F.hll_sketch_estimate("custkey_sketch").alias("est"))
         .collect()
     }
-    assert est == full
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(full) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+        assert abs(est[k] - full[k]) <= max(2, 0.05 * n), (k, est[k], full[k])
 
 
 def test_approx_count_distinct_accuracy(spark):
