@@ -51,8 +51,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         # integer div, not double div: ns values (~1.7e18) lose ulp
-        # precision through a double and floor off-by-one
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # precision through a double and floor off-by-one. NTZ via
+        # ntz_utc: timestamp_micros yields an LTZ instant, which would
+        # drag the session time zone into window/date_trunc results —
+        # the naive source means UTC wall clock (as DuckDB reads it).
+        from datawarehouse1_spark.functions import ntz_utc
+
+        return df.withColumn(
+            "ts", ntz_utc(F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -18,7 +18,11 @@ EXCEL_EPOCH_OFFSET_DAYS = 25569  # 1899-12-30 .. 1970-01-01
 def excel_serial_to_timestamp(serial: str | Column) -> Column:
     c = F.col(serial) if isinstance(serial, str) else serial
     secs = F.round((c - F.lit(EXCEL_EPOCH_OFFSET_DAYS)) * F.lit(86400.0)).cast("long")
-    return F.timestamp_seconds(secs)
+    # NTZ: Excel serials are wall-clock times; timestamp_seconds alone
+    # would produce an LTZ instant that shifts with the session time zone
+    from datawarehouse1_spark.functions import ntz_utc
+
+    return ntz_utc(F.timestamp_seconds(secs))
 
 
 def sql_excel_serial_to_timestamp(col: str) -> str:

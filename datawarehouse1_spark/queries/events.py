@@ -15,6 +15,19 @@ from datawarehouse1_spark.registry import declared
 SESSION_GAP_SECONDS = 1800  # 30 min, the classic web-session gap
 
 
+def _epoch_secs(c):
+    """NTZ timestamp -> whole seconds since epoch, tz-free: truncate to
+    the second FIRST (DuckDB's date_diff counts second-boundary
+    crossings, not elapsed full seconds), then diff against an NTZ epoch
+    literal. NTZ cannot cast to BIGINT, and unix_timestamp would drag in
+    the session time zone."""
+    return F.timestamp_diff(
+        "SECOND",
+        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+        F.date_trunc("second", c),
+    )
+
+
 # --- C19: event-time tumbling window aggregation ---
 @declared(
     "q_events_tumbling_window",
@@ -72,7 +85,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.py). One shuffle on user_id serves both window passes."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    secs = _epoch_secs(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
     is_new = F.when(
         gap.isNull() | (gap > SESSION_GAP_SECONDS), F.lit(1)
     ).otherwise(F.lit(0))
@@ -112,7 +126,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    secs = _epoch_secs(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
     is_new = F.when(
         gap.isNull() | (gap > SESSION_GAP_SECONDS), F.lit(1)
     ).otherwise(F.lit(0))
@@ -124,7 +139,7 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+        (F.max(_epoch_secs(F.col("ts"))) - F.min(_epoch_secs(F.col("ts")))).alias(
             "duration_s"
         ),
         money_sum("value", "session_value"),

@@ -115,7 +115,14 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         prev.alias("prev_ts"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("gap_seconds"),
+        # truncate-to-second FIRST, then diff (DuckDB's date_diff counts
+        # second-boundary crossings); timestamp_diff on NTZ is tz-free,
+        # unlike unix_timestamp which re-interprets in the session tz
+        F.timestamp_diff(
+            "SECOND",
+            F.date_trunc("second", prev),
+            F.date_trunc("second", F.col("ts")),
+        ).alias("gap_seconds"),
     )
 
 

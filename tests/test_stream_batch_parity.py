@@ -38,11 +38,13 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
     src_dir = tmp_path / "events_src"
     src_dir.mkdir()
     os.symlink(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    from datawarehouse1_spark.functions import ntz_utc
+
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", ntz_utc(F.timestamp_micros(F.expr("ts div 1000"))))
     )
     counts = (
         raw.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
