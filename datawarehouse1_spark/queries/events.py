@@ -73,16 +73,21 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, ts,
-           SUM(is_new_session) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_id
     FROM gaps
     """,
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag-gap > 30min starts a session; running sum of the starts numbers
     sessions per user. Streaming twin: F.session_window (streaming/
-    session.py). One shuffle on user_id serves both window passes."""
+    session.py). One shuffle on user_id serves both window passes.
+
+    Oracle casts the windowed SUM to BIGINT: DuckDB SUM(integer) returns
+    HUGEINT, which pandas-based fetch paths canonicalize as float64
+    ('3.0' vs Spark's long '3') — the r1 driver hash mismatch."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = _epoch_secs(F.col("ts"))
@@ -110,9 +115,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,

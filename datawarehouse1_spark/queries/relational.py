@@ -90,7 +90,7 @@ def q_project_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cast_types",
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR) AS orderkey_str,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice_dec,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST(o_custkey AS INTEGER) AS custkey_int
     FROM orders
@@ -98,11 +98,18 @@ def q_project_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference forces id columns to VARCHAR(50) at the sink and money to
-    DECIMAL(10,2) (init-db/init.sql:40,54); the full §1.2 cast surface."""
+    DECIMAL(10,2) (init-db/init.sql:40,54); the full §1.2 cast surface.
+
+    The decimal cast is rendered to VARCHAR on BOTH sides: a raw
+    DECIMAL(18,2) column canonicalizes differently per fetch path
+    (pandas turns DuckDB decimals into float64, '1234.5', while Spark
+    yields Decimal('1234.50')) — the r1 driver hash mismatch. The string
+    form '1234.50' is identical in both engines and still exercises the
+    double->decimal rounding."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").cast("string").alias("orderkey_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("totalprice_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_custkey").cast("int").alias("custkey_int"),
     )
@@ -265,16 +272,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q_join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity as an explicit op: the reference relies on
     Postgres FK enforcement (init-db/init.sql:58-59) aborting the file;
     Spark enforces nothing, so the ingest pipeline runs this orphan check
-    before any append (validate-then-write, SURVEY.md O14)."""
+    before any append (validate-then-write, SURVEY.md O14).
+
+    The fact side is filtered (>400k orders) so the anti join returns a
+    non-empty set at every SF — the r1 unfiltered form matched the oracle
+    on 0 vs 0 rows, attesting nothing. The pure FK-orphan direction is
+    exercised non-vacuously by the quarantine-ingest tests (orphan-bearing
+    fixture frames)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

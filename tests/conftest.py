@@ -81,14 +81,55 @@ def rows_to_canon(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return canon
 
 
+_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "LONG", "SHORT", "BYTE",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_FLOAT_TYPES = {"FLOAT", "DOUBLE", "REAL"}
+
+
+def _type_class(type_name: str) -> str:
+    """Collapse an engine type name to the class that decides how a
+    pandas-based fetch renders it. HUGEINT and DECIMAL are their own
+    classes on purpose: DuckDB HUGEINT becomes float64 in pandas
+    ('3.0' vs Spark long '3') and Spark DecimalType keeps trailing
+    zeros ('1234.50' vs float '1234.5') — both broke driver hashes in
+    r1 while str()-based comparison passed locally."""
+    t = type_name.upper()
+    if t == "HUGEINT":
+        return "hugeint"
+    if "DECIMAL" in t:
+        return "decimal"
+    if t in _INT_TYPES:
+        return "int"
+    if t in _FLOAT_TYPES:
+        return "float"
+    if "TIMESTAMP" in t:
+        return "ts"
+    return "other"
+
+
 def compare_query(spark, oracle, fn, sql, sf_dir=SF_DIR):
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = oracle.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = oracle.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_type_names = [str(t) for t in rel.types]
+    duck_rows = rel.fetchall()
+
+    # type-class gate (mirrors the driver's dtype-sensitive canonicalization)
+    duck_types = dict(zip(duck_cols, duck_type_names))
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for c in spark_cols:
+        if c in duck_types:
+            sc_, dc_ = _type_class(spark_types[c]), _type_class(duck_types[c])
+            assert sc_ == dc_, (
+                f"type-class mismatch on {c!r}: spark {spark_types[c]} ({sc_}) "
+                f"vs duck {duck_types[c]} ({dc_}) — would hash-mismatch in the "
+                f"driver's pandas fetch even if values agree"
+            )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
