@@ -225,7 +225,13 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q_dedup_ngram_jaccard",
     oracle=r"""
-    WITH shingled AS (
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' zebra quill oxcart' AS text
+      FROM documents WHERE doc_id < 40 AND doc_id % 3 = 0
+    ),
+    shingled AS (
       SELECT doc_id,
              list_distinct(
                list_transform(
@@ -234,7 +240,7 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
                      AS toks
-            FROM documents WHERE doc_id < 40)
+            FROM base)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -250,10 +256,21 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word shingle Jaccard similarity, exact, on a bounded doc subset
     (pairwise is O(n²) — this is the small-scale oracle twin; the scale
-    path is MinHash+LSH in operators/dedup.py, rows-only checked)."""
+    path is MinHash+LSH in operators/dedup.py, rows-only checked).
+
+    The synthetic word salad in testdata has no organic near-dup pairs at
+    threshold 0.1, so (like q_dedup_exact_hash) every 3rd subset doc is
+    staged again with a 3-token suffix — a guaranteed ~0.9-Jaccard
+    near-dup — making the oracle comparison non-vacuous at any SF."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zebra quill oxcart")).alias("text"),
+        )
+    )
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    docs = d.select("doc_id", toks.alias("toks"))
+    docs = base.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
     # sequence() flips direction when start > stop, so guard the <3-token
     # case explicitly to get an empty shingle set (matches the oracle's
