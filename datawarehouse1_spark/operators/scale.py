@@ -103,7 +103,18 @@ def salted_join(
     *partitions*, but cannot split a single giant *key* on the build side).
     Cost: dim side is materialized n_salts times — keep n_salts modest and
     the dim narrow.
+
+    Only `inner` and `left` are supported: an unmatched FACT row carries
+    exactly one salt so appears once, but an unmatched DIM row exists as
+    `n_salts` replicas and would appear n_salts times under `right`/`full`
+    — silently wrong, so those modes raise.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "the dim side is replicated per salt, so right/full outer would "
+            "emit each unmatched dim row n_salts times"
+        )
     fact_cols = [c for c in fact.columns]
     dim_cols = [c for c in dim.columns]
     salted_fact = fact.withColumn(
@@ -147,6 +158,14 @@ def compact_table(
     then swaps — readers never see a half-written table. When
     partition_col is given, files coalesce within each partition
     (preserving pruning).
+
+    The swap is two renames, NOT atomic: between them the table path does
+    not exist for a moment. The backup (`__precompact`) is kept until the
+    swapped-in data verifies (_SUCCESS marker + at least one parquet
+    file); on any failure the backup is restored, so a crash can strand a
+    `__precompact`/`__compacting` dir but never lose the table. Recovery
+    rule: if `path` is missing, promote `__precompact` (pre-compaction
+    data, always complete).
     """
     import math
     import shutil
@@ -168,6 +187,16 @@ def compact_table(
 
     backup = f"{path}__precompact"
     shutil.move(path, backup)
-    shutil.move(staging, path)
+    try:
+        shutil.move(staging, path)
+        p = Path(path)
+        if not ((p / "_SUCCESS").exists() and any(p.rglob("*.parquet"))):
+            raise RuntimeError(f"compaction verify failed for {path}")
+    except BaseException:
+        if Path(path).exists() and Path(backup).exists():
+            shutil.rmtree(path)
+        if Path(backup).exists() and not Path(path).exists():
+            shutil.move(backup, path)
+        raise
     shutil.rmtree(backup)
     return n_files

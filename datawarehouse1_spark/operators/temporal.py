@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join_backward(
@@ -31,23 +32,33 @@ def asof_join_backward(
     of |L|+|R| rows — same as any groupBy on the key — vs. the naive
     inequality-join which Spark would execute as a cross product.
 
+    The payload is filled as ONE struct per right row, not per-column: a
+    right row whose payload value is genuinely NULL still advances the
+    fill (the left row gets that NULL), instead of `ignorenulls` skipping
+    it and leaking the stale older value forward.
+
     Right side must be unique per (key, ts); pre-dedup it if not, or the
-    fill is nondeterministic.
+    fill is nondeterministic. Payload names must not collide with left
+    columns (raises; rename on the right side first).
     """
     lcols = left.columns
-    sides_schema = (
-        [F.col(c) for c in lcols]
-        + [F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload]
-        + [
-            F.col(left_key).alias("__key"),
-            F.col(left_ts).alias("__ts"),
-            F.lit(1).alias("__side"),
-        ]
+    collisions = [c for c in right_payload if c in lcols]
+    if collisions:
+        raise ValueError(
+            f"right_payload columns {collisions} collide with left columns; "
+            "rename them on the right side before the as-of join"
+        )
+    payload_type = StructType([right.schema[c] for c in right_payload])
+    l_tagged = left.select(
+        *lcols,
+        F.lit(None).cast(payload_type).alias("__r"),
+        F.col(left_key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
     )
-    l_tagged = left.select(*sides_schema)
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("__r"),
         F.col(right_key).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -61,12 +72,12 @@ def asof_join_backward(
     filled = l_tagged.unionByName(r_tagged).select(
         *lcols,
         F.col("__side"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r_filled"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__r_filled").getField(c).alias(c) for c in right_payload],
+    )
 
 
 def range_join_broadcast(

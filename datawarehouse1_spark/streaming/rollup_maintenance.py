@@ -18,6 +18,7 @@ the Parquet trade-off.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,9 @@ def make_rollup_sink(
         # re-read from staging then overwrite the serving location; the
         # staged copy breaks the read-what-you-overwrite cycle
         spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
+        # the serving copy is durable now — drop the staging dir, or a
+        # long-running stream leaks one dir per micro-batch
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return sink
 

@@ -43,6 +43,32 @@ def test_salted_join_equals_plain_join(spark):
     assert got == want
 
 
+def test_salted_join_left_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk long, dv string")
+    got = sorted(
+        (r.k, r.v, r.dv)
+        for r in salted_join(fact, dim, "k", "dk", n_salts=4, how="left").collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.dv)
+        for r in fact.join(dim, fact.k == dim.dk, "left").collect()
+    )
+    assert got == want  # unmatched fact row appears exactly once, dv NULL
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full would emit each unmatched dim row n_salts times — the
+    operator must refuse rather than be silently wrong."""
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk long, dv string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", "dk", n_salts=4, how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     # one hot key, every row identical except a discriminator -> salts differ
     fact = spark.createDataFrame([(1, i) for i in range(100)], "k long, i long")
@@ -130,6 +156,33 @@ def test_asof_backward_semantics(spark, asof_frames):
     assert out.count() == left.count()  # left join: every left row kept
 
 
+def test_asof_null_payload_propagates(spark):
+    """A right row whose payload is genuinely NULL must advance the fill:
+    the left row gets NULL, not the stale older payload (struct-fill, not
+    per-column ignorenulls)."""
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2025, 1, 20))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2025, 1, 1), 101),
+            (10, datetime(2025, 1, 15), None),  # newest as-of row: NULL payload
+        ],
+        "k long, rts timestamp, payload long",
+    )
+    out = asof_join_backward(left, right, "k", "k", "ts", "rts", ["payload"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].payload is None, "stale payload leaked past a NULL right row"
+
+
+def test_asof_payload_name_collision_raises(spark, asof_frames):
+    left, right = asof_frames
+    clashing = right.withColumnRenamed("payload", "ts")  # collides with left.ts
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, clashing, "k", "k", "ts", "rts", ["ts"])
+
+
 def test_asof_single_shuffle(spark, asof_frames):
     left, right = asof_frames
     plan = _plan(asof_join_backward(left, right, "k", "k", "ts", "rts", ["payload"]))
@@ -193,6 +246,56 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert n_out == 1 and after == 1
     rows_after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     assert rows_after == rows_before  # lossless rewrite
+
+
+def test_compact_table_leaves_no_residue(spark, tmp_path):
+    from pathlib import Path
+
+    from datawarehouse1_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "frag_clean")
+    for i in range(4):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    residue = [p.name for p in tmp_path.iterdir() if "__" in p.name]
+    assert residue == [], f"leftover staging/backup dirs: {residue}"
+
+
+def test_compact_table_restores_backup_on_failure(spark, tmp_path, monkeypatch):
+    """If the swap fails mid-flight the original table is restored from
+    the backup — compaction can strand a staging dir but never lose the
+    table."""
+    import shutil as _shutil
+    from pathlib import Path
+
+    from datawarehouse1_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "frag_crash")
+    for i in range(3):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    rows_before = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+
+    real_move = _shutil.move
+    calls = {"n": 0}
+
+    def exploding_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the staging -> serving rename
+            raise OSError("simulated crash during swap")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(_shutil, "move", exploding_move)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    monkeypatch.undo()
+
+    assert Path(path).exists(), "table path lost after failed compaction"
+    rows_after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
 
 
 def test_compact_table_preserves_partitions(spark, tmp_path):

@@ -89,3 +89,8 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
         "2025-01-01": (3, "16.00"),
         "2025-02-01": (2, "100.00"),
     }
+
+    # hygiene: staging dirs are deleted after each serving swap — a
+    # long-running stream must not leak one per micro-batch
+    residue = [p.name for p in tmp_path.iterdir() if "__staging_" in p.name]
+    assert residue == [], f"leaked staging dirs: {residue}"
