@@ -11,11 +11,13 @@ Reference behavior being re-expressed (not ported):
 
 Spark has no built-in xlsx reader, so the distributed shape is:
 `binaryFile` source (one row per file: path + bytes) -> mapInPandas
-parsing each file's bytes with pandas/openpyxl inside the task. Parsing
-is per-file parallel, bytes never hit the driver.
+parsing each file's bytes inside the task. Parsing is per-file parallel,
+bytes never hit the driver.
 
-openpyxl is not guaranteed in this container -> the parser import is
-gated; tests exercise the plumbing with a monkeypatched parser.
+The parse itself uses openpyxl when installed, else the vendored
+pure-stdlib reader (sources/xlsx_mini.py) — the path runs for real in
+any environment; tests drive it end-to-end on the reference's own
+data/excel/*.xlsx bytes.
 """
 
 from __future__ import annotations
@@ -38,14 +40,15 @@ class MissingColumnsError(ValueError):
 
 
 def default_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
-    """Parse xlsx bytes with pandas+openpyxl (gated: raises if absent)."""
+    """Parse xlsx bytes: pandas+openpyxl when installed (full format
+    coverage), else the vendored stdlib reader (covers the value types
+    the ingest path needs — strings, numbers, booleans, date serials)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "openpyxl not installed in this environment; inject a parser via "
-            "read_xlsx_dir(..., parser=...)"
-        ) from exc
+    except ImportError:  # pragma: no cover - env-dependent
+        from datawarehouse1_spark.sources.xlsx_mini import parse_xlsx_bytes
+
+        return parse_xlsx_bytes(data)
     return pd.read_excel(io.BytesIO(data), engine="openpyxl")
 
 
