@@ -122,12 +122,56 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def lsh_collision_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard=j) for banded LSH: 1 - (1 - j^r)^b — the
+    standard S-curve (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4)."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def lsh_optimal_params(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    _steps: int = 200,
+) -> tuple[int, int]:
+    """Derive (bands, rows) for a target Jaccard threshold: among all
+    factorizations b*r = num_hashes, minimize the weighted sum of the
+    false-positive area (integral of the S-curve below the threshold) and
+    false-negative area (integral of 1 - S-curve above it) — the same
+    optimizer datasketch publishes. Pure plan-build-time Python.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = sum(
+            lsh_collision_probability(threshold * (i + 0.5) / _steps, b, r)
+            for i in range(_steps)
+        ) * (threshold / _steps)
+        fn = sum(
+            1.0
+            - lsh_collision_probability(
+                threshold + (1.0 - threshold) * (i + 0.5) / _steps, b, r
+            )
+            for i in range(_steps)
+        ) * ((1.0 - threshold) / _steps)
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | None = None,
     shingle_n: int = 3,
     seed: int = DEFAULT_SEED,
     jaccard_threshold: float = 0.5,
@@ -135,12 +179,19 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash LSH, exact-verified.
 
     rows_per_band = num_hashes/bands; a pair collides if any band's
-    signature slice matches exactly. Collision probability ~ 1-(1-j^r)^b —
-    with 16/4 the curve centers near j≈0.5. Candidates then get exact
-    shingle Jaccard; only pairs >= jaccard_threshold survive.
+    signature slice matches exactly. Collision probability ~ 1-(1-j^r)^b.
+    With bands=None (default) the banding is DERIVED from
+    jaccard_threshold via lsh_optimal_params, centering the S-curve on
+    the threshold the caller actually wants instead of a static 16/4.
+    Candidates then get exact shingle Jaccard; only pairs >=
+    jaccard_threshold survive (so banding affects recall/cost, never
+    correctness of emitted pairs).
 
     Scale shape: the only wide exchange is the band-bucket equi-join on
-    md5(band slice); signatures (16 longs) shuffle, not documents."""
+    md5(band slice); signatures (num_hashes longs) shuffle, not
+    documents."""
+    if bands is None:
+        bands, r = lsh_optimal_params(num_hashes, jaccard_threshold)
     assert num_hashes % bands == 0
     r = num_hashes // bands
 

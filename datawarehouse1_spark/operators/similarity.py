@@ -96,6 +96,36 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    seed: int = DEFAULT_SEED,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer with MLlib KMeans (distributed — no
+    driver-side collect of the corpus). Vectors are L2-normalized before
+    training, so euclidean k-means on the sphere approximates spherical
+    k-means and the centroids partition by cosine direction; returned
+    rows are re-normalized. At 100 TB you'd train on a bounded
+    `df.sample(...)` — FAISS trains its quantizer on ~1M vectors too.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    normed = df.select(
+        array_to_vector(
+            F.transform(vec_col, lambda x: x / F.greatest(nrm, F.lit(1e-12)))
+        ).alias("__fv")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__fv"
+    ).fit(normed)
+    cents = np.vstack([c for c in model.clusterCenters()]).astype("float64")
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -103,22 +133,34 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
     nprobe: int = 1,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """Assign each vector to its `nprobe` nearest seeded random centroids
-    (coarse quantizer). nprobe=1 gives one list per vector (index build
-    side); nprobe>1 on the query side trades extra candidate lists for
-    recall, exactly like FAISS IVF probing. A trained k-means would come
-    from MLlib; seeded random centroids keep the operator deterministic
-    and dependency-free.
+    """Assign each vector to its `nprobe` nearest centroids (coarse
+    quantizer). nprobe=1 gives one list per vector (index build side);
+    nprobe>1 on the query side trades extra candidate lists for recall,
+    exactly like FAISS IVF probing.
+
+    `centroids`: a trained (n_centroids × dim) matrix from
+    train_ivf_centroids — ships to executors in the UDF closure (a few
+    KB). When None, seeded random unit centroids keep the operator
+    deterministic and training-free; both sides of an index/query pair
+    must use the same choice.
 
     nprobe>1 returns an array column — explode it to fan out the probes.
     """
+    if centroids is not None:
+        n_centroids = centroids.shape[0]
 
     @F.pandas_udf("array<int>")
     def _assign(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy())
-        cents = np.random.default_rng(seed).standard_normal((n_centroids, mat.shape[1]))
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        if centroids is not None:
+            cents = centroids
+        else:
+            cents = np.random.default_rng(seed).standard_normal(
+                (n_centroids, mat.shape[1])
+            )
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
         normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = normed @ cents.T
         # top-nprobe centroid ids, best first
@@ -140,19 +182,22 @@ def ivf_topk(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF top-k: corpus vectors land in exactly one inverted list; each
     query probes its `nprobe` closest lists; exact cosine + top-k over the
-    union of probed lists.
+    union of probed lists. Pass `centroids` from train_ivf_centroids for
+    data-adapted lists (higher recall at equal nprobe); default seeded
+    random centroids need no training pass.
 
     Scale shape: the corpus partitions by centroid_id once (and on a real
     deployment is WRITTEN partitioned by it — list probing then becomes
     partition pruning); per query only |corpus|·nprobe/n_centroids
     candidates are scored, never the full corpus."""
-    c = ivf_assign(corpus, n_centroids, seed, vec_col, nprobe=1).select(
+    c = ivf_assign(corpus, n_centroids, seed, vec_col, nprobe=1, centroids=centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    q = ivf_assign(queries, n_centroids, seed, vec_col, nprobe=nprobe).select(
+    q = ivf_assign(queries, n_centroids, seed, vec_col, nprobe=nprobe, centroids=centroids).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
     scored = (

@@ -107,3 +107,38 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     # true neighbors concentrate in the probed lists
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.4, f"IVF ANN recall {recall:.2f}"
+
+
+def test_ivf_trained_centroids_recall_at_least_random(spark):
+    """MLlib-KMeans-trained centroids behind the same ivf_assign
+    interface: recall vs brute force must be >= the seeded-random
+    baseline at equal nprobe (data-adapted lists concentrate true
+    neighbors into fewer probes)."""
+    from datawarehouse1_spark.operators.similarity import train_ivf_centroids
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["q_similarity_cosine_topk"](spark, SF).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 8")
+
+    def recall(centroids):
+        approx = ivf_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=4, centroids=centroids
+        ).collect()
+        pairs = {(r.query_id, r.neighbor_id) for r in approx}
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    assert cents.shape[0] == 16
+    import numpy as np
+
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-6)
+
+    r_random = recall(None)
+    r_trained = recall(cents)
+    assert r_trained >= r_random, (
+        f"trained recall {r_trained:.2f} < random baseline {r_random:.2f}"
+    )
+    assert r_trained >= 0.4

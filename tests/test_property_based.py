@@ -103,3 +103,86 @@ def test_salted_join_always_equals_plain_join(spark, case):
     )
     want = sorted((r.k, r.v, r.dv) for r in fact.join(dim, fact.k == dim.dk).collect())
     assert got == want
+
+
+# ---------- adaptive MinHash banding (pure Python — no Spark per example) ----------
+
+LSH_SETTINGS = settings(max_examples=80, deadline=None)
+
+
+def _independent_error(num_hashes: int, b: int, t: float, steps: int = 500) -> float:
+    """Trapezoidal FP+FN area, written independently of the operator's
+    midpoint integration, as the optimality oracle."""
+    from datawarehouse1_spark.operators.dedup import lsh_collision_probability
+
+    r = num_hashes // b
+
+    def curve(s: float) -> float:
+        return lsh_collision_probability(s, b, r)
+
+    def trap(lo: float, hi: float, f) -> float:
+        h = (hi - lo) / steps
+        total = (f(lo) + f(hi)) / 2 + sum(f(lo + i * h) for i in range(1, steps))
+        return total * h
+
+    fp = trap(0.0, t, curve)
+    fn = trap(t, 1.0, lambda s: 1.0 - curve(s))
+    return 0.5 * fp + 0.5 * fn
+
+
+@given(
+    num_hashes=st.sampled_from([16, 32, 64, 128]),
+    threshold=st.floats(min_value=0.1, max_value=0.9),
+)
+@LSH_SETTINGS
+def test_lsh_optimal_params_properties(num_hashes, threshold):
+    from datawarehouse1_spark.operators.dedup import (
+        lsh_collision_probability,
+        lsh_optimal_params,
+    )
+
+    b, r = lsh_optimal_params(num_hashes, threshold)
+    assert b * r == num_hashes and b >= 1 and r >= 1
+
+    # the S-curve with the chosen params is monotonically nondecreasing
+    probs = [lsh_collision_probability(i / 50, b, r) for i in range(51)]
+    assert all(p2 >= p1 - 1e-12 for p1, p2 in zip(probs, probs[1:]))
+    assert probs[0] == 0.0 and probs[-1] == 1.0
+
+    # optimality among all factorizations, judged by an independent
+    # implementation of the same objective (small tolerance for the
+    # different quadrature)
+    errs = {
+        bb: _independent_error(num_hashes, bb, threshold)
+        for bb in range(1, num_hashes + 1)
+        if num_hashes % bb == 0
+    }
+    assert errs[b] <= min(errs.values()) + 1e-3
+
+
+def test_lsh_rows_per_band_monotone_in_threshold():
+    """Higher target threshold -> longer band slices (more rows per
+    band): the curve shifts right. The achievable inflections are sparse
+    (b must divide num_hashes), so monotonicity — not distance — is the
+    invariant worth pinning."""
+    from datawarehouse1_spark.operators.dedup import lsh_optimal_params
+
+    rows = [lsh_optimal_params(128, t / 20)[1] for t in range(2, 19)]
+    assert rows == sorted(rows)
+
+
+@given(threshold=st.floats(min_value=0.15, max_value=0.85))
+@LSH_SETTINGS
+def test_lsh_curve_separates_around_threshold(threshold):
+    """Pairs 0.2 above the threshold must collide far more often than
+    pairs 0.2 below it — the S-curve the optimizer picks actually
+    discriminates at the requested operating point."""
+    from datawarehouse1_spark.operators.dedup import (
+        lsh_collision_probability,
+        lsh_optimal_params,
+    )
+
+    b, r = lsh_optimal_params(128, threshold)
+    above = lsh_collision_probability(min(threshold + 0.2, 1.0), b, r)
+    below = lsh_collision_probability(max(threshold - 0.2, 0.0), b, r)
+    assert above - below > 0.3
