@@ -285,9 +285,13 @@ def q_join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fact side is filtered (>400k orders) so the anti join returns a
     non-empty set at every SF — the r1 unfiltered form matched the oracle
-    on 0 vs 0 rows, attesting nothing. The pure FK-orphan direction is
-    exercised non-vacuously by the quarantine-ingest tests (orphan-bearing
-    fixture frames)."""
+    on 0 vs 0 rows, attesting nothing. 400000 sits inside o_totalprice's
+    upper tail at every generated SF (the distribution is SF-invariant),
+    leaving a few-percent "customers lacking a large order" remainder;
+    the query certifies the left_anti JOIN SHAPE. The pure FK-orphan
+    direction (orphans must be empty before append) is exercised
+    non-vacuously by the quarantine-ingest tests (orphan-bearing fixture
+    frames)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(

@@ -115,6 +115,10 @@ def compare_query(spark, oracle, fn, sql, sf_dir=SF_DIR):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     rel = oracle.sql(sql)
+    assert rel is not None, (
+        "oracle.sql() returned None — the oracle string is not a single "
+        "SELECT (duckdb .sql() silently returns None for DDL/pragmas)"
+    )
     duck_cols = list(rel.columns)
     duck_type_names = [str(t) for t in rel.types]
     duck_rows = rel.fetchall()
@@ -129,6 +133,16 @@ def compare_query(spark, oracle, fn, sql, sf_dir=SF_DIR):
                 f"type-class mismatch on {c!r}: spark {spark_types[c]} ({sc_}) "
                 f"vs duck {duck_types[c]} ({dc_}) — would hash-mismatch in the "
                 f"driver's pandas fetch even if values agree"
+            )
+            # decimal/hugeint are never-safe even when BOTH sides agree:
+            # the driver's pandas fetch renders DuckDB DECIMAL as float64
+            # ('1234.5') but Spark DecimalType keeps scale ('1234.50') —
+            # the exact r1 q_cast_types failure. Queries must project
+            # decimals to DOUBLE or VARCHAR before returning.
+            assert sc_ not in {"decimal", "hugeint"}, (
+                f"output column {c!r} has never-safe type class {sc_!r} "
+                f"(spark {spark_types[c]} / duck {duck_types[c]}): project "
+                f"to DOUBLE or VARCHAR on both sides"
             )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
