@@ -4,10 +4,15 @@ metadata (north-star requirement).
 The Spark-side plumbing is REAL and tested: schemas, Arrow-batched
 mapInPandas decode/feature/resize/frame-sample operators with correct
 batch shapes, and metadata extraction that never leaves the JVM where
-possible. The codec step itself is stubbed (no image/audio libs in this
-container): decode_fn defaults to a deterministic fake that derives
-pseudo-pixels from the bytes' xxhash — swap in PIL/librosa via the
-decode_fn parameter in a real deployment.
+possible. Decoding has two real tiers plus a stub:
+
+  * codecs.stdlib_decode — REAL decode for stdlib-parseable formats
+    (RIFF/WAVE audio via `wave`, uncompressed BMP via struct) with
+    genuine signal/pixel features; magic-byte container sniffing.
+  * PIL/librosa-backed decode for compressed formats — honestly gated
+    (no imaging libs in this container); inject via decode_fn.
+  * deterministic_fake_decode — seed-stable pseudo-features for
+    plumbing tests at any SF without binary fixtures.
 """
 
 from __future__ import annotations
@@ -66,13 +71,15 @@ def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def real_image_decode(payload: bytes):  # pragma: no cover - env-dependent
-    """The real decode path, gated on the imaging lib."""
+    """Compressed-format decode path, gated on the imaging lib. For WAV
+    and uncompressed BMP no external lib is needed — use
+    codecs.stdlib_decode (real, tested in this container)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires pillow; this container has no imaging "
-            "libs — use deterministic_fake_decode for plumbing tests"
+            "PNG/JPEG decoding requires pillow; this container has no "
+            "imaging libs — codecs.stdlib_decode handles WAV/BMP for real"
         ) from exc
     raise NotImplementedError("wire PIL decode here in a real deployment")
 

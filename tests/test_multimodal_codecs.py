@@ -1,0 +1,123 @@
+"""Real multimodal decode: stdlib WAV/BMP codecs end-to-end through the
+Arrow-batched Spark pipeline — genuine media bytes in, genuine signal/
+pixel features out (no fake decode anywhere in these tests)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from datawarehouse1_spark.multimodal.codecs import (
+    audio_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    image_features,
+    sniff_mime,
+    stdlib_decode,
+)
+
+
+def make_wav(freq_hz: float = 440.0, seconds: float = 0.25, rate: int = 8000,
+             channels: int = 1) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    mono = (np.sin(2 * np.pi * freq_hz * t) * 32000).astype("<i2")
+    frames = np.repeat(mono[:, None], channels, axis=1).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def make_bmp(h: int = 5, w: int = 7) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_bmp(img), img
+
+
+def test_sniff_mime_magic_bytes():
+    wav, _ = make_wav(), None
+    bmp, _ = make_bmp()
+    assert sniff_mime(wav) == "audio/wav"
+    assert sniff_mime(bmp) == "image/bmp"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+    assert sniff_mime(b"\xff\xd8\xff\xe0junk") == "image/jpeg"
+    assert sniff_mime(b"\x00\x00\x00\x18ftypmp42") == "video/mp4"
+    assert sniff_mime(b"not a container") is None
+
+
+def test_wav_roundtrip_and_features():
+    payload = make_wav(freq_hz=440.0, seconds=0.25, rate=8000)
+    samples, rate = decode_wav(payload)
+    assert rate == 8000 and len(samples) == 2000
+    # a full-scale sine has RMS ~ 1/sqrt(2)
+    rms = float(np.sqrt(np.mean(samples**2)))
+    assert abs(rms - (32000 / 32768.0) / np.sqrt(2)) < 1e-3
+    feat = audio_features(samples, rate)
+    assert feat.shape == (16,)
+    assert abs(feat[0] - 0.25) < 1e-6  # duration
+    # spectral centroid of a pure 440 Hz tone sits at ~440
+    assert abs(feat[3] - 440.0) < 10.0
+
+
+def test_wav_stereo_downmixes():
+    mono_p = make_wav(channels=1)
+    stereo_p = make_wav(channels=2)
+    m, _ = decode_wav(mono_p)
+    s, _ = decode_wav(stereo_p)
+    np.testing.assert_allclose(m, s, atol=1e-6)
+
+
+def test_bmp_roundtrip_exact():
+    payload, img = make_bmp(h=5, w=7)  # odd width exercises row padding
+    got = decode_bmp(payload)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_bmp_features_deterministic():
+    payload, img = make_bmp()
+    feat = image_features(decode_bmp(payload))
+    assert feat.shape == (16,)
+    assert feat[0] == 5.0 and feat[1] == 7.0  # h, w
+    np.testing.assert_allclose(
+        feat[2:5], img.reshape(-1, 3).mean(axis=0) / 255.0, rtol=1e-5
+    )
+
+
+def test_stdlib_decode_gates_compressed():
+    with pytest.raises(NotImplementedError, match="image/png"):
+        stdlib_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """End-to-end: real WAV + BMP payloads through the mapInPandas
+    feature extractor — executor-side decode of genuine media bytes,
+    results equal to local decoding."""
+    from datawarehouse1_spark.multimodal.binary_columns import extract_features
+
+    wav = make_wav()
+    bmp, _ = make_bmp()
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), "audio/wav", None, None, 250),
+            (2, "image", bytearray(bmp), "image/bmp", 7, 5, None),
+        ],
+        "asset_id long, modality string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = {r.asset_id: r for r in extract_features(assets, decode_fn=stdlib_decode).collect()}
+    assert set(out) == {1, 2}
+    np.testing.assert_allclose(
+        np.array(out[1].feature), stdlib_decode(wav), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.array(out[2].feature), stdlib_decode(bmp), rtol=1e-6
+    )
+    assert out[1].n_bytes == len(wav) and out[2].n_bytes == len(bmp)
