@@ -289,6 +289,58 @@ def simhash_dedup(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Block-split banding (the pigeonhole construction from Manku et al.'s
+    simhash web-dedup paper, WWW'07): split the 63-bit fingerprint into
+    max_hamming+1 contiguous blocks — any pair within distance k differs
+    in at most k blocks, so at least one block matches EXACTLY. Bucket
+    equi-join per block (same scale shape as MinHash bands: only
+    (id, fingerprint, block) longs shuffle), then verify
+    bit_count(a XOR b) <= k on candidates. Unlike MinHash banding this
+    has PERFECT recall at the stated distance — the only approximation
+    is SimHash itself.
+    """
+    n_blocks = max_hamming + 1
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(tokens(text_col), seed=seed).alias("_fp"),
+    )
+    base, rem = divmod(63, n_blocks)
+    cand = None
+    offset = 0
+    for b in range(n_blocks):
+        width = base + (1 if b < rem else 0)
+        mask = (1 << width) - 1
+        block = F.shiftrightunsigned("_fp", offset).bitwiseAND(F.lit(mask))
+        offset += width
+        banded = fp.select("_id", "_fp", block.alias("_blk"))
+        left = banded.select(
+            F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "_blk"
+        )
+        right = banded.select(
+            F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "_blk"
+        )
+        pairs_b = (
+            left.join(right, "_blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fp_a", "fp_b")
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "id_a", "id_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -142,3 +142,46 @@ def test_ivf_trained_centroids_recall_at_least_random(spark):
         f"trained recall {r_trained:.2f} < random baseline {r_random:.2f}"
     )
     assert r_trained >= 0.4
+
+
+def test_simhash_neardup_matches_brute_force(spark, docs_with_dupes):
+    """Block-split banding has perfect recall at the stated distance by
+    pigeonhole, and the exact-verify step kills all false positives — so
+    the operator's output must EQUAL brute force over the fingerprints."""
+    from datawarehouse1_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+        tokens,
+    )
+
+    # perturbed copies: one appended token flips only a few simhash bits
+    perturbed = docs_with_dupes.filter("doc_id < 10").select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" perturbation")).alias("text"),
+    )
+    corpus = docs_with_dupes.unionByName(perturbed)
+
+    K = 8
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(corpus, max_hamming=K).collect()
+    }
+
+    fps = {
+        r.doc_id: r.fp
+        for r in corpus.select(
+            "doc_id", simhash(tokens("text")).alias("fp")
+        ).collect()
+    }
+    ids = sorted(fps)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= K
+    }
+    assert got == want
+    # the injected exact dupes are all found at distance 0
+    assert all(got.get((i, i + 1000)) == 0 for i in range(20))
+    # at least one perturbed pair lands in (0, K] — non-vacuous near-dup
+    assert any(0 < got[p] <= K for p in got if p[1] >= 2000)
