@@ -32,6 +32,25 @@ EXCHANGE_BUDGET = {
     "q_topk_orderby_limit": 0,  # TakeOrderedAndProject, no full sort shuffle
     "q_join_salted_skew": 1,
     "q_join_asof": 2,  # right-side pre-dedup + window
+    # r3 audit of the newly driver-fronted queries (sf0.1, local[8]):
+    "q_tpch_q1_pricing_summary": 1,
+    "q_tpch_q3_shipping_priority": 1,  # + broadcast joins
+    "q_tpch_q6_forecast_revenue": 1,  # single-row agg exchange
+    "q_agg_cube": 1,  # Expand + one shuffle, not 2^k scans
+    "q_agg_grouping_sets": 1,
+    "q_agg_percentile": 1,
+    "q_set_intersect": 1,
+    "q_set_except": 1,
+    "q_array_agg_sorted": 1,
+    "q_pivot_status_by_priority": 2,  # distinct-values pass + pivot agg
+    "q_events_funnel": 1,
+    "q_events_retention_weekly": 3,  # cohort + activity + join-agg
+    "q_profile_columns": 2,  # ONE scan: multi-distinct Expand 2-level agg
+    "q_upsert_partition_rollup": 1,
+    "q_embedding_neardup": 0,  # broadcast-bounded, no shuffle
+    "q_pandas_udf_scalar": 0,  # ArrowEvalPython, narrow
+    "q_builtin_charge": 0,
+    "q_multimodal_metadata": 0,
 }
 
 
