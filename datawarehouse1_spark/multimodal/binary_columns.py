@@ -167,6 +167,59 @@ def frame_sample(
     )
 
 
+def synthesize_media_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media asset table: even doc_ids become 16×16
+    24-bit BMP images (seeded pixels), odd doc_ids become 50 ms 8 kHz
+    PCM WAV tones (frequency derived from the id). Payloads are
+    generated executor-side inside mapInPandas — genuine container
+    bytes the stdlib codecs can decode, at any SF, with no binary
+    fixtures in the testdata."""
+    import io as _io
+    import wave as _wave
+
+    from datawarehouse1_spark.multimodal.codecs import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "modality", "payload", "mime",
+                "width", "height", "duration_ms",
+            )}
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                if aid % 2 == 0:
+                    rng = np.random.default_rng(aid)
+                    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                    out["asset_id"].append(aid)
+                    out["modality"].append("image")
+                    out["payload"].append(encode_bmp(img))
+                    out["mime"].append("image/bmp")
+                    out["width"].append(16)
+                    out["height"].append(16)
+                    out["duration_ms"].append(None)
+                else:
+                    rate, n = 8000, 400  # 50 ms
+                    freq = 200.0 + (aid % 40) * 20.0
+                    t = np.arange(n) / rate
+                    mono = (np.sin(2 * np.pi * freq * t) * 30000).astype("<i2")
+                    buf = _io.BytesIO()
+                    with _wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(mono.tobytes())
+                    out["asset_id"].append(aid)
+                    out["modality"].append("audio")
+                    out["payload"].append(buf.getvalue())
+                    out["mime"].append("audio/wav")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["duration_ms"].append(50)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
 def synthesize_assets_from_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
     """Build a deterministic asset table from the documents testdata
     (text bytes as payload) so the multimodal plumbing is testable at any

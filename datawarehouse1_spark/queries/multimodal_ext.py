@@ -13,6 +13,7 @@ from datawarehouse1_spark.multimodal.binary_columns import (
     frame_sample,
     payload_metadata,
     synthesize_assets_from_documents,
+    synthesize_media_assets,
 )
 from datawarehouse1_spark.registry import declared
 
@@ -42,6 +43,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing; deterministic across runs via sha256-seeded fake)."""
     assets = synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
     return extract_features(assets)
+
+
+@declared("q_multimodal_real_decode", oracle=None)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode end-to-end: genuine WAV/BMP container bytes are
+    synthesized executor-side (multimodal/binary_columns.py::
+    synthesize_media_assets), then decoded by the pure-stdlib codecs
+    (multimodal/codecs.py — wave module + BITMAPINFO structs) into
+    genuine signal/pixel features. No stub anywhere in this path; bounded
+    to 200 assets because the point is the decode tier, not volume."""
+    from datawarehouse1_spark.multimodal.codecs import stdlib_decode
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    assets = synthesize_media_assets(docs)
+    return extract_features(assets, decode_fn=stdlib_decode)
 
 
 @declared("q_multimodal_frame_sample", oracle=None)

@@ -78,6 +78,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_metadata",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
+    "q_multimodal_real_decode",  # new in r3: stdlib WAV/BMP decode tier
     # -- re-checks: changed this round or headline --
     "q_dedup_ngram_jaccard",
     "q_flagship_monthly_revenue",
@@ -99,9 +100,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_surrogate_key",
     "q_dedup_business_key",
     "q_upsert_latest",
-    "q_union_incremental",
     "q_events_sessionize",
     # -- green in CORRECTNESS_r02, unchanged --
+    "q_union_incremental",
     "q_route_filter",
     "q_project_enrich",
     "q_join_left_outer",

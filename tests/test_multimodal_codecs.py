@@ -121,3 +121,20 @@ def test_real_decode_through_spark_pipeline(spark):
         np.array(out[2].feature), stdlib_decode(bmp), rtol=1e-6
     )
     assert out[1].n_bytes == len(wav) and out[2].n_bytes == len(bmp)
+
+
+def test_real_decode_declared_query(spark):
+    """q_multimodal_real_decode: executor-side synthesis of genuine
+    WAV/BMP bytes, stdlib decode, deterministic features."""
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_multimodal_real_decode"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 200
+    by_mod = {}
+    for r in out:
+        by_mod.setdefault(r.modality, []).append(r)
+    assert set(by_mod) == {"audio", "image"}
+    assert all(abs(r.feature[0] - 0.05) < 1e-6 for r in by_mod["audio"])  # duration
+    assert all(r.feature[0] == 16.0 and r.feature[1] == 16.0 for r in by_mod["image"])
+    assert all(r.sha256 is not None and r.n_bytes > 0 for r in out)
