@@ -347,3 +347,97 @@ def test_bucketed_fact_join_on_real_tables(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_o_bkt")
+
+
+# ---------- Z-order clustered writer ----------
+
+
+def _per_file_spreads(path, cols):
+    """Per-parquet-file (max-min) spread of each column, via footer
+    statistics — exactly what a scan's file-skipping reads."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    spreads = {c: [] for c in cols}
+    for f in Path(path).rglob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for i in range(group.num_columns):
+                col = group.column(i)
+                name = col.path_in_schema
+                if name in spreads and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in cols:
+            if lo[c] is not None:
+                spreads[c].append(hi[c] - lo[c])
+    return spreads
+
+
+def test_zorder_bounds_every_column(spark, tmp_path):
+    """Z-ordered layout: per-file min/max spread is a small fraction of
+    the global range for BOTH keys, where a single-column sort bounds
+    only its own key — the property file-skipping at 100 TB depends on."""
+    import itertools
+
+    from datawarehouse1_spark.operators.scale import write_zordered
+
+    # a 64x64 grid: both dims uniform, global range 0..630
+    rows = [(x * 10, y * 10) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    z = _per_file_spreads(zpath, ["x", "y"])
+
+    spath = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    s = _per_file_spreads(spath, ["x", "y"])
+
+    global_range = 630
+    zx = sum(z["x"]) / len(z["x"]) / global_range
+    zy = sum(z["y"]) / len(z["y"]) / global_range
+    sy = sum(s["y"]) / len(s["y"]) / global_range
+    # z-order: both dims bounded well below the global range
+    assert zx <= 0.5 and zy <= 0.5, f"z-order spreads x={zx:.2f} y={zy:.2f}"
+    # x-sorted layout: y is unbounded (~full range) per file
+    assert sy > 0.9, f"expected x-sort to leave y unpruned, got {sy:.2f}"
+
+    # round trip is lossless
+    back = sorted((r.x, r.y) for r in spark.read.parquet(zpath).collect())
+    assert back == sorted(rows)
+
+
+def test_zorder_filter_skips_files(spark, tmp_path):
+    """A predicate on EITHER z-ordered column must touch only a subset
+    of files (file-level min/max skipping)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.operators.scale import write_zordered
+
+    rows = [(x * 10, y * 10) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "zorder_skip")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+
+    back = spark.read.parquet(zpath)
+    for col in ("x", "y"):
+        touched = (
+            back.filter(F.col(col) < 100)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert touched <= 8, f"filter on {col} touched {touched}/16 files"
