@@ -26,6 +26,10 @@ from typing import Any, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 DEDUP_OUTPUT = StructType(
@@ -132,4 +136,79 @@ def stream_running_totals(
             if tmo is None
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
+    )
+
+
+# --- transformWithStateInPandas twins (Spark 4 successor API) ---
+#
+# Same two operators on the arbitrary-state API that replaces
+# applyInPandasWithState: typed per-key state handles (ValueState) from a
+# StatefulProcessorHandle instead of one untyped GroupState tuple.
+# Requires the RocksDB state-store provider
+# (spark.sql.streaming.stateStore.providerClass =
+# ...state.RocksDBStateStoreProvider) — bundled with Spark 4 — and
+# google.protobuf on the Python side (the TWS state server speaks
+# protobuf; pyspark/sql/streaming/proto). Environments without protobuf
+# keep using the applyInPandasWithState originals above; the parity
+# tests in tests/test_stateful_streaming.py skip themselves when the
+# runtime dependency is absent.
+
+
+class _DedupProcessor(StatefulProcessor):
+    """Emit each key once on first appearance (ValueState marker)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", DEDUP_STATE)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n = sum(len(p) for p in rows)
+        if not self._seen.exists():
+            self._seen.update((1,))
+            yield pd.DataFrame({"key": [key[0]], "first_seen_batch_rows": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+class _TotalsProcessor(StatefulProcessor):
+    """Per-key running (n_events, total)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._acc = handle.getValueState("acc", TOTALS_STATE)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._acc.get() if self._acc.exists() else (0, 0)
+        for p in rows:
+            n += len(p)
+            total += int(p["value"].sum())
+        self._acc.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def stream_dedup_by_key_tws(events: DataFrame, key_col: str) -> DataFrame:
+    """stream_dedup_by_key on transformWithStateInPandas."""
+    keyed = events.selectExpr(f"CAST({key_col} AS STRING) AS key")
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _DedupProcessor(),
+        outputStructType=DEDUP_OUTPUT,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def stream_running_totals_tws(
+    events: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """stream_running_totals on transformWithStateInPandas."""
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", f"CAST({value_col} AS LONG) AS value"
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _TotalsProcessor(),
+        outputStructType=TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
     )
