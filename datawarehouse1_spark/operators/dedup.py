@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = DEFAULT_SEED,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, exact-verified.
 
@@ -189,7 +190,16 @@ def minhash_lsh_pairs(
 
     Scale shape: the only wide exchange is the band-bucket equi-join on
     md5(band slice); signatures (num_hashes longs) shuffle, not
-    documents."""
+    documents.
+
+    `max_bucket_size` guards the degenerate-bucket hazard: a bucket of B
+    identical-signature docs yields B·(B-1)/2 candidate pairs, so one
+    boilerplate-heavy bucket can dominate the whole job quadratically.
+    Buckets larger than the cap are dropped from THAT band (standard LSH
+    practice; with multiple bands a true near-dup pair usually still
+    collides in a non-degenerate band — recall loss is confined to
+    pathological mass-duplicate groups, which exact_dedup handles more
+    cheaply anyway)."""
     if bands is None:
         bands, r = lsh_optimal_params(num_hashes, jaccard_threshold)
     assert num_hashes % bands == 0
@@ -218,8 +228,17 @@ def minhash_lsh_pairs(
     # do not), de-duplicated on the pair key
     cand = None
     for b in range(bands):
-        left = banded.select(F.col("_id").alias("id_a"), f"_band{b}")
-        right = banded.select(F.col("_id").alias("id_b"), f"_band{b}")
+        band_side = banded.select("_id", f"_band{b}")
+        if max_bucket_size is not None:
+            ok = (
+                band_side.groupBy(f"_band{b}")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket_size)
+                .select(f"_band{b}")
+            )
+            band_side = band_side.join(ok, f"_band{b}", "left_semi")
+        left = band_side.select(F.col("_id").alias("id_a"), f"_band{b}")
+        right = band_side.select(F.col("_id").alias("id_b"), f"_band{b}")
         pairs_b = (
             left.join(right, f"_band{b}")
             .filter(F.col("id_a") < F.col("id_b"))

@@ -185,3 +185,37 @@ def test_simhash_neardup_matches_brute_force(spark, docs_with_dupes):
     assert all(got.get((i, i + 1000)) == 0 for i in range(20))
     # at least one perturbed pair lands in (0, K] — non-vacuous near-dup
     assert any(0 < got[p] <= K for p in got if p[1] >= 2000)
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark, docs_with_dupes):
+    """The degenerate-bucket guard: a mass-duplicate group (B identical
+    signatures -> B(B-1)/2 pairs in every band) is dropped when over the
+    cap, while ordinary near-dup pairs survive via their own buckets."""
+    # 30 identical copies of doc 40 (which has no injected near-dup of
+    # its own) -> a 31-strong degenerate bucket in every band
+    blob = docs_with_dupes.filter("doc_id = 40").select("text")
+    mass = (
+        blob.crossJoin(spark.range(3000, 3030).withColumnRenamed("id", "doc_id"))
+        .select("doc_id", "text")
+    )
+    corpus = docs_with_dupes.unionByName(mass)
+
+    uncapped = minhash_lsh_pairs(corpus, jaccard_threshold=0.99)
+    capped = minhash_lsh_pairs(corpus, jaccard_threshold=0.99, max_bucket_size=10)
+
+    got_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+
+    mass_ids = {40} | set(range(3000, 3030))
+    mass_pairs_uncapped = {
+        p for p in got_uncapped if p[0] in mass_ids and p[1] in mass_ids
+    }
+    mass_pairs_capped = {
+        p for p in got_capped if p[0] in mass_ids and p[1] in mass_ids
+    }
+    assert len(mass_pairs_uncapped) >= 30 * 29 / 2  # quadratic blow-up is real
+    assert not mass_pairs_capped  # ...and the cap removes it
+
+    # the ordinary injected dupes (singleton buckets) are unaffected
+    expected = {(i, i + 1000) for i in range(20)}
+    assert expected <= got_capped
