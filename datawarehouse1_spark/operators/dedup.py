@@ -264,6 +264,60 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters_from_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: (id, keeper) for every id
+    that appears in a pair, keeper = the minimum id in its connected
+    component. The step the pair-producers (minhash_lsh_pairs,
+    simhash_neardup_pairs, ngram_jaccard_pairs) leave open — "a~b, b~c"
+    must keep ONE of {a,b,c}, which pairwise filtering alone cannot do.
+
+    Algorithm: iterative min-label propagation (each id takes the min of
+    its own label and its neighbors' labels) until fixpoint — converges
+    in O(component diameter) rounds; near-dup clusters are shallow, so
+    max_iter=20 is generous. Each round is one join + one groupBy
+    (distributed); the driver only checks the convergence count.
+    localCheckpoint truncates the growing lineage each round — without
+    it, iteration k replays rounds 1..k-1.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("keeper"))
+
+
 def simhash(tok_col: str | Column, bits: int = 64, seed: int = DEFAULT_SEED) -> Column:
     """64-bit SimHash: per token xxhash64(token, seed); each bit votes
     +1/-1; fingerprint bit i = sign of vote_i. Folded as one aggregate

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.operators.dedup import (
+    dedup_clusters_from_pairs,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_dedup,
 )
 from datawarehouse1_spark.registry import declared
@@ -31,6 +33,82 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         staged, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5
     )
+
+
+@declared(
+    "q_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' zebra quill oxcart' AS text
+      FROM documents WHERE doc_id < 40 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id,
+             text || ' zebra quill oxcart jasper flint' AS text
+      FROM documents WHERE doc_id < 40 AND doc_id % 3 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+                     AS toks
+            FROM base)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON w.id = s.dst
+    )
+    SELECT id, MIN(label) AS keeper FROM walk GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters (keeper = component min id),
+    the step that turns pairwise similarity into an actual dedup
+    decision. Spark side: distributed min-label propagation
+    (operators/dedup.py::dedup_clusters_from_pairs); oracle side: the
+    same fixpoint as a DuckDB recursive CTE over the identical staged
+    pair set — one of the few ITERATIVE operators with a full value-hash
+    verdict. Staging adds two suffixed variants per 3rd doc, so
+    components are triangles (base, +10000, +20000), not just pairs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = (
+        d.select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zebra quill oxcart")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" zebra quill oxcart jasper flint")
+                ).alias("text"),
+            )
+        )
+    )
+    pairs = ngram_jaccard_pairs(base, threshold=0.1)
+    return dedup_clusters_from_pairs(pairs)
 
 
 @declared("q_dedup_simhash", oracle=None)

@@ -81,6 +81,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_real_decode",  # new in r3: stdlib WAV/BMP decode tier
     # -- re-checks: changed this round or headline --
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",  # new in r3: CC keeper selection, recursive-CTE oracle
     "q_flagship_monthly_revenue",
     "q_llm_curation_pipeline",
     "q_dedup_exact_hash",
@@ -100,8 +101,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_surrogate_key",
     "q_dedup_business_key",
     "q_upsert_latest",
-    "q_events_sessionize",
     # -- green in CORRECTNESS_r02, unchanged --
+    "q_events_sessionize",
     "q_union_incremental",
     "q_route_filter",
     "q_project_enrich",

@@ -219,3 +219,30 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark, docs_with_dupes):
     # the ordinary injected dupes (singleton buckets) are unaffected
     expected = {(i, i + 1000) for i in range(20)}
     assert expected <= got_capped
+
+
+def test_dedup_clusters_from_pairs(spark):
+    """Min-label propagation: chains collapse to the component minimum,
+    disjoint components stay separate."""
+    from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (needs >1 round), pair {10,11}, triangle {20,21,22}
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.keeper for r in dedup_clusters_from_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_composes_with_minhash(spark, docs_with_dupes):
+    """End-to-end dedup: minhash pairs -> clusters -> keeper per injected
+    copy is its original."""
+    from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
+
+    pairs = minhash_lsh_pairs(docs_with_dupes, jaccard_threshold=0.99)
+    clusters = {
+        r.id: r.keeper for r in dedup_clusters_from_pairs(pairs).collect()
+    }
+    for i in range(20):
+        assert clusters[i + 1000] == i  # every copy keeps its original

@@ -101,6 +101,27 @@ def test_flagship_survives_no_broadcast(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+@pytest.mark.parametrize(
+    "name", ["q_tpch_q3_shipping_priority", "q_join_multi_star"]
+)
+def test_join_queries_survive_no_broadcast(spark, name):
+    """Same flip for the other broadcast-reliant joins: at 100 TB
+    customer/orders outgrow any broadcast threshold; results must be
+    identical under shuffled join strategies."""
+    fn = registry.QUERIES[name]
+    want = fn(spark, SF_DIR)
+    want_canon = rows_to_canon(want.columns, [tuple(r) for r in want.collect()])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = fn(spark, SF_DIR)
+        got_canon = rows_to_canon(got.columns, [tuple(r) for r in got.collect()])
+        assert got_canon == want_canon
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_hll_rollup_merge_equals_full(spark):
     """Mergeable distinct: unioned per-batch HLL sketches estimate within
     sketch error of both the single-pass sketch and the exact count.
