@@ -179,3 +179,20 @@ def test_approx_count_distinct_accuracy(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.10 * n), (k, approx[k], n)
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The scale path for q_agg_percentile: approx_percentile (mergeable
+    sketch — partial-aggregatable, unlike exact percentile which buffers
+    the group) must track the exact values within a tight relative
+    error at warehouse-realistic accuracy settings."""
+    li = table(spark, SF_DIR, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(l_quantity, 0.99)").alias("exact_p99"),
+        F.expr("approx_percentile(l_quantity, 0.99, 10000)").alias("approx_p99"),
+    )
+    for r in both.collect():
+        assert abs(r.approx_p50 - r.exact_p50) / max(r.exact_p50, 1e-9) < 0.05
+        assert abs(r.approx_p99 - r.exact_p99) / max(r.exact_p99, 1e-9) < 0.05
