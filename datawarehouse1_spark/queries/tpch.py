@@ -127,3 +127,138 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_d("l_extendedprice") * _d("l_discount")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@declared(
+    "q_tpch_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the deepest star join in the
+    canon — two facts and four dims, with the customer-nation ==
+    supplier-nation correlation. Region/nation broadcast; the only big
+    shuffle is lineitem⋈orders on orderkey; the supplier join is
+    broadcast-able at any realistic supplier:lineitem ratio."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@declared(
+    "q_tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter of orders, only
+    returned lines, top-20 customers by lost revenue. returnflag filter
+    pushes into the lineitem scan; top-20 via TakeOrderedAndProject
+    (revenue ties broken by c_custkey for determinism)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@declared(
+    "q_tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month of shipments joined to the
+    part dim (broadcast), promo share of revenue as one exact-decimal
+    conditional aggregate — both sums exact, one double division at the
+    end (the testdata's p_type is a plain category, so equality stands
+    in for the spec's PROMO%% prefix match)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    disc_price = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * 100
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

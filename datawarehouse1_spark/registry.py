@@ -53,6 +53,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q1_pricing_summary",
     "q_tpch_q3_shipping_priority",
     "q_tpch_q6_forecast_revenue",
+    "q_tpch_q5_local_supplier",  # new in r3
+    "q_tpch_q10_returned_items",  # new in r3
+    "q_tpch_q14_promo_revenue",  # new in r3
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_percentile",
@@ -98,10 +101,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_date_trunc_month",
     "q_window_rank_topn",
     "q_window_running_sum",
+    # -- green in CORRECTNESS_r02, unchanged --
     "q_surrogate_key",
     "q_dedup_business_key",
     "q_upsert_latest",
-    # -- green in CORRECTNESS_r02, unchanged --
     "q_events_sessionize",
     "q_union_incremental",
     "q_route_filter",

@@ -36,6 +36,9 @@ EXCHANGE_BUDGET = {
     "q_tpch_q1_pricing_summary": 1,
     "q_tpch_q3_shipping_priority": 1,  # + broadcast joins
     "q_tpch_q6_forecast_revenue": 1,  # single-row agg exchange
+    "q_tpch_q5_local_supplier": 1,  # 6-table star: one orderkey shuffle
+    "q_tpch_q10_returned_items": 1,
+    "q_tpch_q14_promo_revenue": 1,  # broadcast part + single agg
     "q_agg_cube": 1,  # Expand + one shuffle, not 2^k scans
     "q_agg_grouping_sets": 1,
     "q_agg_percentile": 1,
