@@ -22,6 +22,7 @@ constants derived from a seeded Python RNG at plan-build time.
 from __future__ import annotations
 
 import random
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -261,6 +262,52 @@ def minhash_lsh_pairs(
             "id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard")
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_edit_distance: int = 1,
+    block_cols: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Entity-resolution pairs: records whose `name_col` values are
+    within `max_edit_distance` Levenshtein edits (the reference's
+    CLI001/CLI003 same-person-different-id case, SURVEY.md §5.2, as a
+    scalable operator). Pairwise comparison runs only WITHIN blocks —
+    default block key is the string length, which edit-distance-1
+    substitutions preserve — so the cost is sum(block²), not n².
+    Levenshtein itself is a JVM built-in (F.levenshtein), matching
+    DuckDB's implementation value-for-value.
+    """
+    blocks = (
+        list(block_cols) if block_cols is not None else [F.length(F.col(name_col))]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        *[b.alias(f"_blk{i}") for i, b in enumerate(blocks)],
+    )
+    a = keyed.select(
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+        *[F.col(f"_blk{i}") for i in range(len(blocks))],
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+        *[F.col(f"_blk{i}") for i in range(len(blocks))],
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, [f"_blk{i}" for i in range(len(blocks))])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            dist.cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_edit_distance)
     )
 
 

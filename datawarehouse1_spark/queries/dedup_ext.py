@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.operators.dedup import (
     dedup_clusters_from_pairs,
+    fuzzy_pairs_blocked,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -109,6 +110,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(base, threshold=0.1)
     return dedup_clusters_from_pairs(pairs)
+
+
+@declared(
+    "q_dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a JOIN customer b
+      ON length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 200 AND b.c_custkey < 200
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: customer-name pairs within one
+    Levenshtein edit — the scalable form of the reference's
+    CLI001/CLI003 same-person-under-two-ids quirk (SURVEY.md §5.2).
+    Blocked by name length (edit-distance-1 substitutions preserve it),
+    bounded to a 200-key subset because in-block comparison is
+    quadratic; both engines' classic Levenshtein agree value-for-value.
+    """
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_name")
+    )
+    return fuzzy_pairs_blocked(
+        c, name_col="c_name", id_col="c_custkey", max_edit_distance=1
+    )
 
 
 @declared("q_dedup_simhash", oracle=None)
