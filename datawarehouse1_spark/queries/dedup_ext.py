@@ -154,3 +154,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return simhash_dedup(staged)
+
+
+# Per-language sampling rates for the mixture query, expressed as an
+# 8-hex-digit md5-prefix threshold: keep a row iff the first 8 hex chars
+# of md5(doc_id) sort <= the threshold. P(keep) = threshold/16^8, and the
+# comparison is pure string ordering — bit-identical across engines, no
+# float or modulo arithmetic to diverge. Reproducible sampling by content
+# hash is the standard way to cut a stable training subset at 100 TB
+# (re-runs and backfills select the same rows).
+MIXTURE_RATES = {
+    "en": "7fffffff",  # ~50%
+    "zh": "cccccccc",  # ~80%
+    "es": "33333333",  # ~20%
+    "de": "33333333",  # ~20%
+    "fr": "ffffffff",  # 100%
+}
+
+
+@declared(
+    "q_sample_hash_mixture",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+          CASE lang
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in MIXTURE_RATES.items())}
+            ELSE '00000000' END
+    """,
+)
+def q_sample_hash_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling for training-data curation: each
+    language keeps a hash-selected share of its documents (en 50%,
+    zh 80%, es/de 20%, fr 100%). Selection is md5(doc_id)-prefix
+    against a per-source threshold — a pure narrow filter (no shuffle,
+    no rand()), stable across runs, engines, and partitionings."""
+    d = table(spark, sf_dir, "documents")
+    threshold = F.lit("00000000")
+    for k, v in MIXTURE_RATES.items():
+        threshold = F.when(F.col("lang") == k, F.lit(v)).otherwise(threshold)
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) <= threshold
+    return d.filter(keep).select("doc_id", "lang")

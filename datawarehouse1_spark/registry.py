@@ -86,6 +86,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # new in r3: CC keeper selection, recursive-CTE oracle
     "q_dedup_fuzzy_names",  # new in r3: blocked-Levenshtein entity resolution
+    "q_sample_hash_mixture",  # new in r3: deterministic mixture sampling
     "q_flagship_monthly_revenue",
     "q_llm_curation_pipeline",
     "q_dedup_exact_hash",
@@ -100,8 +101,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_group_sum",
     "q_agg_rollup",
     "q_date_trunc_month",
-    "q_window_rank_topn",
     # -- green in CORRECTNESS_r02, unchanged --
+    "q_window_rank_topn",
     "q_window_running_sum",
     "q_surrogate_key",
     "q_dedup_business_key",
