@@ -51,6 +51,8 @@ EXCHANGE_BUDGET = {
     "q_profile_columns": 2,  # ONE scan: multi-distinct Expand 2-level agg
     "q_upsert_partition_rollup": 1,
     "q_embedding_neardup": 0,  # broadcast-bounded, no shuffle
+    "q_dedup_fuzzy_names": 1,  # broadcast block self-join locally; 1 at scale
+    "q_sample_hash_mixture": 0,  # pure narrow filter
     "q_pandas_udf_scalar": 0,  # ArrowEvalPython, narrow
     "q_builtin_charge": 0,
     "q_multimodal_metadata": 0,
