@@ -134,6 +134,31 @@ def salted_join(
     )
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Backfill/reprocess primitive: overwrite ONLY the partitions
+    present in `df`, leaving all other partitions of the table intact
+    (spark.sql.sources.partitionOverwriteMode=dynamic, scoped to this
+    write). This is how a 100 TB date-partitioned fact absorbs a
+    corrected day without rewriting history — the missing half of
+    write_partitioned_fact's mode='overwrite', which would truncate the
+    whole table."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def zorder_value(
     df: DataFrame,
     cols: Sequence[str],

@@ -441,3 +441,35 @@ def test_zorder_filter_skips_files(spark, tmp_path):
             .count()
         )
         assert touched <= 8, f"filter on {col} touched {touched}/16 files"
+
+
+# ---------- dynamic partition overwrite ----------
+
+
+def test_overwrite_partitions_touches_only_present_months(spark, tmp_path):
+    """Backfilling one month must replace that month and leave every
+    other partition byte-for-byte intact."""
+    from datawarehouse1_spark.operators.scale import overwrite_partitions
+
+    path = str(tmp_path / "fact_dyn")
+    base = spark.createDataFrame(
+        [(1, "2025-01", 10.0), (2, "2025-01", 20.0), (3, "2025-02", 30.0)],
+        "id long, month string, v double",
+    )
+    base.write.partitionBy("month").parquet(path)
+
+    # corrected January: one row instead of two, new values
+    fix = spark.createDataFrame(
+        [(9, "2025-01", 99.0)], "id long, month string, v double"
+    )
+    overwrite_partitions(fix, path, "month")
+
+    back = spark.read.parquet(path)
+    got = sorted((r.id, r.month, r.v) for r in back.collect())
+    assert got == [(3, "2025-02", 30.0), (9, "2025-01", 99.0)]
+
+    # conf restored (scoped to the write)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
