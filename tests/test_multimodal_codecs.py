@@ -138,3 +138,43 @@ def test_real_decode_declared_query(spark):
     assert all(abs(r.feature[0] - 0.05) < 1e-6 for r in by_mod["audio"])  # duration
     assert all(r.feature[0] == 16.0 and r.feature[1] == 16.0 for r in by_mod["image"])
     assert all(r.sha256 is not None and r.n_bytes > 0 for r in out)
+
+
+# ---------- malformed-input behavior (errors, not hangs or garbage) ----------
+
+
+def test_decode_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_decode_bmp_rejects_compressed_or_paletted():
+    import struct as _s
+
+    # header claiming 8bpp RLE: parser must refuse, not misread pixels
+    hdr = _s.pack("<2sIHHI", b"BM", 200, 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 64, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="unsupported|only uncompressed"):
+        decode_bmp(hdr + info + b"\x00" * 146)
+
+
+def test_decode_bmp_truncated_pixels_raises():
+    payload, _ = make_bmp(h=5, w=7)
+    with pytest.raises(ValueError):
+        decode_bmp(payload[: len(payload) // 2])
+
+
+def test_decode_wav_garbage_raises():
+    import wave as _w
+
+    with pytest.raises((_w.Error, EOFError)):
+        decode_wav(b"RIFFxxxxWAVE" + b"\x00" * 16)
+
+
+def test_xlsx_mini_rejects_non_zip():
+    import zipfile as _z
+
+    from datawarehouse1_spark.sources.xlsx_mini import parse_xlsx_bytes
+
+    with pytest.raises(_z.BadZipFile):
+        parse_xlsx_bytes(b"this is not a zip archive")
