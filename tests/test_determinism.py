@@ -21,6 +21,11 @@ RISKY = [
     "q_dedup_business_key",
     "q_similarity_cosine_topk",    # double fold order
     "q_llm_curation_pipeline",
+    # r3 additions with nontrivial determinism surface:
+    "q_dedup_clusters",            # iterative fixpoint + localCheckpoint
+    "q_dedup_fuzzy_names",         # blocked self-join
+    "q_sample_hash_mixture",       # hash-threshold selection
+    "q_tpch_q10_returned_items",   # top-20 revenue ties
 ]
 
 
