@@ -37,7 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="trigger seconds (reference: POLLING_INTERVAL)",
     )
     p.add_argument("--checkpoint", default=None, help="checkpoint dir (default <root>/_checkpoints/<table>)")
-    p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument(
+        "--format", default="parquet", choices=["parquet", "csv", "json", "xlsx"]
+    )
     return p
 
 

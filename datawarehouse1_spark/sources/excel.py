@@ -52,6 +52,37 @@ def default_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
     return pd.read_excel(io.BytesIO(data), engine="openpyxl")
 
 
+def _xlsx_out_schema(schema: StructType) -> StructType:
+    # copy the field list: StructType.add mutates in place and would
+    # otherwise grow the caller's schema
+    return (
+        StructType(list(schema.fields))
+        .add("source_file", "string")
+        .add("imported_at", "timestamp")
+    )
+
+
+def _make_xlsx_parse_fn(parser, col_order: list[str]):
+    """The shared per-task parse body: file bytes -> validated rows
+    projected to the declared schema + lineage columns. Used by both the
+    batch scan (read_xlsx_dir) and the streaming source (xlsx_stream)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        now = _dt.datetime.now()
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                parsed = parser(row["path"], row["content"])
+                validate_required_columns(parsed, col_order, row["path"])
+                out = parsed[col_order].copy()  # project to declared schema
+                out["source_file"] = os.path.basename(row["path"])
+                out["imported_at"] = now
+                yield out
+
+    return parse
+
+
 def read_xlsx_dir(
     spark: SparkSession,
     directory: str,
@@ -69,28 +100,41 @@ def read_xlsx_dir(
         .select("path", "content")
     )
     col_order = [f.name for f in schema.fields]
-    # copy the field list: StructType.add mutates in place and would
-    # otherwise grow the caller's schema
-    out_schema = (
-        StructType(list(schema.fields))
-        .add("source_file", "string")
-        .add("imported_at", "timestamp")
+    return binary.mapInPandas(
+        _make_xlsx_parse_fn(parser, col_order), schema=_xlsx_out_schema(schema)
     )
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import datetime as _dt
 
-        now = _dt.datetime.now()
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                parsed = parser(row["path"], row["content"])
-                validate_required_columns(parsed, col_order, row["path"])
-                out = parsed[col_order].copy()  # project to declared schema
-                out["source_file"] = os.path.basename(row["path"])
-                out["imported_at"] = now
-                yield out
-
-    return binary.mapInPandas(parse, schema=out_schema)
+def xlsx_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType,
+    parser=default_xlsx_parser,
+    glob: str = LOCK_GLOB,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """Streaming form of read_xlsx_dir: the binaryFile source watches the
+    directory (checkpointed exactly-once file tracking — the reference's
+    whole polling/file_metadata loop, etl/app.py:249-289), and each new
+    file's bytes parse inside the task with the same shared parse body.
+    The reference's actual input format, end-to-end on the streaming
+    path."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but a streaming source requires
+        # it declared explicitly
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(directory)
+        .select("path", "content")
+    )
+    col_order = [f.name for f in schema.fields]
+    return binary.mapInPandas(
+        _make_xlsx_parse_fn(parser, col_order), schema=_xlsx_out_schema(schema)
+    )
 
 
 def validate_required_columns(

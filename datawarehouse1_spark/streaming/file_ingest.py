@@ -36,17 +36,29 @@ def stream_ingest(
     glob: str = LOCK_GLOB,
 ) -> StreamingQuery:
     """Watch a directory, enrich with lineage columns, hand each
-    micro-batch to `sink` (typically ingest_sink below)."""
-    stream = (
-        spark.readStream.schema(schema)
-        .format(fmt)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", 100)
-        .load(watch_dir)
-        # O5 enrichment (etl/app.py:158-159), the real nondeterministic form
-        .withColumn("source_file", F.input_file_name())
-        .withColumn("imported_at", F.current_timestamp())
-    )
+    micro-batch to `sink` (typically ingest_sink below). fmt='xlsx'
+    routes through the binaryFile source + per-task parse
+    (sources/excel.py::xlsx_stream) — the reference's actual input
+    format on the streaming path; other formats use the native file
+    sources."""
+    if fmt == "xlsx":
+        from datawarehouse1_spark.sources.excel import xlsx_stream
+
+        # lineage columns are added inside the parse body
+        stream = xlsx_stream(
+            spark, watch_dir, schema, glob=glob if glob != LOCK_GLOB else "[!~]*.xlsx"
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .format(fmt)
+            .option("pathGlobFilter", glob)
+            .option("maxFilesPerTrigger", 100)
+            .load(watch_dir)
+            # O5 enrichment (etl/app.py:158-159), the real nondeterministic form
+            .withColumn("source_file", F.input_file_name())
+            .withColumn("imported_at", F.current_timestamp())
+        )
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

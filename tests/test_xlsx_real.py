@@ -124,3 +124,56 @@ def test_read_xlsx_dir_routes_all_three_tables(tmp_path, spark):
         "produits.xlsx": "produits",
         "ventes.xlsx": "ventes",
     }
+
+
+def test_streaming_xlsx_ingest_real_bytes(tmp_path, spark):
+    """The reference's ACTUAL pipeline, Spark-native end-to-end: watch a
+    directory, stream in real xlsx bytes (stdlib parse in-task),
+    validate-then-append to the warehouse table, lock files skipped,
+    already-seen files not re-ingested on the next batch."""
+    from datawarehouse1_spark.streaming.file_ingest import (
+        make_ingest_sink,
+        stream_ingest,
+    )
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    shutil.copyfile(REF_XLSX / "ventes.xlsx", watch / "ventes.xlsx")
+    shutil.copyfile(REF_XLSX / "~$ventes.xlsx", watch / "~$ventes.xlsx")
+
+    schema = StructType(
+        [
+            StructField("vente_id", StringType()),
+            StructField("client_id", StringType()),
+            StructField("produit_id", StringType()),
+            StructField("quantite", IntegerType()),
+            StructField("prix_total", DoubleType()),
+            StructField("date_vente", DoubleType()),
+        ]
+    )
+    table_path = str(tmp_path / "warehouse" / "ventes")
+    q = stream_ingest(
+        spark,
+        str(watch),
+        schema,
+        make_ingest_sink(table_path, "vente_id", ["vente_id", "client_id"]),
+        str(tmp_path / "ckpt"),
+        fmt="xlsx",
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.read.parquet(table_path).collect()
+        assert len(rows) == 1
+        assert rows[0].vente_id == "VNT001" and rows[0].quantite == 2
+        assert rows[0].source_file == "ventes.xlsx"
+
+        # second file arrives; first is not re-ingested (checkpoint)
+        shutil.copyfile(REF_XLSX / "ventes.xlsx", watch / "ventes_copy.xlsx")
+        q.processAllAvailable()
+        rows = spark.read.parquet(table_path).collect()
+        assert sorted(r.source_file for r in rows) == [
+            "ventes.xlsx", "ventes_copy.xlsx",
+        ]
+    finally:
+        q.stop()
