@@ -262,3 +262,114 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@declared(
+    "q_tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): left join so zero-order
+    customers count, then the histogram of per-customer order counts —
+    the double-aggregation shape (the spec's o_comment NOT LIKE filter is
+    dropped: the testdata carries no comment column). First agg shuffles
+    on custkey, second on the tiny count domain."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@declared(
+    "q_tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the IN-subquery over a grouped
+    HAVING (orders whose total quantity tops 250 — ~the p99 at any SF of
+    this generator) becomes a left-semi join against the aggregated key
+    set; quantity summed in exact decimal; top-100 by price with
+    orderkey tiebreak."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "big_key"),
+              F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_d("l_quantity")).cast("double").alias("sum_qty"))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+@declared(
+    "q_tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no orders (the spec's phone-country-code grouping is
+    dropped: no phone column in the testdata). The average is computed
+    as an exact-decimal SUM over COUNT — one deterministic double — so
+    the comparison boundary is identical in both engines; the NOT EXISTS
+    is a left-anti join; the scalar threshold broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        (F.sum(_d("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_d("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -56,6 +56,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q5_local_supplier",  # new in r3
     "q_tpch_q10_returned_items",  # new in r3
     "q_tpch_q14_promo_revenue",  # new in r3
+    "q_tpch_q13_customer_distribution",  # new in r3
+    "q_tpch_q18_large_volume_customer",  # new in r3
+    "q_tpch_q22_global_sales_opportunity",  # new in r3
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_percentile",
@@ -98,10 +101,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_join_broadcast_dim",
     "q_join_multi_star",
     "q_join_anti_orphans",
+    # -- green in CORRECTNESS_r02, unchanged --
     "q_agg_group_sum",
     "q_agg_rollup",
     "q_date_trunc_month",
-    # -- green in CORRECTNESS_r02, unchanged --
     "q_window_rank_topn",
     "q_window_running_sum",
     "q_surrogate_key",

@@ -39,6 +39,9 @@ EXCHANGE_BUDGET = {
     "q_tpch_q5_local_supplier": 1,  # 6-table star: one orderkey shuffle
     "q_tpch_q10_returned_items": 1,
     "q_tpch_q14_promo_revenue": 1,  # broadcast part + single agg
+    "q_tpch_q13_customer_distribution": 2,  # per-cust agg + histogram agg
+    "q_tpch_q18_large_volume_customer": 2,  # orderkey agg + final group
+    "q_tpch_q22_global_sales_opportunity": 2,  # 1-row threshold broadcast
     "q_agg_cube": 1,  # Expand + one shuffle, not 2^k scans
     "q_agg_grouping_sets": 1,
     "q_agg_percentile": 1,
