@@ -80,7 +80,12 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 16) -> np.n
     if n == 0:
         return np.zeros(dim, dtype=np.float32)
     rms = float(np.sqrt(np.mean(samples**2)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    # np.diff of a single sample is empty and np.mean([]) is NaN
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
     spectrum = np.abs(np.fft.rfft(samples))
     freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate) if sample_rate else np.arange(
         len(spectrum)

@@ -202,8 +202,12 @@ def minhash_lsh_pairs(
     pathological mass-duplicate groups, which exact_dedup handles more
     cheaply anyway)."""
     if bands is None:
-        bands, r = lsh_optimal_params(num_hashes, jaccard_threshold)
-    assert num_hashes % bands == 0
+        bands, _ = lsh_optimal_params(num_hashes, jaccard_threshold)
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "otherwise trailing signature slots would be silently unused"
+        )
     r = num_hashes // bands
 
     docs = df.select(
@@ -275,34 +279,59 @@ def fuzzy_pairs_blocked(
     """Entity-resolution pairs: records whose `name_col` values are
     within `max_edit_distance` Levenshtein edits (the reference's
     CLI001/CLI003 same-person-different-id case, SURVEY.md §5.2, as a
-    scalable operator). Pairwise comparison runs only WITHIN blocks —
-    default block key is the string length, which edit-distance-1
-    substitutions preserve — so the cost is sum(block²), not n².
-    Levenshtein itself is a JVM built-in (F.levenshtein), matching
-    DuckDB's implementation value-for-value.
+    scalable operator). Pairwise comparison runs only WITHIN blocks, so
+    the cost is sum(block²), not n².
+
+    Default blocking is a length BAND, not length equality: side A
+    carries its exact length and side B fans out to every length in
+    [len-k, len+k] (one explode), so a pair within k edits — including
+    pure insertions/deletions, which change the length — collides on
+    exactly one block (len_a). Levenshtein itself is a JVM built-in
+    (F.levenshtein), matching DuckDB's implementation value-for-value.
+
+    `block_cols` overrides blocking with exact equality on the given
+    expressions — the caller then owns the recall contract (the custom
+    keys must be invariant under the edits they care about).
     """
-    blocks = (
-        list(block_cols) if block_cols is not None else [F.length(F.col(name_col))]
-    )
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(name_col).alias("_name"),
-        *[b.alias(f"_blk{i}") for i, b in enumerate(blocks)],
-    )
-    a = keyed.select(
-        F.col("_id").alias("id_a"),
-        F.col("_name").alias("name_a"),
-        *[F.col(f"_blk{i}") for i in range(len(blocks))],
-    )
-    b = keyed.select(
-        F.col("_id").alias("id_b"),
-        F.col("_name").alias("name_b"),
-        *[F.col(f"_blk{i}") for i in range(len(blocks))],
-    )
     dist = F.levenshtein("name_a", "name_b")
+    if block_cols is not None:
+        blocks = list(block_cols)
+        keyed = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(name_col).alias("_name"),
+            *[b.alias(f"_blk{i}") for i, b in enumerate(blocks)],
+        )
+        a = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_name").alias("name_a"),
+            *[F.col(f"_blk{i}") for i in range(len(blocks))],
+        )
+        b = keyed.select(
+            F.col("_id").alias("id_b"),
+            F.col("_name").alias("name_b"),
+            *[F.col(f"_blk{i}") for i in range(len(blocks))],
+        )
+        joined = a.join(b, [f"_blk{i}" for i in range(len(blocks))])
+    else:
+        k = max_edit_distance
+        keyed = df.select(
+            F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+        )
+        a = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_name").alias("name_a"),
+            F.length("_name").alias("_blk"),
+        )
+        b = keyed.select(
+            F.col("_id").alias("id_b"),
+            F.col("_name").alias("name_b"),
+            F.explode(
+                F.sequence(F.length("_name") - k, F.length("_name") + k)
+            ).alias("_blk"),
+        )
+        joined = a.join(b, "_blk")
     return (
-        a.join(b, [f"_blk{i}" for i in range(len(blocks))])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", "name_a", "name_b",
             dist.cast("int").alias("edit_distance"),
@@ -362,6 +391,13 @@ def dedup_clusters_from_pairs(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_from_pairs did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing): a component's "
+            "diameter exceeds max_iter, so keepers would be inconsistent "
+            "within that component — raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("keeper"))
 
 

@@ -119,7 +119,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.c_name AS name_a, b.c_name AS name_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
     FROM customer a JOIN customer b
-      ON length(a.c_name) = length(b.c_name)
+      ON abs(length(a.c_name) - length(b.c_name)) <= 1
      AND a.c_custkey < b.c_custkey
     WHERE a.c_custkey < 200 AND b.c_custkey < 200
       AND levenshtein(a.c_name, b.c_name) <= 1
@@ -129,9 +129,10 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution: customer-name pairs within one
     Levenshtein edit — the scalable form of the reference's
     CLI001/CLI003 same-person-under-two-ids quirk (SURVEY.md §5.2).
-    Blocked by name length (edit-distance-1 substitutions preserve it),
-    bounded to a 200-key subset because in-block comparison is
-    quadratic; both engines' classic Levenshtein agree value-for-value.
+    Blocked by a length BAND (±1 — insertions/deletions change length,
+    so equality blocking would miss them), bounded to a 200-key subset
+    because in-block comparison is quadratic; both engines' classic
+    Levenshtein agree value-for-value.
     """
     c = (
         table(spark, sf_dir, "customer")

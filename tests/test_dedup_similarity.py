@@ -246,3 +246,38 @@ def test_dedup_clusters_composes_with_minhash(spark, docs_with_dupes):
     }
     for i in range(20):
         assert clusters[i + 1000] == i  # every copy keeps its original
+
+
+def test_fuzzy_pairs_finds_insertions_across_lengths(spark):
+    """Length-BAND blocking: a pure insertion changes the length, so
+    equality blocking would miss it — 'Jon Smith'/'John Smith' must be
+    found at k=1, and each pair exactly once (no band double-count)."""
+    from datawarehouse1_spark.operators.dedup import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [(1, "Jon Smith"), (2, "John Smith"), (3, "Jane Smith"), (4, "Bob")],
+        "id long, name string",
+    )
+    rows = fuzzy_pairs_blocked(df, "name", "id", max_edit_distance=1).collect()
+    got = {(r.id_a, r.id_b): r.edit_distance for r in rows}
+    assert got == {(1, 2): 1}  # insertion found; Jane is 2 edits from John
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    return inconsistent keepers."""
+    from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters_from_pairs(chain, max_iter=3)
+    # and converges fine with enough rounds
+    ok = {r.id: r.keeper for r in dedup_clusters_from_pairs(chain, max_iter=40).collect()}
+    assert set(ok.values()) == {0}
+
+
+def test_minhash_rejects_nondivisor_bands(spark, docs_with_dupes):
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs_with_dupes, num_hashes=16, bands=5)

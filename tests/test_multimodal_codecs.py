@@ -7,6 +7,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -178,3 +179,26 @@ def test_xlsx_mini_rejects_non_zip():
 
     with pytest.raises(_z.BadZipFile):
         parse_xlsx_bytes(b"this is not a zip archive")
+
+
+def test_audio_features_single_sample_no_nan():
+    import io as _io
+    import wave as _w
+
+    buf = _io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([12000], dtype="<i2").tobytes())
+    samples, rate = decode_wav(buf.getvalue())
+    feat = audio_features(samples, rate)
+    assert np.isfinite(feat).all(), f"NaN/inf in features: {feat}"
+
+
+def test_xlsx_mini_sheet_index_out_of_range():
+    from datawarehouse1_spark.sources.xlsx_mini import parse_xlsx_bytes
+
+    data = (Path("/root/reference/data/excel/clients.xlsx")).read_bytes()
+    with pytest.raises(ValueError, match="out of range"):
+        parse_xlsx_bytes(data, sheet=3)

@@ -177,3 +177,50 @@ def test_streaming_xlsx_ingest_real_bytes(tmp_path, spark):
         ]
     finally:
         q.stop()
+
+
+def test_streaming_xlsx_skips_invalid_file(tmp_path, spark):
+    """One bad upload (wrong columns for the target table) must be
+    logged and skipped — the stream keeps running and later valid files
+    still ingest. A raise here would wedge the checkpointed stream on
+    replay forever."""
+    from datawarehouse1_spark.streaming.file_ingest import (
+        make_ingest_sink,
+        stream_ingest,
+    )
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    # clients.xlsx lacks every ventes column -> fails validation
+    shutil.copyfile(REF_XLSX / "clients.xlsx", watch / "bad_clients.xlsx")
+
+    schema = StructType(
+        [
+            StructField("vente_id", StringType()),
+            StructField("client_id", StringType()),
+            StructField("produit_id", StringType()),
+            StructField("quantite", IntegerType()),
+            StructField("prix_total", DoubleType()),
+            StructField("date_vente", DoubleType()),
+        ]
+    )
+    table_path = str(tmp_path / "warehouse" / "ventes")
+    q = stream_ingest(
+        spark,
+        str(watch),
+        schema,
+        make_ingest_sink(table_path, "vente_id", ["vente_id"]),
+        str(tmp_path / "ckpt"),
+        fmt="xlsx",
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.isActive  # bad file did not kill the stream
+        # a valid file arriving later still ingests
+        shutil.copyfile(REF_XLSX / "ventes.xlsx", watch / "ventes.xlsx")
+        q.processAllAvailable()
+        rows = spark.read.parquet(table_path).collect()
+        assert [r.vente_id for r in rows] == ["VNT001"]
+    finally:
+        q.stop()
