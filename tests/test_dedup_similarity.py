@@ -269,12 +269,13 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters_from_pairs(chain, max_iter=3)
-    # and converges fine with enough rounds
-    ok = {r.id: r.keeper for r in dedup_clusters_from_pairs(chain, max_iter=40).collect()}
+        dedup_clusters_from_pairs(chain, max_iter=2)
+    # and converges with rounds >= the component diameter (propagation
+    # advances the min label one hop per round)
+    ok = {r.id: r.keeper for r in dedup_clusters_from_pairs(chain, max_iter=12).collect()}
     assert set(ok.values()) == {0}
 
 
