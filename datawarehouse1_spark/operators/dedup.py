@@ -359,13 +359,33 @@ def dedup_clusters_from_pairs(
     (distributed); the driver only checks the convergence count.
     localCheckpoint truncates the growing lineage each round — without
     it, iteration k replays rounds 1..k-1.
+
+    Id contract: ids must be numeric (or numeric strings) — labels
+    propagate as longs so that `min` is a cheap fixed-width aggregate at
+    scale. A non-castable id would become NULL and silently collapse all
+    such rows into one bogus null node, so the cast is verified and the
+    operator fails fast instead (map string ids to surrogate longs first
+    — operators/warehouse.py::add_surrogate_key_distributed).
     """
+    # try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    # would throw an opaque NumberFormatException deep inside a task; we
+    # want the contract violation surfaced as one clear driver-side error
+    # in every ANSI setting.
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).try_cast("long").alias("src"),
+        F.col(id_b).try_cast("long").alias("dst"),
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    n_bad = sym.filter(F.col("src").isNull() | F.col("dst").isNull()).count()
+    if n_bad:
+        raise ValueError(
+            f"dedup_clusters_from_pairs: {n_bad} pair endpoint(s) are NULL "
+            f"after casting {id_a!r}/{id_b!r} to long — non-numeric or null "
+            "ids would all collapse into one null node and corrupt every "
+            "cluster they touch. Assign numeric surrogate ids first."
+        )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

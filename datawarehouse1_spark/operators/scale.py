@@ -254,8 +254,11 @@ def compact_table(
 
     The swap is two renames, NOT atomic: between them the table path does
     not exist for a moment. The backup (`__precompact`) is kept until the
-    swapped-in data verifies (_SUCCESS marker + at least one parquet
-    file); on any failure the backup is restored, so a crash can strand a
+    swapped-in data verifies (at least one parquet file; the _SUCCESS
+    marker is required only when the committer actually writes markers —
+    deployments with mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false would otherwise fail verify on every run and silently roll
+    back); on any failure the backup is restored, so a crash can strand a
     `__precompact`/`__compacting` dir but never lose the table. Recovery
     rule: if `path` is missing, promote `__precompact` (pre-compaction
     data, always complete).
@@ -277,13 +280,25 @@ def compact_table(
             .partitionBy(partition_col)
         )
     writer.parquet(staging)
+    # Read the committer conf BEFORE the swap: _SUCCESS is only evidence
+    # of a complete job when the committer is configured to write it
+    # (hadoopConfiguration is where spark.hadoop.* settings land).
+    markers_on = (
+        spark.sparkContext._jsc.hadoopConfiguration()
+        .get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .lower()
+        != "false"
+    )
 
     backup = f"{path}__precompact"
     shutil.move(path, backup)
     try:
         shutil.move(staging, path)
         p = Path(path)
-        if not ((p / "_SUCCESS").exists() and any(p.rglob("*.parquet"))):
+        ok = any(p.rglob("*.parquet")) and (
+            (p / "_SUCCESS").exists() or not markers_on
+        )
+        if not ok:
             raise RuntimeError(f"compaction verify failed for {path}")
     except BaseException:
         if Path(path).exists() and Path(backup).exists():

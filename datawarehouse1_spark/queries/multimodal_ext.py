@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import stringify_array_cols
 from datawarehouse1_spark.multimodal.binary_columns import (
     extract_features,
     frame_sample,
@@ -40,9 +41,11 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode -> feature vectors (stub decoder, real batch
-    plumbing; deterministic across runs via sha256-seeded fake)."""
+    plumbing; deterministic across runs via sha256-seeded fake). The
+    feature array is emitted as its JSON string — driver canon crashes
+    on list cells (CORRECTNESS_r03); operators keep real arrays."""
     assets = synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
-    return extract_features(assets)
+    return stringify_array_cols(extract_features(assets))
 
 
 @declared("q_multimodal_real_decode", oracle=None)
@@ -57,7 +60,7 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
     assets = synthesize_media_assets(docs)
-    return extract_features(assets, decode_fn=stdlib_decode)
+    return stringify_array_cols(extract_features(assets, decode_fn=stdlib_decode))
 
 
 @declared("q_multimodal_frame_sample", oracle=None)
@@ -66,4 +69,4 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthesize_assets_from_documents(
         table(spark, sf_dir, "documents")
     ).filter("modality = 'video'").limit(50)
-    return frame_sample(assets, every_ms=5000)
+    return stringify_array_cols(frame_sample(assets, every_ms=5000))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import array_join_ints
 from datawarehouse1_spark.functions.money import money_sum
 from datawarehouse1_spark.operators.scale import salted_join
 from datawarehouse1_spark.operators.temporal import asof_join_backward, range_join_broadcast
@@ -97,7 +98,7 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg_sorted",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS lines,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
            len(list(l_linenumber)) AS n_lines,
            list_max(list(l_linenumber)) AS max_line
     FROM lineitem
@@ -107,11 +108,13 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-order sorted line-number list + array
     functions (deterministic: collect_list is order-free only after
-    sort_array)."""
+    sort_array). The list is emitted comma-joined — the driver's
+    canonicalization crashes on list cells (CORRECTNESS_r03), so
+    declared output must be scalar; array ops stay real upstream."""
     li = table(spark, sf_dir, "lineitem")
     lst = F.collect_list("l_linenumber")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(lst).alias("lines"),
+        array_join_ints(F.sort_array(lst)).alias("lines"),
         F.size(lst).alias("n_lines"),
         F.array_max(lst).alias("max_line"),
     )

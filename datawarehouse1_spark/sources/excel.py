@@ -63,29 +63,43 @@ def openpyxl_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
     return pd.read_excel(io.BytesIO(data), engine="openpyxl")
 
 
-def _xlsx_out_schema(schema: StructType) -> StructType:
+def _xlsx_out_schema(schema: StructType, with_status: bool = False) -> StructType:
     # copy the field list: StructType.add mutates in place and would
     # otherwise grow the caller's schema
-    return (
+    out = (
         StructType(list(schema.fields))
         .add("source_file", "string")
         .add("imported_at", "timestamp")
     )
+    if with_status:
+        out = out.add("parse_error", "string")
+    return out
 
 
-def _make_xlsx_parse_fn(parser, col_order: list[str], skip_invalid: bool = False):
+def _make_xlsx_parse_fn(
+    parser,
+    col_order: list[str],
+    skip_invalid: bool = False,
+    with_status: bool = False,
+):
     """The shared per-task parse body: file bytes -> validated rows
     projected to the declared schema + lineage columns. Used by both the
     batch scan (read_xlsx_dir) and the streaming source (xlsx_stream).
 
     skip_invalid=True is the streaming mode: a file that fails to parse
-    or validate is logged and SKIPPED (zero rows emitted) instead of
-    raising — raising inside a streaming micro-batch would terminate the
-    query, and the checkpointed source would replay the same bad file on
-    every restart, wedging the stream forever. This mirrors the
-    reference's per-file try/except + status=error semantics
-    (etl/app.py:271-275). Batch mode keeps raising: the caller sees the
-    bad file immediately and no checkpoint is involved."""
+    or validate must NOT raise — raising inside a streaming micro-batch
+    would terminate the query, and the checkpointed source would replay
+    the same bad file on every restart, wedging the stream forever.
+    Batch mode keeps raising: the caller sees the bad file immediately
+    and no checkpoint is involved.
+
+    with_status=True additionally emits ONE status row per failed file
+    (data columns null, `parse_error` = path + exception); good rows get
+    parse_error NULL. That is the reference's durable status=error
+    record per file (etl/app.py:271-275 writes file_metadata rows) —
+    a log line alone leaves operators with no queryable record of
+    skipped uploads, so the streaming ingest sink routes these rows to
+    a quarantine/status table (streaming/file_ingest.py)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import datetime as _dt
@@ -97,16 +111,28 @@ def _make_xlsx_parse_fn(parser, col_order: list[str], skip_invalid: bool = False
                 try:
                     parsed = parser(row["path"], row["content"])
                     validate_required_columns(parsed, col_order, row["path"])
-                except Exception:
+                except Exception as exc:
                     if not skip_invalid:
                         raise
                     logging.getLogger(__name__).exception(
                         "skipping invalid xlsx file %s", row["path"]
                     )
+                    if with_status:
+                        err = pd.DataFrame(
+                            {c: [None] for c in col_order}
+                            | {
+                                "source_file": [os.path.basename(row["path"])],
+                                "imported_at": [now],
+                                "parse_error": [f"{row['path']}: {exc!r}"],
+                            }
+                        )
+                        yield err
                     continue
                 out = parsed[col_order].copy()  # project to declared schema
                 out["source_file"] = os.path.basename(row["path"])
                 out["imported_at"] = now
+                if with_status:
+                    out["parse_error"] = None
                 yield out
 
     return parse
@@ -142,14 +168,17 @@ def xlsx_stream(
     parser=default_xlsx_parser,
     glob: str = LOCK_GLOB,
     max_files_per_trigger: int = 100,
+    with_status: bool = False,
 ) -> DataFrame:
     """Streaming form of read_xlsx_dir: the binaryFile source watches the
     directory (checkpointed exactly-once file tracking — the reference's
     whole polling/file_metadata loop, etl/app.py:249-289), and each new
     file's bytes parse inside the task with the same shared parse body.
     The reference's actual input format, end-to-end on the streaming
-    path. Invalid files are logged and skipped (skip_invalid mode) so
-    one bad upload cannot wedge the checkpointed stream."""
+    path. Invalid files never wedge the checkpointed stream: with
+    with_status=True (the ingest pipeline's mode) each failed file emits
+    a durable parse_error status row for the quarantine sink; with
+    False it is logged and skipped."""
     binary = (
         spark.readStream.format("binaryFile")
         # binaryFile's schema is fixed, but a streaming source requires
@@ -164,8 +193,10 @@ def xlsx_stream(
     )
     col_order = [f.name for f in schema.fields]
     return binary.mapInPandas(
-        _make_xlsx_parse_fn(parser, col_order, skip_invalid=True),
-        schema=_xlsx_out_schema(schema),
+        _make_xlsx_parse_fn(
+            parser, col_order, skip_invalid=True, with_status=with_status
+        ),
+        schema=_xlsx_out_schema(schema, with_status=with_status),
     )
 
 

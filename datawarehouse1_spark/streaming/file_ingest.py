@@ -34,19 +34,33 @@ def stream_ingest(
     fmt: str = "parquet",
     trigger_seconds: int = 60,  # deployed POLLING_INTERVAL (docker-compose.yml:35)
     glob: str = LOCK_GLOB,
+    status_dir: str | None = None,
 ) -> StreamingQuery:
     """Watch a directory, enrich with lineage columns, hand each
     micro-batch to `sink` (typically ingest_sink below). fmt='xlsx'
     routes through the binaryFile source + per-task parse
     (sources/excel.py::xlsx_stream) — the reference's actual input
     format on the streaming path; other formats use the native file
-    sources."""
+    sources.
+
+    On the xlsx path, files that fail to parse/validate are recorded as
+    durable status=error rows in `status_dir` (default:
+    `<checkpoint_dir>/file_status`, queryable parquet) — the reference's
+    per-file file_metadata status row (etl/app.py:271-275). A log-only
+    skip would leave operators with no record of dropped uploads."""
     if fmt == "xlsx":
         from datawarehouse1_spark.sources.excel import xlsx_stream
 
         # lineage columns are added inside the parse body
         stream = xlsx_stream(
-            spark, watch_dir, schema, glob=glob if glob != LOCK_GLOB else "[!~]*.xlsx"
+            spark,
+            watch_dir,
+            schema,
+            glob=glob if glob != LOCK_GLOB else "[!~]*.xlsx",
+            with_status=True,
+        )
+        sink = _with_status_sink(
+            sink, status_dir or f"{checkpoint_dir.rstrip('/')}/file_status"
         )
     else:
         stream = (
@@ -65,6 +79,35 @@ def stream_ingest(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def _with_status_sink(
+    inner: Callable[[DataFrame, int], None], status_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink: route parse_error status rows to a
+    durable quarantine table (append-only parquet — one row per failed
+    file: source_file, parse_error, imported_at, batch_id), pass clean
+    rows (parse_error column dropped) to the wrapped sink. The batch is
+    persisted because it is consumed twice — without the persist each
+    filter would re-run the whole mapInPandas parse."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            errors = batch.filter(F.col("parse_error").isNotNull()).select(
+                "source_file",
+                "parse_error",
+                "imported_at",
+                F.lit(batch_id).alias("batch_id"),
+                F.lit("error").alias("status"),
+            )
+            if not errors.isEmpty():
+                errors.write.mode("append").parquet(status_dir)
+            inner(batch.filter(F.col("parse_error").isNull()).drop("parse_error"), batch_id)
+        finally:
+            batch.unpersist()
+
+    return sink
 
 
 def make_ingest_sink(

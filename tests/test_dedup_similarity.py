@@ -235,6 +235,26 @@ def test_dedup_clusters_from_pairs(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_rejects_non_numeric_ids(spark):
+    """Numeric-id contract: a string id that can't cast to long would
+    become NULL and collapse every such row into one bogus null node —
+    the operator must fail fast instead of producing wrong clusters."""
+    import pytest as _pytest
+
+    from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    with _pytest.raises(ValueError, match="NULL after casting"):
+        dedup_clusters_from_pairs(pairs).collect()
+
+    # numeric strings are fine (cast succeeds for every endpoint)
+    ok = spark.createDataFrame([("1", "2"), ("2", "3")], "id_a string, id_b string")
+    got = {r.id: r.keeper for r in dedup_clusters_from_pairs(ok).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_dedup_clusters_composes_with_minhash(spark, docs_with_dupes):
     """End-to-end dedup: minhash pairs -> clusters -> keeper per injected
     copy is its original."""

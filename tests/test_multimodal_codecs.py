@@ -126,7 +126,11 @@ def test_real_decode_through_spark_pipeline(spark):
 
 def test_real_decode_declared_query(spark):
     """q_multimodal_real_decode: executor-side synthesis of genuine
-    WAV/BMP bytes, stdlib decode, deterministic features."""
+    WAV/BMP bytes, stdlib decode, deterministic features. The declared
+    query emits `feature` as a JSON string (driver canon can't hash list
+    cells) — parse it back here to assert on the decoded values."""
+    import json
+
     from datawarehouse1_spark.registry import QUERIES, load_all
 
     load_all()
@@ -136,8 +140,10 @@ def test_real_decode_declared_query(spark):
     for r in out:
         by_mod.setdefault(r.modality, []).append(r)
     assert set(by_mod) == {"audio", "image"}
-    assert all(abs(r.feature[0] - 0.05) < 1e-6 for r in by_mod["audio"])  # duration
-    assert all(r.feature[0] == 16.0 and r.feature[1] == 16.0 for r in by_mod["image"])
+    assert all(isinstance(r.feature, str) for r in out)  # driver-safe scalar
+    feats = {mod: [json.loads(r.feature) for r in rs] for mod, rs in by_mod.items()}
+    assert all(abs(f[0] - 0.05) < 1e-6 for f in feats["audio"])  # duration
+    assert all(f[0] == 16.0 and f[1] == 16.0 for f in feats["image"])
     assert all(r.sha256 is not None and r.n_bytes > 0 for r in out)
 
 

@@ -263,6 +263,36 @@ def test_compact_table_leaves_no_residue(spark, tmp_path):
     assert residue == [], f"leftover staging/backup dirs: {residue}"
 
 
+def test_compact_table_without_success_markers(spark, tmp_path):
+    """marksuccessfuljobs=false deployments write no _SUCCESS file; the
+    verify step must then accept a parquet-bearing output instead of
+    rolling back every compaction (round-4 ADVICE fix)."""
+    from pathlib import Path
+
+    from datawarehouse1_spark.operators.scale import compact_table
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key, "true")
+    hconf.set(key, "false")
+    try:
+        path = str(tmp_path / "frag_nomarker")
+        for i in range(4):
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        rows_before = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+        n_out = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+        assert n_out == 1
+        assert not (Path(path) / "_SUCCESS").exists()  # committer really off
+        rows_after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+        assert rows_after == rows_before
+        residue = [p.name for p in tmp_path.iterdir() if "__" in p.name]
+        assert residue == []
+    finally:
+        hconf.set(key, old)
+
+
 def test_compact_table_restores_backup_on_failure(spark, tmp_path, monkeypatch):
     """If the swap fails mid-flight the original table is restored from
     the backup — compaction can strand a staging dir but never lose the

@@ -180,10 +180,11 @@ def test_streaming_xlsx_ingest_real_bytes(tmp_path, spark):
 
 
 def test_streaming_xlsx_skips_invalid_file(tmp_path, spark):
-    """One bad upload (wrong columns for the target table) must be
-    logged and skipped — the stream keeps running and later valid files
-    still ingest. A raise here would wedge the checkpointed stream on
-    replay forever."""
+    """One bad upload (wrong columns for the target table) must not wedge
+    the stream AND must leave a durable status=error row (the reference
+    records per-file status in file_metadata, etl/app.py:271-275 — a log
+    line alone gives operators no queryable record). Later valid files
+    still ingest."""
     from datawarehouse1_spark.streaming.file_ingest import (
         make_ingest_sink,
         stream_ingest,
@@ -217,10 +218,21 @@ def test_streaming_xlsx_skips_invalid_file(tmp_path, spark):
     try:
         q.processAllAvailable()
         assert q.isActive  # bad file did not kill the stream
+
+        # durable queryable record of the skipped upload
+        status = spark.read.parquet(str(tmp_path / "ckpt" / "file_status")).collect()
+        assert len(status) == 1
+        assert status[0].source_file == "bad_clients.xlsx"
+        assert status[0].status == "error"
+        assert "missing required columns" in status[0].parse_error
+
         # a valid file arriving later still ingests
         shutil.copyfile(REF_XLSX / "ventes.xlsx", watch / "ventes.xlsx")
         q.processAllAvailable()
         rows = spark.read.parquet(table_path).collect()
         assert [r.vente_id for r in rows] == ["VNT001"]
+        # no status row for the good file
+        status = spark.read.parquet(str(tmp_path / "ckpt" / "file_status")).collect()
+        assert len(status) == 1
     finally:
         q.stop()
