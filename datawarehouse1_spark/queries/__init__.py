@@ -20,6 +20,7 @@ _MODULES = (
     "profiling",
     "analytics_ext",
     "tpch",
+    "tpch_ext",
 )
 
 

@@ -59,6 +59,20 @@ EXCHANGE_BUDGET = {
     "q_pandas_udf_scalar": 0,  # ArrowEvalPython, narrow
     "q_builtin_charge": 0,
     "q_multimodal_metadata": 0,
+    # r4 audit of the completed TPC-H canon (sf0.001, local[8]):
+    "q_tpch_q2_min_cost_supplier": 2,  # partkey window (+1 when distinct not merged)
+    "q_tpch_q4_order_priority": 1,  # semi-join broadcast + priority agg
+    "q_tpch_q7_volume_shipping": 1,  # orderkey fact join + final agg
+    "q_tpch_q8_market_share": 1,
+    "q_tpch_q9_product_type_profit": 1,
+    "q_tpch_q11_important_stock": 2,  # partkey agg + 1-row total broadcast
+    "q_tpch_q12_shipping_priority_class": 1,
+    "q_tpch_q15_top_supplier": 4,  # revenue view ×2 (join + max) + sort
+    "q_tpch_q16_parts_supplier": 2,  # two-level distinct-count agg
+    "q_tpch_q17_small_quantity_revenue": 2,  # per-part avg agg + global agg
+    "q_tpch_q19_discounted_revenue": 1,
+    "q_tpch_q20_part_promotion": 2,  # suppkey HAVING agg feeding semi join
+    "q_tpch_q21_waiting_supplier": 3,  # one stats agg + orderkey join + name agg
 }
 
 
