@@ -8,7 +8,7 @@ in whole-stage codegen; no Python in any of these.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
@@ -305,4 +305,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+# --- ext: group-wise top-k curation (keep best N docs per language) ---
+@declared(
+    "q_curation_topk_per_lang",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS tokens
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(tokens,
+                  t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+               / len(tokens) AS score
+      FROM toks WHERE len(tokens) > 0
+    )
+    SELECT lang, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+    """,
+)
+def q_curation_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: keep the best-scoring N documents per
+    language bucket — the group-wise top-k that follows quality scoring
+    in a pre-training pipeline ("best 10% per language/domain"). One
+    window over (lang) with a deterministic double score (stopword-hit
+    ratio) and doc_id tiebreak; at 100 TB the rank shuffle carries only
+    (lang, doc_id, score), never document bodies, and per-lang
+    partitions rank independently."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    scored = (
+        d.select("doc_id", "lang", toks.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.size(F.filter("tokens", lambda t: F.array_contains(stop, t)))
+                .cast("double") / F.size("tokens")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "score", "rk")
     )
