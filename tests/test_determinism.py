@@ -26,6 +26,12 @@ RISKY = [
     "q_dedup_fuzzy_names",         # blocked self-join
     "q_sample_hash_mixture",       # hash-threshold selection
     "q_tpch_q10_returned_items",   # top-20 revenue ties
+    # r4 additions with nontrivial determinism surface:
+    "q_tpch_q2_min_cost_supplier",    # min-price ties + LIMIT boundary
+    "q_tpch_q15_top_supplier",        # max-equality on derived doubles
+    "q_tpch_q17_small_quantity_revenue",  # avg-threshold comparison
+    "q_tpch_q21_waiting_supplier",    # numwait ties + LIMIT boundary
+    "q_curation_topk_per_lang",       # window rank ties on double score
 ]
 
 

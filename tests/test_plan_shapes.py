@@ -124,7 +124,13 @@ def test_flagship_survives_no_broadcast(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_tpch_q3_shipping_priority", "q_join_multi_star"]
+    "name",
+    [
+        "q_tpch_q3_shipping_priority",
+        "q_join_multi_star",
+        "q_tpch_q8_market_share",  # widest star in the repo (8-way)
+        "q_tpch_q21_waiting_supplier",  # decorrelated EXISTS pair
+    ],
 )
 def test_join_queries_survive_no_broadcast(spark, name):
     """Same flip for the other broadcast-reliant joins: at 100 TB
