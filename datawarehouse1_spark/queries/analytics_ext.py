@@ -5,7 +5,7 @@ one or two shuffles each, oracle-matched."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
@@ -112,4 +112,41 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# --- ext: event-sequence transition matrix (path analysis) ---
+@declared(
+    "q_events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style path analysis: counts of consecutive event-type
+    transitions per user — the sequence-analytics shape behind funnels
+    and session-flow dashboards. One window shuffle on user_id (events
+    already cluster by user at scale if the table is user-bucketed),
+    then a tiny (|types|²-row) aggregate; (ts, event_id) ordering makes
+    the LAG total even when timestamps tie."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
     )

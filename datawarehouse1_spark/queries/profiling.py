@@ -147,3 +147,49 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.99)").alias("p99"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- ext: heavy-hitter / skew diagnosis report ---
+@declared(
+    "q_heavy_hitters",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS key_revenue
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT COUNT(*) AS total_lines FROM lineitem)
+    SELECT l_orderkey, n_lines, key_revenue,
+           CAST(n_lines AS DOUBLE) / total_lines AS share
+    FROM per_key, tot
+    ORDER BY n_lines DESC, key_revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the top-N join keys by row count with their share
+    of the table — the report you run BEFORE picking a salting factor or
+    trusting AQE's skew-join split. Partial-aggregated groupBy, a 1-row
+    total broadcast for the share, and TakeOrderedAndProject for the
+    top-N (no global sort); total order via (n_lines, key_revenue,
+    l_orderkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("key_revenue"),
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total_lines"))
+    return (
+        per_key.join(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "n_lines",
+            "key_revenue",
+            (F.col("n_lines").cast("double") / F.col("total_lines")).alias("share"),
+        )
+        .orderBy(F.desc("n_lines"), F.desc("key_revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )

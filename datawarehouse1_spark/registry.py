@@ -75,6 +75,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_frame_sample",
     "q_multimodal_real_decode",
     "q_curation_topk_per_lang",  # new in r4: group-wise top-k curation
+    "q_events_transition_matrix",  # new in r4: sequence/path analytics
+    "q_heavy_hitters",  # new in r4: skew diagnosis report
     # -- re-checks: operator code changed this round --
     "q_dedup_clusters",  # dedup_clusters_from_pairs id-contract change
     "q_dedup_fuzzy_names",
