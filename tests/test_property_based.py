@@ -186,3 +186,61 @@ def test_lsh_curve_separates_around_threshold(threshold):
     above = lsh_collision_probability(min(threshold + 0.2, 1.0), b, r)
     below = lsh_collision_probability(max(threshold - 0.2, 0.0), b, r)
     assert above - below > 0.3
+
+
+# ---------- round-4 query invariants (cross-column consistency) ----------
+
+
+def test_transition_matrix_counts_conserve(spark):
+    """Each user with n>=1 events contributes exactly n-1 transitions, so
+    sum(n_transitions) == total_events - distinct_users — a conservation
+    law the window+agg must respect under any partitioning."""
+    from datawarehouse1_spark import registry
+    from datawarehouse1_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    out = registry.QUERIES["q_events_transition_matrix"](spark, SF_DIR)
+    total_transitions = sum(r.n_transitions for r in out.collect())
+    ev = table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_transitions == n_events - n_users
+
+
+def test_heavy_hitters_shares_and_order(spark):
+    """Shares are each key's count over the table total (so the top-20
+    sum stays within (0, 1]) and rows arrive in the declared total
+    order."""
+    from datawarehouse1_spark import registry
+    from datawarehouse1_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    rows = registry.QUERIES["q_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = table(spark, SF_DIR, "lineitem").count()
+    for r in rows:
+        assert abs(r.share - r.n_lines / total) < 1e-12
+    keys = [(-r.n_lines, -r.key_revenue, r.l_orderkey) for r in rows]
+    assert keys == sorted(keys)
+    assert 0 < sum(r.share for r in rows) <= 1.0
+
+
+def test_curation_topk_is_topk_of_full_ranking(spark):
+    """The per-language top-20 must equal the brute-force head of the
+    full score ranking (score desc, doc_id asc) for every language."""
+    from collections import defaultdict
+
+    from datawarehouse1_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    out = registry.QUERIES["q_curation_topk_per_lang"](spark, SF_DIR).collect()
+    by_lang = defaultdict(list)
+    for r in out:
+        by_lang[r.lang].append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) <= 20
+        ranked = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+        assert [r.rk for r in ranked] == list(range(1, len(rows) + 1)), lang
