@@ -397,14 +397,19 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the SAME derived table. Both engines derive
     total_revenue from identical exact-decimal sums cast to double, so
     the max-equality boundary is bit-identical. The one-row max
-    broadcasts; the revenue view is computed once (cached plan reuse is
-    Catalyst's, semantics don't depend on it)."""
+    broadcasts. The revenue view feeds BOTH the supplier join and the
+    max — localCheckpoint materializes it once (per-supplier rows, tiny
+    next to lineitem), so the fact scan + aggregation run once instead
+    of twice; without it Catalyst re-executes the whole subtree for
+    each consumer."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).cast("double").alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier")

@@ -67,7 +67,7 @@ EXCHANGE_BUDGET = {
     "q_tpch_q9_product_type_profit": 1,
     "q_tpch_q11_important_stock": 2,  # partkey agg + 1-row total broadcast
     "q_tpch_q12_shipping_priority_class": 1,
-    "q_tpch_q15_top_supplier": 4,  # revenue view ×2 (join + max) + sort
+    "q_tpch_q15_top_supplier": 2,  # checkpointed revenue view + sort
     "q_tpch_q16_parts_supplier": 2,  # two-level distinct-count agg
     "q_tpch_q17_small_quantity_revenue": 2,  # per-part avg agg + global agg
     "q_tpch_q19_discounted_revenue": 1,

@@ -172,3 +172,76 @@ def test_multimodal_features_feed_ann(spark):
     out = ivf_topk(feats, queries, k=3, n_centroids=4, nprobe=2).collect()
     assert out and all(r.query_id != r.neighbor_id for r in out)
     assert all(r.rnk <= 3 for r in out)
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: the standard streaming warehouse enrichment —
+    an event stream joined to a static dimension table (no state, the
+    dim broadcasts into every micro-batch)."""
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro"), (2, "enterprise")], "user_id long, tier string"
+    )
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select((F.col("value") % 3).alias("user_id"), "timestamp")
+    )
+    q = (
+        events.join(dim, "user_id")
+        .writeStream.format("memory").queryName("enriched_out")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .start()
+    )
+    try:
+        # NOTE: no processAllAvailable — on a rate source it can block
+        # forever (new data keeps arriving); poll the sink instead.
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.sql("SELECT * FROM enriched_out").collect()
+            time.sleep(0.5)
+        assert rows, "no enriched rows produced"
+        assert {r.tier for r in rows} <= {"free", "pro", "enterprise"}
+        assert all(r.tier is not None for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Watermarked stream-stream inner join (views ⋈ purchases per user
+    within an event-time interval) — state on both sides is bounded by
+    the watermarks, the construction that survives an unbounded run."""
+    base = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select((F.col("value") % 5).alias("user_id"), F.col("timestamp").alias("ts"))
+    )
+    views = base.withColumnRenamed("ts", "view_ts").withWatermark("view_ts", "10 seconds")
+    buys = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select((F.col("value") % 5).alias("user_id"), F.col("timestamp").alias("buy_ts"))
+        .withWatermark("buy_ts", "10 seconds")
+    )
+    joined = views.join(
+        buys,
+        (views.user_id == buys.user_id)
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 5 SECONDS")),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .start()
+    )
+    try:
+        # poll, never processAllAvailable (rate sources feed forever)
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.sql("SELECT * FROM ss_join_out").collect()
+            time.sleep(0.5)
+        assert rows, "stream-stream join produced no rows"
+        from datetime import timedelta
+
+        for r in rows[:50]:
+            assert r.view_ts <= r.buy_ts <= r.view_ts + timedelta(seconds=5)
+    finally:
+        q.stop()
