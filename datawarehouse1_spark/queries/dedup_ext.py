@@ -16,6 +16,7 @@ from datawarehouse1_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_neardup_pairs,
 )
 from datawarehouse1_spark.registry import declared
 
@@ -155,6 +156,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return simhash_dedup(staged)
+
+
+@declared("q_dedup_simhash_neardup", oracle=None)
+def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=k near-dup pairs (the distance>0 tier round-3
+    VERDICT noted had no declared query). Pigeonhole block-banded bucket
+    joins (operators/dedup.py::simhash_neardup_pairs) — perfect recall at
+    the stated distance; only (id, fingerprint, block) longs shuffle.
+    Rows-only: xxhash64 fingerprints have no DuckDB twin; recall vs the
+    brute-force scan is pytest-asserted (tests/test_dedup_similarity.py).
+    Staged near-dups: every 9th doc gets a word-dropped twin so distance
+    in (0, k] pairs exist at any SF."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # twin = original minus its last two words: a few token votes flip,
+    # landing most twins at small-but-nonzero hamming distance
+    twin = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.col("text"), r"\s+"),
+                F.lit(1),
+                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 2, F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return simhash_neardup_pairs(d.unionByName(twin), max_hamming=3)
 
 
 # Per-language sampling rates for the mixture query, expressed as an

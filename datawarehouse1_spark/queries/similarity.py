@@ -68,28 +68,64 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- north-star: embedding-cosine near-duplicate pairs ---
+# Raw sf0.01 embeddings are near-orthogonal (max pairwise cos ~0.385 in
+# the bounded subset), so a bare threshold query certifies vacuously
+# (0 = 0 rows, round-3 VERDICT gap #3). Stage deterministic near-dups:
+# every third vector gets a perturbed twin (+0.01·((i mod 5)−2) per
+# component, id+1000). Both engines build the twin with the same indexed
+# transform in double, and cosine folds left-to-right in double on both
+# sides (functions/vector.py), so the staged pairs hash-match exactly.
 @declared(
     "q_embedding_neardup",
     oracle=f"""
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id < 60
+    ),
+    twins AS (
+      SELECT vec_id + 1000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i] + 0.01 * CAST(((i - 1) % 5) - 2 AS DOUBLE))
+               AS embedding
+      FROM base WHERE vec_id % 3 = 0
+    ),
+    sub AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {sql_cosine('a.embedding', 'b.embedding')} AS cos
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.4
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.8
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection in embedding space: pairs above a cosine
-    threshold. Bounded subset for the exact oracle; the full-corpus path
-    goes through LSH bucketing (operators/similarity.py) so candidate
-    pairs, not all pairs, are scored."""
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    threshold, certified non-vacuously against staged perturbed twins.
+    Bounded subset for the exact oracle; the full-corpus path goes
+    through LSH bucketing (operators/similarity.py) so candidate pairs,
+    not all pairs, are scored."""
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    twins = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.lit(0.01) * ((i % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    sub = base.unionByName(twins)
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine("ea", "eb").alias("cos"))
-        .filter(F.col("cos") > 0.4)
+        .filter(F.col("cos") > 0.8)
     )
 
 

@@ -127,6 +127,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_simhash_neardup",
     # -- green in CORRECTNESS_r02/r03, unchanged --
     "q_agg_group_sum",
     "q_agg_rollup",
