@@ -18,6 +18,16 @@ registry.load_all()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    import sys
+
+    from datawarehouse1_spark.schema_guard import check_testdata_schema
+
+    # Non-fatal named-diff warning (r4: silent upstream re-encode of
+    # events.ts broke 13 queries; the catalog reader is now adaptive, but
+    # surface any NEW drift here where it's visible in the driver log).
+    for finding in check_testdata_schema("/root/testdata/sf0.001"):
+        print(f"[schema-drift] {finding}", file=sys.stderr)
+
     fn = registry.QUERIES["q_flagship_monthly_revenue"]
     return fn(spark, "/root/testdata/sf0.001")
 

@@ -54,6 +54,13 @@ def run_one(spark, fn, sf_dir: str) -> float:
 
 def main() -> None:
     from datawarehouse1_spark import get_spark, registry
+    from datawarehouse1_spark.schema_guard import check_testdata_schema
+
+    # Named-diff drift warning (r4 lesson: events.ts re-encoded upstream and
+    # the bench died 12 queries in with no artifact). Non-fatal: the
+    # catalog's adaptive readers may still cope, so keep benching.
+    for finding in check_testdata_schema(SF_DIR):
+        print(f"[schema-drift] {finding}", file=sys.stderr)
 
     registry.load_all()
     spark = get_spark("datawarehouse1-bench")

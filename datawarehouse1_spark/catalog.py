@@ -42,25 +42,109 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects; read nanos as long (runtime-settable conf, so it works
-        # under any caller's session) and floor to microseconds — the same
-        # truncation DuckDB applies when materializing ns timestamps.
-        from pyspark.sql import functions as F
+        return _read_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div, not double div: ns values (~1.7e18) lose ulp
-        # precision through a double and floor off-by-one. NTZ via
-        # ntz_utc: timestamp_micros yields an LTZ instant, which would
-        # drag the session time zone into window/date_trunc results —
-        # the naive source means UTC wall clock (as DuckDB reads it).
-        from datawarehouse1_spark.functions import ntz_utc
 
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events with `ts` normalized to TIMESTAMP_NTZ (UTC wall clock).
+
+    The upstream testdata's parquet encoding for `ts` has drifted across
+    generations (TIMESTAMP(NANOS) at first, plain timestamp[us] later), so
+    we branch on the type Spark ACTUALLY loads instead of assuming one
+    encoding:
+
+    - LongType        -> TIMESTAMP(NANOS) surfaced via nanosAsLong; integer
+                         div to micros (double div loses ulp precision at
+                         ~1.7e18 ns and floors off-by-one), then ntz_utc
+                         because timestamp_micros manufactures an LTZ
+                         instant that would drag the session time zone into
+                         window/date_trunc results.
+    - TimestampType   -> an LTZ instant; rebase to the UTC wall clock NTZ.
+    - TimestampNTZType-> already the naive UTC wall clock DuckDB reads;
+                         pass through untouched.
+
+    Any other type is a new, unhandled drift: fail loudly with the loaded
+    schema so the next upstream change is a one-line error, not a stack
+    trace 13 queries deep.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    from datawarehouse1_spark.functions import ntz_utc
+
+    # Runtime-settable conf; harmless when the file is not TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, TimestampNTZType):
+        return df
+    if isinstance(dtype, LongType):
         return df.withColumn(
             "ts", ntz_utc(F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if isinstance(dtype, TimestampType):
+        return df.withColumn("ts", ntz_utc(F.col("ts")))
+    raise TypeError(
+        f"events.ts loaded as unsupported type {dtype}; expected "
+        "timestamp_ntz, timestamp, or bigint (nanosAsLong). The testdata "
+        "encoding drifted again — extend catalog._read_events."
+    )
+
+
+def events_stream_source(spark: SparkSession, src_dir: str, **read_options):
+    """Streaming twin of _read_events: `readStream` needs an explicit
+    schema up front, so branch on the parquet FOOTER (pyarrow, no Spark
+    job) to pick the schema + normalizer matching the file's actual
+    `ts` encoding — same drift-proofing as the batch path.
+
+    Returns a streaming DataFrame with `ts` normalized to TIMESTAMP_NTZ
+    (UTC wall clock), identical to what catalog.table() yields in batch.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datawarehouse1_spark.functions import ntz_utc
+
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    ts_type = str(pq.read_schema(files[0]).field("ts").type)
+
+    base = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_field = T.StructField("ts", T.LongType())
+        normalize = lambda c: ntz_utc(  # noqa: E731
+            F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type.startswith("timestamp[") and "tz=" in ts_type:
+        ts_field = T.StructField("ts", T.TimestampType())
+        normalize = lambda c: ntz_utc(c)  # noqa: E731
+    elif ts_type.startswith("timestamp["):
+        ts_field = T.StructField("ts", T.TimestampNTZType())
+        normalize = lambda c: c  # noqa: E731
+    else:
+        raise TypeError(
+            f"events.ts parquet encoding {ts_type!r} unsupported; extend "
+            "catalog.events_stream_source alongside _read_events."
+        )
+
+    schema = T.StructType(base[:1] + [ts_field] + base[1:])
+    reader = spark.readStream.schema(schema)
+    for k, v in read_options.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(src_dir)
+    return df.withColumn("ts", normalize(F.col("ts")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

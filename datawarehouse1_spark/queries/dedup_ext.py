@@ -145,15 +145,24 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _twin_id_base(d: DataFrame):
+    """Collision-proof offset for staged twin ids: max(doc_id)+1, derived
+    from the data itself (ADVICE r4: a hardcoded +100000 silently collides
+    with real doc_ids if a larger SF ever ships). One single-row partial
+    aggregate, broadcast into the twin projection — no extra shuffle of
+    the documents table."""
+    return F.broadcast(d.agg((F.max("doc_id") + 1).alias("_twin_base")))
+
+
 @declared("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with keeper/copy marking over documents plus
     injected exact dupes."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     staged = d.unionByName(
-        d.filter(F.col("doc_id") % 9 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
-        )
+        d.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(_twin_id_base(d))
+        .select((F.col("doc_id") + F.col("_twin_base")).alias("doc_id"), "text")
     )
     return simhash_dedup(staged)
 
@@ -170,17 +179,27 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in (0, k] pairs exist at any SF."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # twin = original minus its last two words: a few token votes flip,
-    # landing most twins at small-but-nonzero hamming distance
-    twin = d.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(
-            F.slice(
-                F.split(F.col("text"), r"\s+"),
-                F.lit(1),
-                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 2, F.lit(1)),
-            ),
-            " ",
-        ).alias("text"),
+    # landing most twins at small-but-nonzero hamming distance. Tokens
+    # bound once and empty-filtered (ADVICE r4: split on \s+ leaves a
+    # leading "" for texts with leading whitespace, skewing the slice).
+    twin = (
+        d.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(_twin_id_base(d))
+        .withColumn(
+            "_toks",
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")),
+        )
+        .select(
+            (F.col("doc_id") + F.col("_twin_base")).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - 2, F.lit(1)),
+                ),
+                " ",
+            ).alias("text"),
+        )
     )
     return simhash_neardup_pairs(d.unionByName(twin), max_hamming=3)
 

@@ -29,6 +29,15 @@ TABLES = (
 )
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _testdata_schema_gate():
+    """Fail the whole run with ONE named diff if the testdata drifted
+    (r4: an upstream events.ts re-encode surfaced as 25 opaque failures)."""
+    from datawarehouse1_spark.schema_guard import assert_testdata_schema
+
+    assert_testdata_schema(SF_DIR)
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")

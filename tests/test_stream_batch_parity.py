@@ -6,31 +6,12 @@ the engine's C19 operators rely on, verified on real data."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.catalog import events_stream_source, table
 from tests.conftest import SF_DIR
-
-RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def test_streaming_tumbling_equals_batch(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory: expose the (read-only) events
     # file through a symlink in a temp dir
     import os
@@ -38,14 +19,11 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
     src_dir = tmp_path / "events_src"
     src_dir.mkdir()
     os.symlink(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
-    from datawarehouse1_spark.functions import ntz_utc
 
-    raw = (
-        spark.readStream.schema(RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src_dir))
-        .withColumn("ts", ntz_utc(F.timestamp_micros(F.expr("ts div 1000"))))
-    )
+    # schema + ts normalization branch on the file's actual encoding
+    # (r4 lesson: the fixture hardcoded TIMESTAMP(NANOS) and broke when
+    # the driver re-encoded to timestamp[us])
+    raw = events_stream_source(spark, str(src_dir), maxFilesPerTrigger=1)
     counts = (
         raw.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
