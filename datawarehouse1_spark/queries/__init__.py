@@ -19,6 +19,8 @@ _MODULES = (
     "scale_ext",
     "profiling",
     "analytics_ext",
+    "analytics_r5",
+    "text_r5",
     "tpch",
     "tpch_ext",
 )

@@ -1,0 +1,143 @@
+"""Semantic invariants for the round-5 battery — properties the oracle
+hash can't see (interval algebra, monotonicity, error bounds) plus the
+schema-drift guard's own behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_scd2_intervals_chain(spark):
+    """Per user: intervals are ordered, non-overlapping, and chained —
+    each valid_to equals the next valid_from; exactly one open interval
+    (valid_to IS NULL) per user."""
+    df = registry.QUERIES["q_scd2_user_state"](spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = df.withColumn("next_from", F.lead("valid_from").over(w))
+    bad_chain = chained.filter(
+        F.col("valid_to").isNotNull()
+        & (F.col("valid_to") != F.col("next_from"))
+    ).count()
+    assert bad_chain == 0
+    open_per_user = (
+        df.groupBy("user_id")
+        .agg(F.sum(F.col("valid_to").isNull().cast("int")).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+        .count()
+    )
+    assert open_per_user == 0
+
+
+def test_dau_wau_bounds(spark):
+    """WAU dominates DAU on every day and never exceeds the trailing
+    7-day DAU sum (distinct-union upper bound)."""
+    df = registry.QUERIES["q_events_dau_wau"](spark, SF_DIR).collect()
+    by_day = {r.day: r for r in df}
+    days = sorted(by_day)
+    for d in days:
+        r = by_day[d]
+        assert r.wau >= r.dau, f"{d}: wau {r.wau} < dau {r.dau}"
+    # trailing-sum upper bound
+    for i, d in enumerate(days):
+        window = [by_day[x].dau for x in days[max(0, i - 6): i + 1]]
+        assert by_day[d].wau <= sum(window)
+
+
+def test_pareto_cumulative_share(spark):
+    """cum_share is nondecreasing along the spend ranking and ends at
+    exactly 1.0 (exact-decimal totals make the last division exact-ish)."""
+    rows = (
+        registry.QUERIES["q_orders_pareto"](spark, SF_DIR)
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .collect()
+    )
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_moving_avg_first_row_is_identity(spark):
+    """A 7-row trailing mean over the first row is the row itself."""
+    first = (
+        registry.QUERIES["q_window_moving_avg"](spark, SF_DIR)
+        .orderBy("day")
+        .first()
+    )
+    assert first.ma7 == pytest.approx(first.revenue, abs=1e-9)
+
+
+def test_quantize_error_within_half_step(spark):
+    """Symmetric int8 quantization error is bounded by half a step:
+    err <= amax/254 (plus 1 micro-unit of floor slack)."""
+    bad = (
+        registry.QUERIES["q_embedding_quantize_error"](spark, SF_DIR)
+        .filter(
+            F.col("max_abs_err_e6")
+            > F.col("amax_e6") / F.lit(254.0) + F.lit(1.0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_contamination_nonvacuous(spark):
+    """The staged benchmark split must actually overlap the corpus —
+    a zero-row result would make the check vacuously green."""
+    df = registry.QUERIES["q_text_contamination_overlap"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert all(r.n_contaminated_docs >= 1 for r in rows)
+
+
+def test_ntile_quartiles_balanced(spark):
+    """ntile(4) bucket sizes differ by at most 1 (the defining property)."""
+    sizes = [
+        r.n
+        for r in registry.QUERIES["q_window_ntile_quartile"](spark, SF_DIR)
+        .groupBy("quartile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+
+
+# --- schema guard ---
+
+
+def test_schema_guard_clean_on_real_testdata():
+    from datawarehouse1_spark.schema_guard import check_testdata_schema
+
+    assert check_testdata_schema(SF_DIR) == []
+
+
+def test_schema_guard_names_the_drift(tmp_path):
+    """A drifted column type must be reported as a single named finding,
+    not an opaque failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse1_spark.schema_guard import (
+        TestdataSchemaDrift,
+        assert_testdata_schema,
+        check_testdata_schema,
+    )
+
+    # region with r_regionkey drifted int32 -> string
+    tbl = pa.table(
+        {"r_regionkey": pa.array(["0"]), "r_name": pa.array(["AFRICA"])}
+    )
+    pq.write_table(tbl, tmp_path / "region.parquet")
+    findings = check_testdata_schema(str(tmp_path))
+    drift = [f for f in findings if f.startswith("region.r_regionkey")]
+    assert drift and "drifted to 'string'" in drift[0]
+    # everything else reported missing, and the assert raises with the diff
+    with pytest.raises(TestdataSchemaDrift, match="r_regionkey"):
+        assert_testdata_schema(str(tmp_path))
