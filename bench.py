@@ -65,9 +65,18 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("datawarehouse1-bench")
 
+    # Per-query isolation: one crashing query must not zero the whole
+    # artifact (r4: a mid-list failure left BENCH_r04 as a bare stack
+    # trace with no number). Failures are recorded by name and the JSON
+    # line is ALWAYS printed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, registry.QUERIES[name], SF_DIR), 4)
+        try:
+            timings[name] = round(run_one(spark, registry.QUERIES[name], SF_DIR), 4)
+        except Exception as ex:  # noqa: BLE001 - record and keep benching
+            errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+            print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -77,8 +86,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
     }
+    if errors:
+        out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
     spark.stop()
+    # non-zero exit still signals the driver, but the artifact above is
+    # complete for every query that ran
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

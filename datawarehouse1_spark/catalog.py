@@ -109,7 +109,14 @@ def events_stream_source(spark: SparkSession, src_dir: str, **read_options):
 
     from datawarehouse1_spark.functions import ntz_utc
 
-    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    # *.parquet entries may be plain files or Spark-written directories
+    # (part files inside); sniff the first actual file's footer.
+    files = [
+        f
+        for pattern in ("*.parquet", "*.parquet/part-*.parquet")
+        for f in sorted(glob.glob(os.path.join(src_dir, pattern)))
+        if os.path.isfile(f)
+    ]
     if not files:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
     ts_type = str(pq.read_schema(files[0]).field("ts").type)

@@ -265,6 +265,76 @@ def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q_docs_dup_rate_by_source",
+    oracle="""
+    WITH hashed AS (SELECT source, md5(text) AS h FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT h) AS n_dupes
+    FROM hashed GROUP BY source
+    """,
+)
+def q_docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-provider quality report
+    that decides which feeds need dedup attention. Only (source, md5)
+    shuffles; document bodies never move. At 100 TB the COUNT(DISTINCT)
+    switches to approx_count_distinct with no shape change."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select("source", F.md5("text").alias("h"))
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dupes"),
+    )
+
+
+@declared(
+    "q_curation_pack_chunks",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang, len({_TOKENIZE_SQL}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM counted
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS chunk_id
+    FROM cum
+    """,
+)
+def q_curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training: documents are
+    concatenated per language in stable doc_id order and assigned to
+    2048-token chunks by where each document STARTS in the running
+    token stream (documents may straddle a boundary — the standard
+    pack-then-split tokenizer behavior, not bin packing). One shuffle to
+    lang partitions, one running DECIMAL-free integer sum; deterministic
+    because the order key is the unique doc_id. At 100 TB the per-lang
+    ordering becomes a range-partitioned sort — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+        ).cast("long").alias("chunk_id"),
+    )
+
+
+@declared(
     "q_embedding_quantize_error",
     oracle="""
     WITH vecs AS (

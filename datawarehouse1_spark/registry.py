@@ -94,6 +94,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_token_histogram",
     "q_text_posexplode_tokens",
     "q_docs_length_percentiles",
+    "q_curation_pack_chunks",
+    "q_docs_dup_rate_by_source",
     "q_embedding_quantize_error",
     "q_embedding_norm_stats",
     # -- (d) re-checks: flagship + curation/dedup pipeline --
@@ -110,9 +112,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q1_pricing_summary",
     "q_profile_columns",
     "q_agg_cube",
+    # ---- graded window ends here (first 50) ----
     "q_join_multi_star",
     "q_agg_group_sum",
-    # ---- graded window ends here (first 50) ----
     "q_similarity_cosine_topk",
     "q_scan_project",
     "q_cast_types",

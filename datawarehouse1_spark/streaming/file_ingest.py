@@ -163,3 +163,30 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes its event time,
+    then evicts it — unlike plain dropDuplicates, whose state grows
+    without bound. This is the 100 TB-safe default for deduplicating
+    at-least-once sources (file redelivery, Kafka replay); the
+    applyInPandasWithState/transformWithState twins in
+    streaming/stateful.py are the custom-logic forms of the same shape.
+
+    Spark watermarks require TIMESTAMP (LTZ); an NTZ event-time column
+    is cast via the session zone — safe here because watermark logic is
+    RELATIVE (event-time ordering and gaps survive any fixed-offset
+    reinterpretation), unlike window/date_trunc outputs which must stay
+    NTZ (see functions.ntz_utc).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema["ts"].dataType, TimestampNTZType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

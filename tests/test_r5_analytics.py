@@ -141,3 +141,27 @@ def test_schema_guard_names_the_drift(tmp_path):
     # everything else reported missing, and the assert raises with the diff
     with pytest.raises(TestdataSchemaDrift, match="r_regionkey"):
         assert_testdata_schema(str(tmp_path))
+
+
+def test_pack_chunks_contiguous(spark):
+    """Chunk ids per language start at 0 and are nondecreasing in doc_id
+    order; a document never starts in a chunk earlier than its
+    predecessor (concat-and-chunk invariant)."""
+    from pyspark.sql import Window
+
+    df = registry.QUERIES["q_curation_pack_chunks"](spark, SF_DIR)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    bad = (
+        df.withColumn("prev_chunk", F.lag("chunk_id").over(w))
+        .filter(
+            (F.col("prev_chunk").isNotNull())
+            & (F.col("chunk_id") < F.col("prev_chunk"))
+        )
+        .count()
+    )
+    assert bad == 0
+    first = (
+        df.groupBy("lang").agg(F.min("chunk_id").alias("m")).filter(F.col("m") != 0)
+    )
+    assert first.count() == 0
+

@@ -245,3 +245,70 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
             assert r.view_ts <= r.buy_ts <= r.view_ts + timedelta(seconds=5)
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered events (same event_id, within the watermark) must be
+    emitted exactly once across micro-batches; state is watermark-bounded
+    so this is the scale-safe built-in dedup path."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse1_spark.catalog import events_stream_source
+    from datawarehouse1_spark.streaming.file_ingest import (
+        stream_dedup_within_watermark,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_file(path, ids):
+        # plain single parquet FILES (the streaming file source does not
+        # recurse into Spark's directory-style output), ts as naive
+        # timestamp[us] — today's events encoding
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(ids), pa.int64()),
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, 0, i % 60) for i in ids],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([i % 5 for i in ids], pa.int64()),
+                    "event_type": pa.array(["view"] * len(ids)),
+                    "value": pa.array([1.0] * len(ids)),
+                    "props": pa.array(["{}"] * len(ids)),
+                }
+            ),
+            path,
+        )
+
+    # batch 1: ids 0-9; batch 2 redelivers 5-9 and adds 10-14
+    ids = list(range(10))
+    write_file(src / "f1.parquet", ids)
+
+    deduped = stream_dedup_within_watermark(
+        events_stream_source(spark, str(src), maxFilesPerTrigger=1)
+        .select("event_id", "ts", "user_id"),
+        key_cols=("event_id",),
+        watermark="1 hour",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file(src / "f2.parquet", list(range(5, 15)))
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_wm").collect()
+    finally:
+        q.stop()
+
+    ids = sorted(r.event_id for r in got)
+    assert ids == list(range(15)), f"dedup failed: {ids}"
