@@ -84,3 +84,43 @@ def test_sql_ddl_catalog_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS warehouse_sql_test.clients")
         spark.sql("DROP DATABASE IF EXISTS warehouse_sql_test")
+
+
+def test_sql_pipe_syntax(spark):
+    """Spark 4's SQL pipe syntax (|>) front door: a piped
+    filter->aggregate must agree with the classic form — BI tools and
+    notebooks increasingly emit this dialect."""
+    register_views(spark, SF_DIR)
+    piped = spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 45
+        |> AGGREGATE COUNT(*) AS n GROUP BY l_returnflag
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag
+        """
+    )
+    assert _canon(piped) == _canon(classic)
+
+
+def test_sql_group_by_all(spark):
+    """GROUP BY ALL (grouping keys inferred from the select list) — the
+    DuckDB-popularized shorthand Spark 4 supports."""
+    register_views(spark, SF_DIR)
+    ga = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+    assert _canon(ga) == _canon(classic)

@@ -236,3 +236,94 @@ def test_streaming_xlsx_skips_invalid_file(tmp_path, spark):
         assert len(status) == 1
     finally:
         q.stop()
+
+
+# --- Python DataSource connector (spark.read.format("xlsx")) ---
+
+
+def test_xlsx_datasource_single_file(spark):
+    """format('xlsx') on one workbook == the stdlib parser's frame:
+    same rows, schema inferred from the header row."""
+    from datawarehouse1_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(REF_XLSX / "clients.xlsx"))
+    pdf = parse_xlsx_bytes(_bytes("clients.xlsx"))
+    assert df.count() == len(pdf)
+    assert [f.name for f in df.schema.fields] == [str(c) for c in pdf.columns]
+    # the CLI001/CLI003 full-content duplicate survives the connector
+    ids = [r.client_id for r in df.select("client_id").collect()]
+    assert ids.count("CLI001") >= 1 and ids.count("CLI003") >= 1
+
+
+def test_xlsx_datasource_partition_per_file_and_lock_skip(spark):
+    """A directory load creates one partition per real workbook; Excel
+    `~$` lock files are skipped at listing time (the reference's skip
+    rule, etl/app.py:262)."""
+    from datawarehouse1_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(REF_XLSX))
+    # 6 entries on disk, 3 real workbooks -> 3 partitions
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_xlsx_datasource_excel_serial_dates(spark):
+    """ventes.xlsx's date_vente column arrives as Excel serial numbers;
+    the connector preserves them for functions/excel_serial.py."""
+    from datawarehouse1_spark.functions.excel_serial import (
+        excel_serial_to_timestamp,
+    )
+    from datawarehouse1_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(REF_XLSX / "ventes.xlsx"))
+    assert "date_vente" in df.columns
+    dated = df.select(
+        excel_serial_to_timestamp(F.col("date_vente").cast("double")).alias("d")
+    ).collect()
+    years = {r.d.year for r in dated if r.d is not None}
+    assert years and all(2000 <= y <= 2100 for y in years)
+
+
+def test_xlsx_datasource_streaming_poll(spark, tmp_path):
+    """readStream.format('xlsx'): the reference's polling loop as a real
+    streaming source — files landed after the stream starts arrive in
+    the next micro-batch, each file exactly once (offset = processed
+    file list, persisted in the offset log)."""
+    import shutil
+
+    from datawarehouse1_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    shutil.copy(REF_XLSX / "clients.xlsx", watch / "clients_1.xlsx")
+
+    stream = (
+        spark.readStream.format("xlsx")
+        .option("header", "true")
+        .load(str(watch))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("xlsx_poll")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM xlsx_poll").first().c
+        assert n1 == 3  # clients.xlsx has 3 rows
+        # second file lands (same schema); lock file must be ignored
+        shutil.copy(REF_XLSX / "clients.xlsx", watch / "clients_2.xlsx")
+        (watch / "~$clients_3.xlsx").write_bytes(b"lock")
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(*) c FROM xlsx_poll").first().c
+        assert n2 == 6
+        # no redelivery on an idle poll
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM xlsx_poll").first().c == 6
+    finally:
+        q.stop()
