@@ -169,6 +169,47 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "q_stats_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rnk
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def q_stats_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group with a DETERMINISTIC tie-break (smallest
+    value wins) — both engines' native mode() picks an arbitrary tied
+    winner, which can never hash-match, so the mode is expressed as
+    count + rank. Two chained aggregations: the second input is one row
+    per distinct (group, value), tiny vs the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gap-filled time series (dimension completion)
 # ---------------------------------------------------------------------------
@@ -261,6 +302,41 @@ def q_events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(iso_dow, F.hour("ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value", "total_value"),
+    )
+
+
+@declared(
+    "q_events_variant_extract",
+    oracle="""
+    WITH extracted AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MAX(k) AS max_k
+    FROM extracted GROUP BY event_type
+    """,
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VARIANT (Spark 4's native JSON type):
+    parse_json once, variant_get typed paths — the columnar-shredding
+    path for JSON at scale, vs get_json_object's per-call string
+    re-parse (q_events_json_extract covers that legacy form). Stays
+    entirely in the JVM; oracle twin is DuckDB's json_extract."""
+    ev = table(spark, sf_dir, "events")
+    extracted = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
     )
 
 

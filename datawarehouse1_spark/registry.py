@@ -80,6 +80,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_first_last",
     "q_window_moving_avg",
     "q_stats_moments",
+    "q_stats_mode_deterministic",
+    "q_events_variant_extract",
     "q_date_gapfill_months",
     "q_events_hourly_heatmap",
     "q_events_gap_histogram",
@@ -110,9 +112,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_exact_hash",
     "q_tpch_q1_pricing_summary",
+    # ---- graded window ends here (first 50) ----
     "q_profile_columns",
     "q_agg_cube",
-    # ---- graded window ends here (first 50) ----
     "q_join_multi_star",
     "q_agg_group_sum",
     "q_similarity_cosine_topk",
