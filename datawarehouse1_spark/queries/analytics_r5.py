@@ -485,6 +485,37 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIERARCHY_SQL = """
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey < 10 THEN NULL
+                  ELSE CAST(floor(c_custkey / 10.0) AS BIGINT) END AS parent
+      FROM customer WHERE c_custkey < 1000
+    ),
+    chain(id, root, depth) AS (
+      SELECT id, id, 0 FROM nodes WHERE parent IS NULL
+      UNION ALL
+      SELECT n.id, c.root, c.depth + 1
+      FROM nodes n JOIN chain c ON n.parent = c.id
+    )
+    SELECT id, root, depth FROM chain
+"""
+
+
+@declared("q_hierarchy_recursive_cte", oracle=_HIERARCHY_SQL)
+def q_hierarchy_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal via WITH RECURSIVE (Spark 4's recursive CTE
+    support — the org-chart/category-tree rollup class BI tools emit).
+    The tree is derived deterministically from customer keys (parent =
+    floor(id/10), forest rooted at ids < 10), so both engines recurse
+    over identical edges; recursion depth is the tree height (~3), and
+    each iteration is one bounded join — the same iterate-join shape as
+    operators/dedup.py::dedup_clusters_from_pairs, here expressed in
+    pure SQL and hash-matched against DuckDB's recursive CTE."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIERARCHY_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Customer-value analytics (RFM, Pareto)
 # ---------------------------------------------------------------------------

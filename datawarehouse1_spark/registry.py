@@ -89,6 +89,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_scd2_user_state",
     "q_rfm_segmentation",
     "q_orders_pareto",
+    "q_hierarchy_recursive_cte",
     # -- (c) new in r5: LLM-pipeline text + embedding diagnostics --
     "q_text_bigram_topk",
     "q_text_tfidf_topterms",
@@ -103,6 +104,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- (d) re-checks: flagship + curation/dedup pipeline --
     "q_flagship_monthly_revenue",
     "q_llm_curation_pipeline",
+    "q_llm_pipeline_packed",
     "q_curation_topk_per_lang",
     "q_dedup_clusters",
     "q_dedup_fuzzy_names",
@@ -110,9 +112,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_sample_hash_mixture",
     "q_embedding_neardup",
     "q_dedup_ngram_jaccard",
+    # ---- graded window ends here (first 50) ----
     "q_dedup_exact_hash",
     "q_tpch_q1_pricing_summary",
-    # ---- graded window ends here (first 50) ----
     "q_profile_columns",
     "q_agg_cube",
     "q_join_multi_star",

@@ -124,3 +124,29 @@ def test_sql_group_by_all(spark):
         """
     )
     assert _canon(ga) == _canon(classic)
+
+
+def test_sql_unpivot_matches_dataframe_melt(spark):
+    """SQL UNPIVOT == DataFrame unpivot (melt): the wide-to-long
+    reshaping surface used by metric dashboards."""
+    register_views(spark, SF_DIR)
+    sql = spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+              FROM lineitem WHERE l_orderkey < 100)
+        UNPIVOT (val FOR metric IN (l_quantity, l_discount))
+        """
+    )
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount"],
+        "metric",
+        "val",
+    )
+    assert _canon(sql) == _canon(melted)
