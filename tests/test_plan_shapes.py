@@ -76,6 +76,33 @@ EXCHANGE_BUDGET = {
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N
+    # r5 audit of the new battery (sf0.001, local[8]):
+    "q_window_ntile_quartile": 1,  # one global sort
+    "q_window_percent_rank": 1,
+    "q_window_first_last": 1,  # one custkey window
+    "q_window_moving_avg": 2,  # daily agg + window sort
+    "q_stats_moments": 1,
+    "q_stats_mode_deterministic": 2,  # (group,value) agg + group window
+    "q_events_variant_extract": 1,
+    "q_date_gapfill_months": 2,  # monthly agg + spine left join
+    "q_events_hourly_heatmap": 1,
+    "q_events_gap_histogram": 2,  # user window + bucket agg
+    "q_events_dau_wau": 6,  # 2-level distinct + explode agg + dau agg + join
+    "q_scd2_user_state": 1,  # both windows share the user_id exchange
+    "q_rfm_segmentation": 2,  # custkey agg + shared global ntile sort
+    "q_orders_pareto": 2,  # custkey agg + running-share sort
+    "q_hierarchy_recursive_cte": 0,  # broadcast recursion at this size
+    "q_text_bigram_topk": 1,  # bigram agg; top-20 is TakeOrdered
+    "q_text_tfidf_topterms": 5,  # tf agg + df agg + join + doc window
+    "q_text_contamination_overlap": 4,  # 2 distincts + hash join + agg
+    "q_text_token_histogram": 1,
+    "q_text_posexplode_tokens": 0,  # pure generator, narrow
+    "q_docs_length_percentiles": 1,
+    "q_curation_pack_chunks": 1,  # one lang pack sort
+    "q_docs_dup_rate_by_source": 2,  # two-level distinct-count agg
+    "q_embedding_quantize_error": 0,  # pure higher-order exprs, narrow
+    "q_embedding_norm_stats": 1,
+    "q_llm_pipeline_packed": 2,  # fp window + lang pack sort
 }
 
 
