@@ -165,3 +165,56 @@ def test_pack_chunks_contiguous(spark):
     )
     assert first.count() == 0
 
+
+# --- adaptive events reader: all three known encodings ---
+
+
+def test_events_reader_handles_all_encodings(spark, tmp_path):
+    """catalog._read_events must normalize `ts` to TIMESTAMP_NTZ with
+    identical wall-clock values for every encoding the testdata has ever
+    shipped: TIMESTAMP(NANOS) (r1-r3), naive timestamp[us] (r4+), and a
+    hypothetical UTC-adjusted timestamp[us]. This is the regression
+    test for the r4 drift — each variant is written to a temp dir and
+    read through the same code path the catalog uses."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    base = [
+        datetime(2024, 1, 1, 0, 9, 58, 778549),
+        datetime(2024, 3, 15, 12, 0, 0, 1),
+        datetime(2025, 12, 31, 23, 59, 59, 999999),
+    ]
+
+    def write_events(dirname, ts_type):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3], pa.int64()),
+                    "ts": pa.array(base, ts_type),
+                    "user_id": pa.array([1, 2, 3], pa.int64()),
+                    "event_type": pa.array(["view"] * 3),
+                    "value": pa.array([1.0] * 3),
+                    "props": pa.array(["{}"] * 3),
+                }
+            ),
+            d / "events.parquet",
+        )
+        return str(d)
+
+    results = {}
+    for name, t in [
+        ("ns", pa.timestamp("ns")),
+        ("us", pa.timestamp("us")),
+        ("us_utc", pa.timestamp("us", tz="UTC")),
+    ]:
+        df = cat_table(spark, write_events(name, t), "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz", name
+        results[name] = [r.ts for r in df.orderBy("event_id").collect()]
+
+    assert results["ns"] == results["us"] == results["us_utc"] == base
