@@ -37,22 +37,39 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# Timestamp columns per table: every one is normalized to TIMESTAMP_NTZ
+# (UTC wall clock) at load, whatever parquet encoding the generator used.
+# The events table drifted once already (TIMESTAMP(NANOS) → timestamp[us],
+# round 4); normalizing ALL timestamp columns kills the whole drift class
+# — including the silent variant where the session-wide nanosAsLong conf
+# (needed for ns files) would otherwise surface a re-encoded o_orderdate /
+# l_shipdate as raw BIGINT without an error.
+TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Parquet scan => vectorized reader, pushdown."""
+    """Load one testdata table. Parquet scan => vectorized reader, pushdown.
+    Timestamp columns (TS_COLUMNS) are normalized to TIMESTAMP_NTZ."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        return _read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts_cols = TS_COLUMNS.get(name, ())
+    if ts_cols:
+        # Runtime-settable; harmless when no file is TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in ts_cols:
+        df = _normalize_ts_column(df, name, col)
+    return df
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events with `ts` normalized to TIMESTAMP_NTZ (UTC wall clock).
-
-    The upstream testdata's parquet encoding for `ts` has drifted across
-    generations (TIMESTAMP(NANOS) at first, plain timestamp[us] later), so
-    we branch on the type Spark ACTUALLY loads instead of assuming one
-    encoding:
+def _normalize_ts_column(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    """Normalize one timestamp column to TIMESTAMP_NTZ (UTC wall clock),
+    branching on the type Spark ACTUALLY loaded instead of assuming one
+    parquet encoding:
 
     - LongType        -> TIMESTAMP(NANOS) surfaced via nanosAsLong; integer
                          div to micros (double div loses ulp precision at
@@ -73,22 +90,19 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datawarehouse1_spark.functions import ntz_utc
 
-    # Runtime-settable conf; harmless when the file is not TIMESTAMP(NANOS).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    dtype = df.schema["ts"].dataType
+    dtype = df.schema[col].dataType
     if isinstance(dtype, TimestampNTZType):
         return df
     if isinstance(dtype, LongType):
         return df.withColumn(
-            "ts", ntz_utc(F.timestamp_micros(F.expr("ts div 1000")))
+            col, ntz_utc(F.timestamp_micros(F.expr(f"{col} div 1000")))
         )
     if isinstance(dtype, TimestampType):
-        return df.withColumn("ts", ntz_utc(F.col("ts")))
+        return df.withColumn(col, ntz_utc(F.col(col)))
     raise TypeError(
-        f"events.ts loaded as unsupported type {dtype}; expected "
+        f"{tbl}.{col} loaded as unsupported type {dtype}; expected "
         "timestamp_ntz, timestamp, or bigint (nanosAsLong). The testdata "
-        "encoding drifted again — extend catalog._read_events."
+        "encoding drifted again — extend catalog._normalize_ts_column."
     )
 
 

@@ -218,3 +218,38 @@ def test_events_reader_handles_all_encodings(spark, tmp_path):
         results[name] = [r.ts for r in df.orderBy("event_id").collect()]
 
     assert results["ns"] == results["us"] == results["us_utc"] == base
+
+
+def test_orders_reader_normalizes_ns_dates(spark, tmp_path):
+    """The generalized normalization covers non-events tables too: an
+    orders file re-encoded to TIMESTAMP(NANOS) must load with
+    o_orderdate as TIMESTAMP_NTZ, not leak through as raw BIGINT (the
+    silent variant of the r4 drift — the session-wide nanosAsLong conf
+    set for events would otherwise expose ns dates as longs)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    dates = [datetime(2024, 5, 1, 10, 30), datetime(2025, 1, 2, 0, 0)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F"]),
+                "o_totalprice": pa.array([10.0, 20.0]),
+                "o_orderdate": pa.array(dates, pa.timestamp("ns")),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    df = cat_table(spark, str(d), "orders")
+    assert df.schema["o_orderdate"].dataType.simpleString() == "timestamp_ntz"
+    got = [r.o_orderdate for r in df.orderBy("o_orderkey").collect()]
+    assert got == dates
