@@ -89,11 +89,21 @@ def append_if_valid(
     if errors:
         return IngestResult(table_name, source_file, "error", 0, errors)
 
-    writer = batch.write.mode("append")
+    # Row count via observe(): the metric rides the write job itself
+    # (the reference logs per-file row counts, etl/app.py; a post-write
+    # .count() would re-scan the batch — a second job for a number the
+    # write already saw).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"ingest-{source_file}")
+    observed = batch.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    writer = observed.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(table_path)
-    return IngestResult(table_name, source_file, "success", batch.count(), [])
+    return IngestResult(
+        table_name, source_file, "success", int(obs.get["n_rows"]), []
+    )
 
 
 def with_month_partition(df: DataFrame, ts_col: str, out: str = "month") -> DataFrame:
