@@ -253,3 +253,59 @@ def test_orders_reader_normalizes_ns_dates(spark, tmp_path):
     assert df.schema["o_orderdate"].dataType.simpleString() == "timestamp_ntz"
     got = [r.o_orderdate for r in df.orderBy("o_orderkey").collect()]
     assert got == dates
+
+
+# --- conservation invariants (r4 pattern: totals must reconcile) ---
+
+
+def test_gap_histogram_conserves_events(spark):
+    """Every event except each user's first produces exactly one gap:
+    sum(n_gaps) == n_events - n_distinct_users."""
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    hist = registry.QUERIES["q_events_gap_histogram"](spark, SF_DIR)
+    total_gaps = hist.agg(F.sum("n_gaps").alias("s")).first().s
+    ev = cat_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_gaps == n_events - n_users
+
+
+def test_token_histogram_conserves_docs(spark):
+    """Histogram buckets partition the corpus: doc counts sum to the
+    table size."""
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    hist = registry.QUERIES["q_text_token_histogram"](spark, SF_DIR)
+    assert (
+        hist.agg(F.sum("n_docs").alias("s")).first().s
+        == cat_table(spark, SF_DIR, "documents").count()
+    )
+
+
+def test_dup_rate_conserves_docs(spark):
+    """Per-source doc counts sum to the table size, and dupes never
+    exceed docs."""
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    rates = registry.QUERIES["q_docs_dup_rate_by_source"](spark, SF_DIR)
+    rows = rates.collect()
+    assert sum(r.n_docs for r in rows) == cat_table(
+        spark, SF_DIR, "documents"
+    ).count()
+    assert all(0 <= r.n_dupes < r.n_docs or r.n_docs == r.n_dupes == 0 for r in rows)
+    assert all(r.n_unique + r.n_dupes == r.n_docs for r in rows)
+
+
+def test_packed_pipeline_chunks_dense_and_nonempty(spark):
+    """Chunk ids in the packed manifest are dense per language
+    (0..max with no holes — concat-and-chunk can't skip a chunk) and
+    every chunk holds at least one document start."""
+    manifest = registry.QUERIES["q_llm_pipeline_packed"](spark, SF_DIR)
+    rows = manifest.collect()
+    assert rows and all(r.n_docs >= 1 and r.total_tokens > 0 for r in rows)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.chunk_id)
+    for lang, chunks in by_lang.items():
+        assert sorted(chunks) == list(range(max(chunks) + 1)), lang
