@@ -309,3 +309,56 @@ def test_packed_pipeline_chunks_dense_and_nonempty(spark):
         by_lang.setdefault(r.lang, []).append(r.chunk_id)
     for lang, chunks in by_lang.items():
         assert sorted(chunks) == list(range(max(chunks) + 1)), lang
+
+
+def test_ts_normalization_property_random_datetimes(spark, tmp_path):
+    """Property: for ANY microsecond-precision datetime, the ns and us
+    encodings of the same events file load identical NTZ values through
+    the catalog (hypothesis-driven edge cases: epoch boundary, leap
+    days, DST transition instants, year-9999-adjacent)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datawarehouse1_spark.catalog import table as cat_table
+
+    # microsecond-precision datetimes inside the ns-representable range
+    dts = st.datetimes(
+        min_value=datetime(1700, 1, 1), max_value=datetime(2200, 1, 1)
+    ).map(lambda d: d.replace(microsecond=(d.microsecond // 1) % 1000000))
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(dts, min_size=1, max_size=4, unique=True))
+    def check(values):
+        counter[0] += 1
+        got = {}
+        for enc, t in (("ns", pa.timestamp("ns")), ("us", pa.timestamp("us"))):
+            d = tmp_path / f"case{counter[0]}_{enc}"
+            d.mkdir()
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(range(len(values)), pa.int64()),
+                        "ts": pa.array(values, t),
+                        "user_id": pa.array([0] * len(values), pa.int64()),
+                        "event_type": pa.array(["x"] * len(values)),
+                        "value": pa.array([0.0] * len(values)),
+                        "props": pa.array(["{}"] * len(values)),
+                    }
+                ),
+                d / "events.parquet",
+            )
+            df = cat_table(spark, str(d), "events")
+            got[enc] = [r.ts for r in df.orderBy("event_id").collect()]
+        assert got["ns"] == got["us"] == values
+
+    check()
