@@ -265,6 +265,62 @@ def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q_text_repetition_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]) AS bg
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CAST(floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                      * 1000000) AS BIGINT) AS dup_token_frac_e6,
+           CAST(floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg))
+                      * 1000000) AS BIGINT) AS dup_bigram_frac_e6
+    FROM grams
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the duplicate-token and
+    duplicate-bigram fractions used as quality-filter signals in LLM
+    corpus curation (high repetition flags boilerplate/spam; the
+    published corpus-cleaning pipelines gate on exactly these n-gram
+    repetition fractions). Entirely narrow higher-order array
+    expressions — no shuffle, no explode; fractions reported as floored
+    integer micro-units so engines can't diverge on float rendering."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    grams = toks.withColumn("bg", bg)
+
+    def dup_frac_e6(col):
+        return F.floor(
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(col)).cast("double") / F.size(col)
+            )
+            * 1000000
+        ).cast("long")
+
+    return grams.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        dup_frac_e6(F.col("t")).alias("dup_token_frac_e6"),
+        dup_frac_e6(F.col("bg")).alias("dup_bigram_frac_e6"),
+    )
+
+
+@declared(
     "q_docs_dup_rate_by_source",
     oracle="""
     WITH hashed AS (SELECT source, md5(text) AS h FROM documents)

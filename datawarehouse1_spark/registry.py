@@ -99,6 +99,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_docs_length_percentiles",
     "q_curation_pack_chunks",
     "q_docs_dup_rate_by_source",
+    "q_text_repetition_score",
     "q_embedding_quantize_error",
     "q_embedding_norm_stats",
     # -- (d) re-checks: flagship + curation/dedup pipeline --
@@ -110,9 +111,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_fuzzy_names",
     "q_heavy_hitters",
     "q_sample_hash_mixture",
-    "q_embedding_neardup",
     "q_dedup_ngram_jaccard",
     # ---- graded window ends here (first 50) ----
+    "q_embedding_neardup",
     "q_dedup_exact_hash",
     "q_tpch_q1_pricing_summary",
     "q_profile_columns",

@@ -97,6 +97,7 @@ EXCHANGE_BUDGET = {
     "q_text_contamination_overlap": 4,  # 2 distincts + hash join + agg
     "q_text_token_histogram": 1,
     "q_text_posexplode_tokens": 0,  # pure generator, narrow
+    "q_text_repetition_score": 0,  # pure higher-order exprs, narrow
     "q_docs_length_percentiles": 1,
     "q_curation_pack_chunks": 1,  # one lang pack sort
     "q_docs_dup_rate_by_source": 2,  # two-level distinct-count agg
