@@ -465,52 +465,94 @@ def simhash_dedup(
     )
 
 
+def _simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+    n_blocks: int,
+    seed: int,
+) -> DataFrame:
+    """Candidate pairs (pre-verification) for the banded simhash join:
+    columns id_a, id_b, fp_a, fp_b, deduped."""
+    import itertools
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs at least one guaranteed-matching block)"
+        )
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(tokens(text_col), seed=seed).alias("_fp"),
+    )
+    # slice the 63-bit fingerprint into n_blocks contiguous block values
+    base, rem = divmod(63, n_blocks)
+    block_cols = []
+    offset = 0
+    for b in range(n_blocks):
+        width = base + (1 if b < rem else 0)
+        mask = (1 << width) - 1
+        block_cols.append(
+            F.shiftrightunsigned("_fp", offset).bitwiseAND(F.lit(mask))
+        )
+        offset += width
+    # any pair within distance k leaves >= n_blocks - k blocks untouched,
+    # so some (n_blocks - k)-subset of blocks matches EXACTLY: one probe
+    # key per subset, all keys exploded into ONE equi-join
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - max_hamming))
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-", F.lit(str(ci)), *[block_cols[i].cast("string") for i in combo]
+            )
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    probed = fp.select("_id", "_fp", F.explode(keys).alias("_key"))
+    left = probed.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "_key"
+    )
+    right = probed.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "_key"
+    )
+    return (
+        left.join(right, "_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = DEFAULT_SEED,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
     Block-split banding (the pigeonhole construction from Manku et al.'s
     simhash web-dedup paper, WWW'07): split the 63-bit fingerprint into
-    max_hamming+1 contiguous blocks — any pair within distance k differs
-    in at most k blocks, so at least one block matches EXACTLY. Bucket
-    equi-join per block (same scale shape as MinHash bands: only
-    (id, fingerprint, block) longs shuffle), then verify
-    bit_count(a XOR b) <= k on candidates. Unlike MinHash banding this
-    has PERFECT recall at the stated distance — the only approximation
-    is SimHash itself.
+    b contiguous blocks — any pair within distance k differs in at most
+    k blocks, so at least b-k blocks match EXACTLY. With the default
+    b = k+1, the probe key is a single block (C(k+1,1) = k+1 keys/doc).
+    Raising n_blocks enables MULTI-PROBE: shorter blocks but keys built
+    from (b-k)-block combinations — C(b, b-k) keys/doc, each far more
+    selective, so candidate volume (the shuffle + verify cost) drops
+    sharply on corpora where single short blocks collide often; the
+    100 TB knob is n_blocks, traded against key fan-out. Either way only
+    (id, fingerprint, key) rows shuffle, then candidates verify
+    bit_count(a XOR b) <= k. Unlike MinHash banding this has PERFECT
+    recall at the stated distance for ANY valid n_blocks — the only
+    approximation is SimHash itself.
     """
-    n_blocks = max_hamming + 1
-    fp = df.select(
-        F.col(id_col).alias("_id"),
-        simhash(tokens(text_col), seed=seed).alias("_fp"),
+    cand = _simhash_candidate_pairs(
+        df, text_col, id_col, max_hamming,
+        n_blocks if n_blocks is not None else max_hamming + 1, seed,
     )
-    base, rem = divmod(63, n_blocks)
-    cand = None
-    offset = 0
-    for b in range(n_blocks):
-        width = base + (1 if b < rem else 0)
-        mask = (1 << width) - 1
-        block = F.shiftrightunsigned("_fp", offset).bitwiseAND(F.lit(mask))
-        offset += width
-        banded = fp.select("_id", "_fp", block.alias("_blk"))
-        left = banded.select(
-            F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "_blk"
-        )
-        right = banded.select(
-            F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "_blk"
-        )
-        pairs_b = (
-            left.join(right, "_blk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "fp_a", "fp_b")
-        )
-        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select(
         "id_a", "id_b", dist.cast("int").alias("hamming")

@@ -302,3 +302,42 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
 def test_minhash_rejects_nondivisor_bands(spark, docs_with_dupes):
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(docs_with_dupes, num_hashes=16, bands=5)
+
+
+def test_simhash_multiprobe_same_pairs_fewer_candidates(spark, docs_with_dupes):
+    """Multi-probe banding (n_blocks > k+1) must return EXACTLY the same
+    verified pairs (pigeonhole recall is perfect for any valid block
+    count) while generating no more — and on this corpus strictly fewer
+    — pre-verification candidates, the quantity that prices the shuffle
+    and the XOR-verify at scale."""
+    from datawarehouse1_spark.operators.dedup import (
+        _simhash_candidate_pairs,
+        simhash_neardup_pairs,
+    )
+
+    perturbed = docs_with_dupes.filter("doc_id < 10").select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" perturbation")).alias("text"),
+    )
+    corpus = docs_with_dupes.unionByName(perturbed)
+
+    K = 3
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(corpus, max_hamming=K).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            corpus, max_hamming=K, n_blocks=8
+        ).collect()
+    }
+    assert base == multi and base  # identical verified output, non-empty
+
+    n_cand_base = _simhash_candidate_pairs(
+        corpus, "text", "doc_id", K, K + 1, 42
+    ).count()
+    n_cand_multi = _simhash_candidate_pairs(
+        corpus, "text", "doc_id", K, 8, 42
+    ).count()
+    assert n_cand_multi < n_cand_base, (n_cand_multi, n_cand_base)
