@@ -207,3 +207,75 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BOUNDED query set: broadcast the queries
+    against the corpus (O(q·n), the corpus never shuffles). The ground
+    truth for ANN recall measurement — bound |queries| accordingly."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def tune_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 5,
+    n_centroids: int = 16,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest nprobe meeting a recall target — the FAISS-style
+    index-tuning loop, run on a BOUNDED query sample against the exact
+    broadcast baseline. Doubling sweep (1, 2, 4, ...) up to n_centroids;
+    returns (chosen_nprobe, {nprobe: measured_recall}). Driver-side data
+    is only the (query, neighbor) id pairs of the sample — O(|queries|·k)
+    — never vectors or corpus rows. At 100 TB you tune on a few hundred
+    held-out queries once, then pin nprobe for the workload; recall at
+    equal nprobe improves with trained centroids (pass `centroids`).
+
+    Falls back to n_centroids (== scan every list, recall 1.0 modulo
+    assignment ties) if the target is never met earlier.
+    """
+    want: dict = {}
+    for r in exact_topk(corpus, queries, k, id_col, vec_col).collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls: dict[int, float] = {}
+    nprobe = 1
+    while nprobe <= n_centroids:
+        got: dict = {}
+        approx = ivf_topk(
+            corpus, queries, k, n_centroids, nprobe, seed, id_col, vec_col,
+            centroids=centroids,
+        )
+        for r in approx.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        per_q = [
+            len(got.get(qid, set()) & hits) / len(hits)
+            for qid, hits in want.items()
+            if hits
+        ]
+        recalls[nprobe] = sum(per_q) / len(per_q) if per_q else 1.0
+        if recalls[nprobe] >= target_recall:
+            return nprobe, recalls
+        nprobe *= 2
+    return n_centroids, recalls

@@ -341,3 +341,29 @@ def test_simhash_multiprobe_same_pairs_fewer_candidates(spark, docs_with_dupes):
         corpus, "text", "doc_id", K, 8, 42
     ).count()
     assert n_cand_multi < n_cand_base, (n_cand_multi, n_cand_base)
+
+
+def test_tune_nprobe_meets_recall_target(spark):
+    """The nprobe autotuner returns the smallest doubling-sweep setting
+    whose measured recall (vs the exact broadcast baseline) clears the
+    target, and the recall curve is achievable within n_centroids."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.similarity import (
+        train_ivf_centroids,
+        tune_nprobe,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+
+    nprobe, recalls = tune_nprobe(
+        emb, queries, target_recall=0.9, k=5, n_centroids=8, centroids=cents
+    )
+    assert 1 <= nprobe <= 8
+    assert recalls[nprobe] >= 0.9 or nprobe == 8
+    # sweep visited only doubling steps and stopped at the first success
+    visited = sorted(recalls)
+    assert visited == [2**i for i in range(len(visited))]
+    assert all(recalls[n] < 0.9 for n in visited[:-1])
