@@ -367,3 +367,63 @@ def test_tune_nprobe_meets_recall_target(spark):
     visited = sorted(recalls)
     assert visited == [2**i for i in range(len(visited))]
     assert all(recalls[n] < 0.9 for n in visited[:-1])
+
+
+def test_contamination_shingle_join_salts_identically(spark, docs_with_dupes):
+    """Skewed-shingle scenario: a phrase shared by many corpus docs makes
+    one shingle bucket dominate the contamination equi-join. salted_join
+    over the shingle key must return the same benchmark->corpus
+    contamination counts as the plain join — the drop-in remedy when a
+    hot shingle key outgrows what AQE's partition splitting can fix
+    (AQE splits oversized partitions, not a single giant build key)."""
+    from datawarehouse1_spark.operators.scale import salted_join
+
+    # corpus: 40 docs all containing one hot phrase; benchmark: 2 docs
+    # that also contain it
+    hot = "the quick brown fox jumps"
+    corpus = spark.range(40).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.concat(F.lit(f"{hot} filler "), F.col("id").cast("string")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(9000, f"{hot} alpha beta"), (9001, f"{hot} gamma delta")],
+        "doc_id long, text string",
+    )
+
+    def shingles(df):
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
+        )
+        return df.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+    b = shingles(bench).withColumnRenamed("doc_id", "bench_doc_id")
+    c = shingles(corpus).withColumnRenamed("doc_id", "corpus_doc_id")
+
+    plain = {
+        (r.bench_doc_id, r.n)
+        for r in b.join(c, "sh")
+        .groupBy("bench_doc_id")
+        .agg(F.count_distinct("corpus_doc_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.bench_doc_id, r.n)
+        for r in salted_join(c, b, "sh", "sh", n_salts=4)
+        .groupBy("bench_doc_id")
+        .agg(F.count_distinct("corpus_doc_id").alias("n"))
+        .collect()
+    }
+    assert plain == salted
+    # the staged skew is real: both benchmark docs hit every corpus doc
+    assert plain == {(9000, 40), (9001, 40)}
