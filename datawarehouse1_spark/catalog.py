@@ -107,7 +107,7 @@ def _normalize_ts_column(df: DataFrame, tbl: str, col: str) -> DataFrame:
 
 
 def events_stream_source(spark: SparkSession, src_dir: str, **read_options):
-    """Streaming twin of _read_events: `readStream` needs an explicit
+    """Streaming twin of table()/_normalize_ts_column: `readStream` needs an explicit
     schema up front, so branch on the parquet FOOTER (pyarrow, no Spark
     job) to pick the schema + normalizer matching the file's actual
     `ts` encoding — same drift-proofing as the batch path.
@@ -142,7 +142,13 @@ def events_stream_source(spark: SparkSession, src_dir: str, **read_options):
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
-    if ts_type == "timestamp[ns]":
+    if ts_type.startswith("timestamp[ns"):
+        # Covers both 'timestamp[ns]' and 'timestamp[ns, tz=...]': Spark
+        # surfaces TIMESTAMP(NANOS) parquet only via nanosAsLong (as
+        # BIGINT), tz-tagged or not, so the ns check must precede the
+        # tz branch. Parquet tz-tagged values are UTC-normalized
+        # (isAdjustedToUTC), so div-to-micros + ntz_utc yields the same
+        # UTC wall clock either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_field = T.StructField("ts", T.LongType())
         normalize = lambda c: ntz_utc(  # noqa: E731
@@ -157,7 +163,7 @@ def events_stream_source(spark: SparkSession, src_dir: str, **read_options):
     else:
         raise TypeError(
             f"events.ts parquet encoding {ts_type!r} unsupported; extend "
-            "catalog.events_stream_source alongside _read_events."
+            "catalog.events_stream_source alongside _normalize_ts_column."
         )
 
     schema = T.StructType(base[:1] + [ts_field] + base[1:])

@@ -253,7 +253,10 @@ def tune_nprobe(
     equal nprobe improves with trained centroids (pass `centroids`).
 
     Falls back to n_centroids (== scan every list, recall 1.0 modulo
-    assignment ties) if the target is never met earlier.
+    assignment ties) if the target is never met earlier. The sweep's last
+    step is clamped to n_centroids (not just powers of two), so the
+    returned nprobe ALWAYS has a measured entry in `recalls` — with e.g.
+    n_centroids=20 the sweep is 1, 2, 4, 8, 16, 20.
     """
     want: dict = {}
     for r in exact_topk(corpus, queries, k, id_col, vec_col).collect():
@@ -261,7 +264,7 @@ def tune_nprobe(
 
     recalls: dict[int, float] = {}
     nprobe = 1
-    while nprobe <= n_centroids:
+    while True:
         got: dict = {}
         approx = ivf_topk(
             corpus, queries, k, n_centroids, nprobe, seed, id_col, vec_col,
@@ -275,7 +278,6 @@ def tune_nprobe(
             if hits
         ]
         recalls[nprobe] = sum(per_q) / len(per_q) if per_q else 1.0
-        if recalls[nprobe] >= target_recall:
+        if recalls[nprobe] >= target_recall or nprobe >= n_centroids:
             return nprobe, recalls
-        nprobe *= 2
-    return n_centroids, recalls
+        nprobe = min(nprobe * 2, n_centroids)

@@ -13,7 +13,8 @@ Call `assert_testdata_schema(sf_dir)` at every entrypoint (bench.py,
 tests/conftest.py, __spark_entry__) — it costs ~10 ms total.
 
 Columns with known-accepted encoding variance (events.ts, which
-catalog._read_events normalizes at load) list every accepted encoding;
+catalog.table()/_normalize_ts_column normalizes at load) list every
+accepted encoding;
 everything else is pinned to the single encoding observed across
 sf0.001/0.01/0.1 on 2026-08-13.
 """
@@ -77,7 +78,7 @@ EXPECTED: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     ],
     "events": [
         ("event_id", ("int64",)),
-        # catalog._read_events normalizes all three of these to NTZ.
+        # catalog._normalize_ts_column normalizes all three of these to NTZ.
         ("ts", ("timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]")),
         ("user_id", ("int64",)),
         ("event_type", ("string", "large_string")),
@@ -113,7 +114,13 @@ def check_testdata_schema(sf_dir: str) -> list[str]:
         if not os.path.exists(path):
             findings.append(f"{name}: file missing at {path}")
             continue
-        schema = pq.read_schema(path)
+        try:
+            schema = pq.read_schema(path)
+        except Exception as exc:  # corrupt file / directory-style *.parquet
+            # check_testdata_schema is advisory at entrypoints; an
+            # unreadable footer is itself a drift finding, not a crash.
+            findings.append(f"{name}: footer unreadable ({exc})")
+            continue
         got = {f.name: str(f.type) for f in schema}
         for col, accepted in cols:
             if col not in got:
@@ -137,5 +144,6 @@ def assert_testdata_schema(sf_dir: str) -> None:
             f"testdata at {sf_dir} drifted from the schema this repo was "
             "built against:\n  - " + "\n  - ".join(findings)
             + "\nIf the new encoding is legitimate, extend "
-            "schema_guard.EXPECTED (and catalog._read_events for events.ts)."
+            "schema_guard.EXPECTED (and catalog._normalize_ts_column for "
+            "timestamp columns)."
         )

@@ -127,13 +127,27 @@ class _XlsxReader(DataSourceReader):
             yield tuple(out)
 
 
+def _file_sig(path: str) -> str:
+    """Identity of a workbook VERSION: mtime_ns + size. The reference
+    re-ingests a file whose mtime moved past its file_metadata row
+    (etl/app.py:36-52 file_needs_processing); matching that rule means a
+    workbook overwritten in place gets picked up again, which name-only
+    identity would miss."""
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 class _XlsxStreamReader(SimpleDataSourceStreamReader):
     """Streaming form of the reference's polling loop (etl/app.py:258-282):
-    each micro-batch picks up workbooks not yet in the offset, and the
-    offset — the sorted list of processed file names — lives in Spark's
-    offset log, giving exactly-once file processing across restarts (the
-    reference tracks the same thing in its file_metadata table).
-    readBetweenOffsets replays a committed range deterministically."""
+    each micro-batch picks up workbooks that are new OR modified since
+    the offset, where the offset is a {filename: mtime_ns:size} map in
+    Spark's offset log — the streaming twin of the reference's
+    file_metadata table (etl/app.py:55-89) including its mtime-based
+    re-ingest rule. The offset is COMPACTED to files currently on disk,
+    so its size is O(live files), not O(files ever seen); a file that is
+    deleted and later restored byte-identical re-ingests (at-least-once
+    on restore, exactly-once otherwise). readBetweenOffsets replays a
+    committed range deterministically from the offset delta."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
@@ -142,7 +156,17 @@ class _XlsxStreamReader(SimpleDataSourceStreamReader):
         self.header = str(options.get("header", "true")).lower() != "false"
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"files": {}}
+
+    @staticmethod
+    def _sigmap(offset: dict) -> dict[str, "str | None"]:
+        """Offset -> {name: sig}. Legacy v1 offsets (a bare name list)
+        map every name to None, meaning 'processed, version unknown' —
+        grandfathered as matching whatever is on disk now."""
+        files = offset.get("files", {})
+        if isinstance(files, list):
+            return {name: None for name in files}
+        return dict(files)
 
     def _rows_of(self, files: list[str]) -> list[tuple]:
         reader = _XlsxReader(self.schema_, {"path": self.path, "sheet": self.sheet,
@@ -153,13 +177,24 @@ class _XlsxStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
-        seen = set(start.get("files", []))
-        new = [f for f in _list_xlsx(self.path) if f not in seen]
-        end = {"files": sorted(seen | set(new))}
+        seen = self._sigmap(start)
+        on_disk = {f: _file_sig(f) for f in _list_xlsx(self.path)}
+        new = sorted(
+            f for f, sig in on_disk.items()
+            if f not in seen or (seen[f] is not None and seen[f] != sig)
+        )
+        # Compaction: the end offset carries only files still on disk
+        # (legacy None sigs are upgraded to the observed sig).
+        end = {"files": on_disk}
         return iter(self._rows_of(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        delta = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        seen = self._sigmap(start)
+        target = self._sigmap(end)
+        delta = sorted(
+            f for f, sig in target.items()
+            if f not in seen or (seen[f] is not None and seen[f] != sig)
+        )
         return iter(self._rows_of(delta))
 
 

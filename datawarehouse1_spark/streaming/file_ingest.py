@@ -168,6 +168,7 @@ def stream_dedup_within_watermark(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
     watermark: str = "10 minutes",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Built-in bounded-state streaming dedup: dropDuplicatesWithinWatermark
     keeps a key's state only until the watermark passes its event time,
@@ -185,8 +186,8 @@ def stream_dedup_within_watermark(
     """
     from pyspark.sql.types import TimestampNTZType
 
-    if isinstance(events.schema["ts"].dataType, TimestampNTZType):
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

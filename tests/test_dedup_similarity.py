@@ -427,3 +427,24 @@ def test_contamination_shingle_join_salts_identically(spark, docs_with_dupes):
     assert plain == salted
     # the staged skew is real: both benchmark docs hit every corpus doc
     assert plain == {(9000, 40), (9001, 40)}
+
+
+def test_tune_nprobe_clamps_to_non_power_of_two_centroids(spark):
+    """Regression (ADVICE r5): with non-power-of-two n_centroids and an
+    unattainable target the sweep must end AT n_centroids with a measured
+    recall entry — the old doubling sweep skipped from 4 past 6 and
+    returned an nprobe absent from the recall dict."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.similarity import tune_nprobe
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 4")
+    nprobe, recalls = tune_nprobe(
+        emb, queries, target_recall=1.1, k=3, n_centroids=6
+    )
+    assert nprobe == 6
+    assert nprobe in recalls  # the KeyError the advice flagged
+    assert sorted(recalls) == [1, 2, 4, 6]
+    # nprobe == n_centroids scans every list: recall is exact-complete
+    assert recalls[6] == pytest.approx(1.0)

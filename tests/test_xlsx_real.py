@@ -327,3 +327,74 @@ def test_xlsx_datasource_streaming_poll(spark, tmp_path):
         assert spark.sql("SELECT count(*) c FROM xlsx_poll").first().c == 6
     finally:
         q.stop()
+
+
+# --- v2 streaming offset: modified-file re-ingest + bounded size ---
+
+
+def _drive_stream_reader(watch: Path):
+    """Build a _XlsxStreamReader over `watch` directly (no Spark session
+    needed — SimpleDataSourceStreamReader is plain Python), returning
+    (reader, initial offset)."""
+    from datawarehouse1_spark.sources.xlsx_datasource import (
+        _infer_schema,
+        _XlsxStreamReader,
+    )
+
+    files = sorted(watch.glob("*.xlsx"))
+    schema = _infer_schema(str(files[0]), sheet=0, header=True)
+    reader = _XlsxStreamReader(schema, {"path": str(watch)})
+    return reader, reader.initialOffset()
+
+
+def test_stream_offset_reingests_overwritten_workbook(tmp_path):
+    """The reference re-processes a file whose mtime moved past its
+    file_metadata row (etl/app.py:36-52); the v2 offset's (mtime,size)
+    signature reproduces that rule for an in-place overwrite, which the
+    old name-only offset missed."""
+    import os
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    target = watch / "clients.xlsx"
+    shutil.copyfile(REF_XLSX / "clients.xlsx", target)
+
+    reader, off0 = _drive_stream_reader(watch)
+    rows1, off1 = reader.read(off0)
+    assert len(list(rows1)) == 3
+    # idle poll: nothing new
+    rows2, off2 = reader.read(off1)
+    assert list(rows2) == []
+    # overwrite in place with different bytes (and force a new mtime even
+    # on coarse-granularity filesystems)
+    shutil.copyfile(REF_XLSX / "clients.xlsx", target)
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    rows3, off3 = reader.read(off2)
+    assert len(list(rows3)) == 3  # re-ingested
+    # replay of the committed (off2, off3) range is deterministic
+    assert len(list(reader.readBetweenOffsets(off2, off3))) == 3
+
+
+def test_stream_offset_compacts_to_live_files_and_reads_legacy(tmp_path):
+    """Offset size stays O(files on disk): entries for deleted workbooks
+    drop out at the next poll. Legacy v1 offsets (a bare name list) are
+    grandfathered without redelivery."""
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    shutil.copyfile(REF_XLSX / "clients.xlsx", watch / "a.xlsx")
+    shutil.copyfile(REF_XLSX / "clients.xlsx", watch / "b.xlsx")
+
+    reader, off0 = _drive_stream_reader(watch)
+    _, off1 = reader.read(off0)
+    assert set(map(Path, off1["files"])) == {watch / "a.xlsx", watch / "b.xlsx"}
+    (watch / "b.xlsx").unlink()
+    rows, off2 = reader.read(off1)
+    assert list(rows) == []
+    assert set(map(Path, off2["files"])) == {watch / "a.xlsx"}  # compacted
+
+    # legacy v1 offset: names only -> no redelivery, sigs adopted
+    legacy = {"files": [str(watch / "a.xlsx")]}
+    rows_l, off_l = reader.read(legacy)
+    assert list(rows_l) == []
+    assert off_l["files"][str(watch / "a.xlsx")].count(":") == 1
