@@ -41,11 +41,11 @@ HEADLINE = (
 )
 
 
-def run_one(spark, fn, sf_dir: str) -> float:
+def run_one(spark, fn, sf_dir: str, timed_runs: int = 2) -> float:
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warmup (untimed)
     best = float("inf")
-    for _ in range(2):  # min-of-2 damps GC/scheduler noise
+    for _ in range(timed_runs):  # min-of-N damps GC/scheduler noise
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
@@ -78,6 +78,23 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
             print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
 
+    # TPC-H canon: tracked per-query so plan regressions in the most
+    # complex joins (Q8's 8-way star, Q21's conditional count-distinct)
+    # are visible round-over-round (VERDICT r5 "Next round" #4). Kept
+    # OUT of "value"/"queries" so the headline total stays comparable to
+    # the r1 baseline; warmup + 1 timed run each (regression tracking,
+    # not a noise-floor measurement). SPARK_GRAFT_BENCH_TPCH=0 skips.
+    tpch: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0":
+        for name in sorted(n for n in registry.QUERIES if n.startswith("q_tpch_")):
+            try:
+                tpch[name] = round(
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1), 4
+                )
+            except Exception as ex:  # noqa: BLE001 - record and keep benching
+                errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+                print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -86,6 +103,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
     }
+    if tpch:
+        out["tpch"] = tpch
+        out["tpch_total"] = round(sum(tpch.values()), 4)
     if errors:
         out["errors"] = errors
         out["incomplete"] = True

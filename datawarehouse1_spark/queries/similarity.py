@@ -75,10 +75,12 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # component, id+1000). Both engines build the twin with the same indexed
 # transform in double, and cosine folds left-to-right in double on both
 # sides (functions/vector.py), so the staged pairs hash-match exactly.
-@declared(
-    "q_embedding_neardup",
-    oracle=f"""
-    WITH base AS (
+
+# Shared staging CTEs (DuckDB side) — used by q_embedding_neardup and the
+# composed q_semantic_dedup_corpus pipeline, so both engines score the
+# IDENTICAL staged corpus.
+_STAGED_CORPUS_CTES = """
+    base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
       FROM embeddings WHERE vec_id < 60
     ),
@@ -90,18 +92,12 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WHERE vec_id % 3 = 0
     ),
     sub AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {sql_cosine('a.embedding', 'b.embedding')} AS cos
-    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.8
-    """,
-)
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection in embedding space: pairs above a cosine
-    threshold, certified non-vacuously against staged perturbed twins.
-    Bounded subset for the exact oracle; the full-corpus path goes
-    through LSH bucketing (operators/similarity.py) so candidate pairs,
-    not all pairs, are scored."""
+"""
+
+
+def _staged_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _STAGED_CORPUS_CTES: bounded base subset plus
+    deterministic perturbed twins (+1000 ids for every third vector)."""
     base = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 60)
@@ -119,13 +115,104 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x + F.lit(0.01) * ((i % 5) - 2).cast("double"),
         ).alias("embedding"),
     )
-    sub = base.unionByName(twins)
+    return base.unionByName(twins)
+
+
+def _neardup_pairs(sub: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """All-pairs cosine over the bounded staged corpus — the exact
+    pair-producer both declared queries share. Full-corpus scale path:
+    LSH bucketing in operators/similarity.py replaces the self-join."""
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine("ea", "eb").alias("cos"))
-        .filter(F.col("cos") > 0.8)
+        .filter(F.col("cos") > threshold)
+    )
+
+
+@declared(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH {_STAGED_CORPUS_CTES}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.8
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection in embedding space: pairs above a cosine
+    threshold, certified non-vacuously against staged perturbed twins.
+    Bounded subset for the exact oracle; the full-corpus path goes
+    through LSH bucketing (operators/similarity.py) so candidate pairs,
+    not all pairs, are scored."""
+    return _neardup_pairs(_staged_neardup_corpus(spark, sf_dir))
+
+
+# --- north-star: SemDeDup-style composed pipeline ---
+@declared(
+    "q_semantic_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_STAGED_CORPUS_CTES},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.8
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON w.id = s.dst
+    ),
+    comp AS (SELECT id, MIN(label) AS keeper FROM walk GROUP BY id),
+    removed AS (
+      SELECT keeper, COUNT(*) AS n FROM comp WHERE id <> keeper GROUP BY keeper
+    )
+    SELECT s.vec_id, COALESCE(r.n, 0) AS n_dupes_removed
+    FROM sub s
+    LEFT JOIN removed r ON r.keeper = s.vec_id
+    WHERE s.vec_id NOT IN (SELECT id FROM comp WHERE id <> keeper)
+    """,
+)
+def q_semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup as ONE composed pipeline (Abbas et
+    al. 2023's shape: embed -> pairwise-similar groups -> keep one per
+    group): cosine near-dup pairs over the staged corpus -> connected
+    components via distributed min-label propagation
+    (operators/dedup.py::dedup_clusters_from_pairs) -> the deduplicated
+    corpus, each survivor annotated with how many near-dups it absorbed.
+    The iterative clustering step still hash-matches a DuckDB recursive
+    CTE computing the same fixpoint.
+
+    Scale shape: pairs come from a bounded/bucketed candidate generator
+    (here the exact bounded baseline; LSH at full scale), components
+    shuffle only (id,label) longs, and the final keep is a left_anti
+    join — embeddings themselves are never shuffled by the dedup
+    decision."""
+    from datawarehouse1_spark.operators.dedup import dedup_clusters_from_pairs
+
+    sub = _staged_neardup_corpus(spark, sf_dir)
+    pairs = _neardup_pairs(sub)
+    comp = dedup_clusters_from_pairs(pairs, id_a="vec_a", id_b="vec_b")
+    dropped = comp.filter(F.col("id") != F.col("keeper")).select("id")
+    removed = (
+        comp.filter(F.col("id") != F.col("keeper"))
+        .groupBy("keeper")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kept = sub.join(dropped, sub["vec_id"] == dropped["id"], "left_anti")
+    return (
+        kept.join(removed, kept["vec_id"] == removed["keeper"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_dupes_removed"),
+        )
     )
 
 

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from datawarehouse1_spark import registry
 from tests.conftest import SF_DIR
 
+registry.load_all()
+
 
 # --- schema guard drills ---
 
@@ -51,3 +53,23 @@ def test_schema_guard_reports_unreadable_footer_as_finding(tmp_path):
     assert any(f.startswith("nation: footer unreadable") for f in findings)
     # the readable table is still checked normally
     assert not any(f.startswith("region") for f in findings)
+
+
+# --- semantic dedup pipeline composition ---
+
+
+def test_semantic_dedup_drops_twins_keeps_min_ids(spark):
+    """The composed pipeline must make the actual dedup DECISION: every
+    staged perturbed twin (+1000 id) is dropped, its base (the component
+    min id) survives and is credited with >= 1 removed near-dup, and
+    vectors without near-dups survive untouched with 0."""
+    df = registry.QUERIES["q_semantic_dedup_corpus"](spark, SF_DIR)
+    rows = {r.vec_id: r.n_dupes_removed for r in df.collect()}
+    # no twin id survives
+    assert not any(v >= 1000 for v in rows), sorted(rows)
+    # every third base vector absorbed at least its twin
+    for vid in range(0, 60, 3):
+        assert rows.get(vid, 0) >= 1, (vid, rows.get(vid))
+    # survivors without a twin absorbed nothing (unless base-base pairs
+    # exist, which the staged corpus does not produce at this threshold)
+    assert sum(n for v, n in rows.items() if v % 3 != 0) == 0
