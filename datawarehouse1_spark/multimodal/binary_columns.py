@@ -7,10 +7,12 @@ batch shapes, and metadata extraction that never leaves the JVM where
 possible. Decoding has two real tiers plus a stub:
 
   * codecs.stdlib_decode — REAL decode for stdlib-parseable formats
-    (RIFF/WAVE audio via `wave`, uncompressed BMP via struct) with
-    genuine signal/pixel features; magic-byte container sniffing.
-  * PIL/librosa-backed decode for compressed formats — honestly gated
-    (no imaging libs in this container); inject via decode_fn.
+    (RIFF/WAVE audio via `wave`, uncompressed BMP via struct, PNG via
+    `zlib` + the five published row filters) with genuine signal/pixel
+    features; magic-byte container sniffing.
+  * PIL/ffmpeg-backed decode for entropy-coded formats (JPEG, MP4) —
+    honestly gated (no imaging libs in this container); inject via
+    decode_fn.
   * deterministic_fake_decode — seed-stable pseudo-features for
     plumbing tests at any SF without binary fixtures.
 """
@@ -71,15 +73,15 @@ def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def real_image_decode(payload: bytes):  # pragma: no cover - env-dependent
-    """Compressed-format decode path, gated on the imaging lib. For WAV
-    and uncompressed BMP no external lib is needed — use
+    """Entropy-coded-format decode path (JPEG/MP4), gated on the imaging
+    lib. WAV, uncompressed BMP, and PNG need no external lib — use
     codecs.stdlib_decode (real, tested in this container)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "PNG/JPEG decoding requires pillow; this container has no "
-            "imaging libs — codecs.stdlib_decode handles WAV/BMP for real"
+            "JPEG decoding requires pillow; this container has no imaging "
+            "libs — codecs.stdlib_decode handles WAV/BMP/PNG for real"
         ) from exc
     raise NotImplementedError("wire PIL decode here in a real deployment")
 
@@ -168,16 +170,18 @@ def frame_sample(
 
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media asset table: even doc_ids become 16×16
-    24-bit BMP images (seeded pixels), odd doc_ids become 50 ms 8 kHz
-    PCM WAV tones (frequency derived from the id). Payloads are
-    generated executor-side inside mapInPandas — genuine container
-    bytes the stdlib codecs can decode, at any SF, with no binary
-    fixtures in the testdata."""
+    """Deterministic REAL media asset table: doc_ids ≡ 0 (mod 4) become
+    16×16 24-bit BMP images, ≡ 2 (mod 4) become 16×16 PNG images (row
+    filter cycled through all five published predictors by id, so the
+    decode tier exercises each), odd doc_ids become 50 ms 8 kHz PCM WAV
+    tones (frequency derived from the id). Payloads are generated
+    executor-side inside mapInPandas — genuine container bytes the
+    stdlib codecs can decode, at any SF, with no binary fixtures in the
+    testdata."""
     import io as _io
     import wave as _wave
 
-    from datawarehouse1_spark.multimodal.codecs import encode_bmp
+    from datawarehouse1_spark.multimodal.codecs import encode_bmp, encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,10 +194,15 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                 if aid % 2 == 0:
                     rng = np.random.default_rng(aid)
                     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                    if aid % 4 == 0:
+                        payload, mime = encode_bmp(img), "image/bmp"
+                    else:
+                        payload = encode_png(img, filter_type=(aid // 2) % 5)
+                        mime = "image/png"
                     out["asset_id"].append(aid)
                     out["modality"].append("image")
-                    out["payload"].append(encode_bmp(img))
-                    out["mime"].append("image/bmp")
+                    out["payload"].append(payload)
+                    out["mime"].append(mime)
                     out["width"].append(16)
                     out["height"].append(16)
                     out["duration_ms"].append(None)

@@ -1,12 +1,15 @@
 """Real multimodal decode for formats the standard library can parse.
 
 VERDICT r2 accepted the stubbed decode tier (no PIL/librosa in the
-container) — but two widely-used uncompressed formats need no external
-library at all: RIFF/WAVE audio (stdlib `wave`) and uncompressed 24/32-
-bit BMP images (fixed little-endian structs, the published BITMAPINFO
-layout). This module makes the decode tier REAL for those, keeps
-compressed formats (PNG/JPEG/MP4) honestly gated, and derives actual
-signal/pixel features with numpy — so the mapInPandas pipeline in
+container) — but three widely-used formats need no external library at
+all: RIFF/WAVE audio (stdlib `wave`), uncompressed 24/32-bit BMP images
+(fixed little-endian structs, the published BITMAPINFO layout), and —
+despite being a compressed format — PNG, whose only compression is
+stdlib `zlib` DEFLATE plus the five published per-row predictor filters
+(PNG spec / RFC 2083 §6; Paeth 1991). This module makes the decode tier
+REAL for those, keeps the formats that genuinely need external codecs
+(JPEG's DCT entropy coding, MP4/H.26x) honestly gated, and derives
+actual signal/pixel features with numpy — so the mapInPandas pipeline in
 binary_columns.py runs end-to-end on genuine media bytes.
 
 Everything is pure bytes+numpy: safe inside Arrow-batched executors.
@@ -17,6 +20,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -152,6 +156,187 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + b"".join(rows)
 
 
+# --- PNG images (stdlib zlib + the five published row filters) ---
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): pick the neighbor (left, up,
+    upper-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-row filter byte: raw is h*(1+stride) filtered bytes,
+    returns (h, stride) unfiltered scanline bytes. Filters operate on
+    BYTES (not pixels) with `bpp` = whole bytes per pixel (min 1), so
+    sub-byte depths filter correctly with bpp=1 (spec §6.2)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype} on row {r}")
+        out[r] = row
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
+
+    Supports the full non-interlaced core of the spec: color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths
+    1/2/4 (gray, palette) and 8/16 (16-bit scaled down to 8); all five
+    row filters. Alpha is dropped (feature extraction convention, same
+    as decode_bmp ignoring the BMP alpha byte). Adam7 interlacing is
+    rare-in-practice and raises honestly rather than mis-decoding."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG compression/filter method {comp}/{filt}")
+    if interlace == 1:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color_type not in (0, 3)):
+        raise ValueError(f"invalid PNG bit depth {depth} for color type {color_type}")
+
+    channels = _PNG_CHANNELS[color_type]
+    bits_pp = channels * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(bits_pp // 8, 1)
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {h * (1 + stride)}"
+        )
+    lines = _png_unfilter(raw, h, stride, bpp)
+
+    if depth == 16:
+        samples = lines.reshape(h, -1).view(np.uint8)[:, 0::2]  # big-endian high byte
+        samples = samples[:, : w * channels].reshape(h, w, channels)
+    elif depth == 8:
+        samples = lines[:, : w * channels].reshape(h, w, channels)
+    else:  # 1/2/4-bit gray or palette: unpack MSB-first within each byte
+        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+        expanded = (lines[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
+        samples = expanded.reshape(h, -1)[:, :w].reshape(h, w, 1)
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[samples[:, :, 0]]
+    if depth < 8:  # scale 1/2/4-bit gray to full range
+        samples = (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    if color_type == 0:
+        return np.repeat(samples, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3]  # RGB / RGBA minus alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> non-interlaced 8-bit truecolor PNG (the
+    inverse of decode_png; fixture writer). `filter_type` applies the
+    given row filter to every scanline — exercising each of the five
+    published predictors in decoder tests."""
+    h, w, _ = img.shape
+    bpp = 3
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        row = img[r].reshape(-1).astype(np.uint8)
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = row.copy()
+            enc[bpp:] = (row[bpp:].astype(np.int16) - row[:-bpp]) & 0xFF
+        elif filter_type == 2:
+            enc = (row.astype(np.int16) - prev) & 0xFF
+        elif filter_type == 3:
+            enc = row.copy()
+            for i in range(len(row)):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                enc[i] = (int(row[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif filter_type == 4:
+            enc = row.copy()
+            for i in range(len(row)):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (int(row[i]) - _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {filter_type}")
+        out.append(filter_type)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
     """Deterministic pixel features: dims, per-channel mean/std, and an
     8-bin luminance histogram — length `dim`."""
@@ -169,15 +354,18 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 
 def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Real decode for stdlib-parseable formats (WAV, BMP), honest gate
-    for compressed ones — drop-in for binary_columns decode_fn."""
+    """Real decode for stdlib-parseable formats (WAV, BMP, PNG), honest
+    gate for the rest — drop-in for binary_columns decode_fn."""
     mime = sniff_mime(payload)
     if mime == "audio/wav":
         samples, rate = decode_wav(payload)
         return audio_features(samples, rate, dim)
     if mime == "image/bmp":
         return image_features(decode_bmp(payload), dim)
+    if mime == "image/png":
+        return image_features(decode_png(payload), dim)
     raise NotImplementedError(
-        f"no stdlib decoder for {mime or 'unknown container'}; compressed "
-        "codecs (PNG/JPEG/MP4) require PIL/ffmpeg — inject via decode_fn"
+        f"no stdlib decoder for {mime or 'unknown container'}; entropy-"
+        "coded codecs (JPEG's DCT, MP4/H.26x) require PIL/ffmpeg — "
+        "inject via decode_fn"
     )

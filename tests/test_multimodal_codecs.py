@@ -92,9 +92,117 @@ def test_bmp_features_deterministic():
     )
 
 
-def test_stdlib_decode_gates_compressed():
-    with pytest.raises(NotImplementedError, match="image/png"):
-        stdlib_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+def test_stdlib_decode_gates_entropy_coded():
+    """JPEG stays honestly gated (DCT entropy coding needs a real
+    imaging lib); PNG is no longer in the gated set."""
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        stdlib_decode(b"\xff\xd8\xff" + b"\x00" * 64)
+
+
+# ---------- PNG (stdlib zlib + published row filters) ----------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_exact_every_filter(filter_type):
+    """encode -> decode is the identity for each of the five published
+    row predictors (None/Sub/Up/Average/Paeth)."""
+    from datawarehouse1_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7 + filter_type)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    payload = encode_png(img, filter_type=filter_type)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    np.testing.assert_array_equal(decode_png(payload), img)
+
+
+def _png_raw(width, height, depth, color_type, scanlines, extra_chunks=()):
+    """Hand-build a PNG from raw scanline bytes (filter 0 per row)."""
+    import zlib
+
+    from datawarehouse1_spark.multimodal.codecs import _png_chunk
+
+    raw = b"".join(b"\x00" + bytes(s) for s in scanlines)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    for ctype, data in extra_chunks:
+        body += _png_chunk(ctype, data)
+    body += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_grayscale_and_alpha_variants():
+    from datawarehouse1_spark.multimodal.codecs import decode_png
+
+    # 8-bit grayscale 2x2
+    img = decode_png(_png_raw(2, 2, 8, 0, [bytes([10, 200]), bytes([0, 255])]))
+    np.testing.assert_array_equal(img[:, :, 0], [[10, 200], [0, 255]])
+    np.testing.assert_array_equal(img[:, :, 0], img[:, :, 2])  # replicated
+    # 8-bit gray+alpha: alpha dropped
+    ga = decode_png(_png_raw(2, 1, 8, 4, [bytes([10, 255, 200, 0])]))
+    np.testing.assert_array_equal(ga[0, :, 0], [10, 200])
+    # 8-bit RGBA: alpha dropped
+    rgba = decode_png(_png_raw(1, 1, 8, 6, [bytes([1, 2, 3, 77])]))
+    np.testing.assert_array_equal(rgba[0, 0], [1, 2, 3])
+
+
+def test_png_palette_and_subbyte_depths():
+    from datawarehouse1_spark.multimodal.codecs import decode_png
+
+    # palette: 3 colors, 8-bit indices
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    img = decode_png(
+        _png_raw(3, 1, 8, 3, [bytes([0, 1, 2])], extra_chunks=[(b"PLTE", plte)])
+    )
+    np.testing.assert_array_equal(
+        img[0], [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    )
+    # 1-bit grayscale, 10 pixels wide (crosses a byte boundary):
+    # bits 1010101010 packed MSB-first -> 0xAA, 0x80
+    one_bit = decode_png(_png_raw(10, 1, 1, 0, [bytes([0xAA, 0x80])]))
+    np.testing.assert_array_equal(
+        one_bit[0, :, 0], [255, 0] * 5
+    )
+    # 4-bit grayscale: samples 0x3 and 0xC -> scaled by 255/15 = 17
+    four_bit = decode_png(_png_raw(2, 1, 4, 0, [bytes([0x3C])]))
+    np.testing.assert_array_equal(four_bit[0, :, 0], [51, 204])
+
+
+def test_png_16bit_high_byte():
+    from datawarehouse1_spark.multimodal.codecs import decode_png
+
+    # 16-bit RGB, one pixel: big-endian samples 0x1234, 0xFF00, 0x0001
+    scan = struct.pack(">HHH", 0x1234, 0xFF00, 0x0001)
+    img = decode_png(_png_raw(1, 1, 16, 2, [scan]))
+    np.testing.assert_array_equal(img[0, 0], [0x12, 0xFF, 0x00])
+
+
+def test_png_interlaced_raises_honestly():
+    import zlib
+
+    from datawarehouse1_spark.multimodal.codecs import _png_chunk, decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(payload)
+
+
+def test_png_truncated_and_garbage_raise():
+    from datawarehouse1_spark.multimodal.codecs import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\x00" * 32)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    # drop IEND and half the IDAT: zlib must fail loudly, not return junk
+    with pytest.raises(Exception):
+        decode_png(payload[: len(payload) // 2])
 
 
 def test_real_decode_through_spark_pipeline(spark):
