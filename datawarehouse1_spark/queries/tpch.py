@@ -313,7 +313,16 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
     HAVING (orders whose total quantity tops 250 — ~the p99 at any SF of
     this generator) becomes a left-semi join against the aggregated key
     set; quantity summed in exact decimal; top-100 by price with
-    orderkey tiebreak."""
+    orderkey tiebreak.
+
+    Semi-join-first shape (r6): the big-order key set filters lineitem
+    AND orders BEFORE the fact-fact join, so only the ~1% qualifying
+    rows reach it, and customer joins AFTER the per-order aggregation —
+    against one row per qualifying order instead of every line. The
+    previous shape ran customer⋈orders⋈lineitem in full and filtered
+    last; at 100 TB that is three full-size shuffles for rows that are
+    then discarded. o_orderkey is the orders PK, so grouping by it
+    determines (custkey, date, price) — c_name joins in afterwards."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -321,15 +330,17 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
         li.groupBy("l_orderkey")
         .agg(F.sum(_d("l_quantity")).alias("q"))
         .filter(F.col("q") > 250)
-        .select("l_orderkey")
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    li_big = li.join(big, li.l_orderkey == big.big_key, "left_semi")
+    o_big = o.join(big, o.o_orderkey == big.big_key, "left_semi")
+    per_order = (
+        o_big.join(li_big, o_big.o_orderkey == li_big.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_d("l_quantity")).cast("double").alias("sum_qty"))
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(big.withColumnRenamed("l_orderkey", "big_key"),
-              F.col("o_orderkey") == F.col("big_key"), "left_semi")
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_d("l_quantity")).cast("double").alias("sum_qty"))
+        per_order.join(c, per_order.o_custkey == c.c_custkey)
         .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)

@@ -311,9 +311,15 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): per-part value within one nation,
     kept when above a fraction of the nation's total — the scalar-
     aggregate-subquery HAVING. Substitution: no partsupp, so value =
-    shipped l_extendedprice instead of supplycost*availqty. The global
-    total is a one-row aggregate broadcast into the filter; both sides
-    sum exact decimal and the 0.001 multiply happens once in double."""
+    shipped l_extendedprice instead of supplycost*availqty.
+
+    Single-scan shape (r6): the global total re-aggregates the per-part
+    DECIMAL partials instead of re-scanning lineitem — decimal addition
+    is exact and associative, so sum-of-group-sums equals the direct
+    global sum bit-for-bit, and the big fact is scanned/joined ONCE
+    (the naive two-branch plan reads it twice; at 100 TB the second
+    scan is the whole cost). Both sides cast to double only at the end;
+    the 0.001 multiply happens once in double."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -323,13 +329,16 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", _d("l_extendedprice").alias("val"))
     )
     per_part = natline.groupBy("l_partkey").agg(
-        F.sum("val").cast("double").alias("part_value")
+        F.sum("val").alias("val_dec")
     )
-    total = natline.agg(
-        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+    total = per_part.agg(
+        (F.sum("val_dec").cast("double") * F.lit(0.001)).alias("threshold")
     )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.select(
+            "l_partkey", F.col("val_dec").cast("double").alias("part_value")
+        )
+        .join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
@@ -619,16 +628,31 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem per line at 100 TB): EXISTS other-supplier ⇔ the order has
     ≥2 distinct suppliers; NOT EXISTS other-at-fault ⇔ exactly 1
     distinct supplier among its 'R' lines (l1 itself is 'R', so that one
-    is l1's supplier). BOTH stats come from a single groupBy(orderkey)
-    pass (conditional countDistinct skips non-'R' rows via a NULL-ing
-    CASE), so the two correlated subqueries cost one shuffle and one
-    join, not two of each."""
+    is l1's supplier).
+
+    Two-level aggregate shape (r6): distinct-counting via
+    groupBy(order, supplier) then groupBy(order) instead of a double
+    countDistinct. A multi-countDistinct plans as an Expand that
+    DOUBLES every lineitem row before the shuffle; the two-level form
+    instead lets the map-side partial collapse each order's lines to
+    one (order,supplier) row (~4:1 at TPC-H line multiplicity) before
+    anything shuffles — strictly less network at any scale. max(is 'R')
+    per pair then sums into 'distinct suppliers with an R line'."""
     li = table(spark, sf_dir, "lineitem")
-    stats = li.groupBy(F.col("l_orderkey").alias("s_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    stats = (
+        li.groupBy(
+            F.col("l_orderkey").alias("s_key"), F.col("l_suppkey").alias("s_supp")
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
+        .groupBy("s_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_r").alias("n_r_supp"),
+        )
     )
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
