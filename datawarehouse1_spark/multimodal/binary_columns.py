@@ -72,18 +72,26 @@ def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def real_image_decode(payload: bytes):  # pragma: no cover - env-dependent
-    """Entropy-coded-format decode path (JPEG/MP4), gated on the imaging
-    lib. WAV, uncompressed BMP, and PNG need no external lib — use
-    codecs.stdlib_decode (real, tested in this container)."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "JPEG decoding requires pillow; this container has no imaging "
-            "libs — codecs.stdlib_decode handles WAV/BMP/PNG for real"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here in a real deployment")
+def real_image_decode(payload: bytes) -> np.ndarray:
+    """Image decode path: WAV/BMP/PNG/baseline-JPEG are all decoded by
+    this repo's own codecs (codecs.py + jpeg.py — stdlib + numpy, no
+    PIL). Only video bitstreams (H.26x inside MP4) remain gated; the
+    MP4 container demuxes via mp4.py."""
+    from datawarehouse1_spark.multimodal.codecs import sniff_mime
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
+
+    mime = sniff_mime(payload)
+    if mime == "image/jpeg":
+        return decode_jpeg(payload)
+    from datawarehouse1_spark.multimodal.codecs import decode_bmp, decode_png
+
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"no built-in pixel decoder for {mime or 'unknown container'}"
+    )
 
 
 def extract_features(
@@ -170,18 +178,20 @@ def frame_sample(
 
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media asset table: doc_ids ≡ 0 (mod 4) become
-    16×16 24-bit BMP images, ≡ 2 (mod 4) become 16×16 PNG images (row
-    filter cycled through all five published predictors by id, so the
-    decode tier exercises each), odd doc_ids become 50 ms 8 kHz PCM WAV
-    tones (frequency derived from the id). Payloads are generated
-    executor-side inside mapInPandas — genuine container bytes the
-    stdlib codecs can decode, at any SF, with no binary fixtures in the
-    testdata."""
+    """Deterministic REAL media asset table: even doc_ids become 16×16
+    images — ≡ 0 (mod 6) 24-bit BMP, ≡ 2 (mod 6) PNG (row filter cycled
+    through all five published predictors by id), ≡ 4 (mod 6) baseline
+    JPEG (4:4:4 / 4:2:0 alternated by id, quality cycled 75/85/95, one
+    in three with restart markers — every decoder branch gets real
+    traffic); odd doc_ids become 50 ms 8 kHz PCM WAV tones (frequency
+    derived from the id). Payloads are generated executor-side inside
+    mapInPandas — genuine container bytes this repo's own codecs can
+    decode, at any SF, with no binary fixtures in the testdata."""
     import io as _io
     import wave as _wave
 
     from datawarehouse1_spark.multimodal.codecs import encode_bmp, encode_png
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,11 +204,19 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                 if aid % 2 == 0:
                     rng = np.random.default_rng(aid)
                     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                    if aid % 4 == 0:
+                    if aid % 6 == 0:
                         payload, mime = encode_bmp(img), "image/bmp"
-                    else:
+                    elif aid % 6 == 2:
                         payload = encode_png(img, filter_type=(aid // 2) % 5)
                         mime = "image/png"
+                    else:
+                        payload = encode_jpeg(
+                            img,
+                            quality=75 + ((aid // 6) % 3) * 10,
+                            subsample="4:4:4" if aid % 12 == 4 else "4:2:0",
+                            restart_interval=(aid // 6) % 3,  # 0 = none
+                        )
+                        mime = "image/jpeg"
                     out["asset_id"].append(aid)
                     out["modality"].append("image")
                     out["payload"].append(payload)

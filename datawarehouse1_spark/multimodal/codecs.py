@@ -7,10 +7,11 @@ all: RIFF/WAVE audio (stdlib `wave`), uncompressed 24/32-bit BMP images
 despite being a compressed format — PNG, whose only compression is
 stdlib `zlib` DEFLATE plus the five published per-row predictor filters
 (PNG spec / RFC 2083 §6; Paeth 1991). This module makes the decode tier
-REAL for those, keeps the formats that genuinely need external codecs
-(JPEG's DCT entropy coding, MP4/H.26x) honestly gated, and derives
-actual signal/pixel features with numpy — so the mapInPandas pipeline in
-binary_columns.py runs end-to-end on genuine media bytes.
+REAL for those and derives actual signal/pixel features with numpy — so
+the mapInPandas pipeline in binary_columns.py runs end-to-end on genuine
+media bytes. Baseline JPEG is real too (jpeg.py, a pure-numpy T.81
+codec); only video bitstream codecs (H.26x inside MP4) remain gated —
+the MP4 container itself demuxes via mp4.py.
 
 Everything is pure bytes+numpy: safe inside Arrow-batched executors.
 """
@@ -354,8 +355,9 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 
 def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Real decode for stdlib-parseable formats (WAV, BMP, PNG), honest
-    gate for the rest — drop-in for binary_columns decode_fn."""
+    """Real decode for the formats this repo can parse without external
+    libraries (WAV, BMP, PNG, baseline JPEG), honest gate for the rest —
+    drop-in for binary_columns decode_fn."""
     mime = sniff_mime(payload)
     if mime == "audio/wav":
         samples, rate = decode_wav(payload)
@@ -364,8 +366,12 @@ def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
         return image_features(decode_bmp(payload), dim)
     if mime == "image/png":
         return image_features(decode_png(payload), dim)
+    if mime == "image/jpeg":
+        from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload), dim)
     raise NotImplementedError(
-        f"no stdlib decoder for {mime or 'unknown container'}; entropy-"
-        "coded codecs (JPEG's DCT, MP4/H.26x) require PIL/ffmpeg — "
-        "inject via decode_fn"
+        f"no built-in decoder for {mime or 'unknown container'}; video "
+        "bitstream codecs (H.26x inside MP4) require ffmpeg — inject "
+        "via decode_fn (the MP4 container itself demuxes via mp4.py)"
     )

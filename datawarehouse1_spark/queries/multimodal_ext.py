@@ -50,13 +50,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared("q_multimodal_real_decode", oracle=None)
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode end-to-end: genuine WAV/BMP/PNG container bytes are
-    synthesized executor-side (multimodal/binary_columns.py::
-    synthesize_media_assets), then decoded by the pure-stdlib codecs
+    """REAL decode end-to-end: genuine WAV/BMP/PNG/JPEG container bytes
+    are synthesized executor-side (multimodal/binary_columns.py::
+    synthesize_media_assets), then decoded by this repo's own codecs
     (multimodal/codecs.py — wave module, BITMAPINFO structs, zlib
-    inflate + the five PNG row filters) into genuine signal/pixel
-    features. No stub anywhere in this path; bounded to 200 assets
-    because the point is the decode tier, not volume."""
+    inflate + the five PNG row filters; multimodal/jpeg.py — a pure
+    numpy baseline T.81 codec: Huffman entropy decode, dequantize,
+    8×8 IDCT, YCbCr→RGB) into genuine signal/pixel features. No stub
+    anywhere in this path; bounded to 200 assets because the point is
+    the decode tier, not volume."""
     from datawarehouse1_spark.multimodal.codecs import stdlib_decode
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")

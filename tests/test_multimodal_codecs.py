@@ -92,10 +92,14 @@ def test_bmp_features_deterministic():
     )
 
 
-def test_stdlib_decode_gates_entropy_coded():
-    """JPEG stays honestly gated (DCT entropy coding needs a real
-    imaging lib); PNG is no longer in the gated set."""
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
+def test_stdlib_decode_gates_video_bitstreams():
+    """Video bitstream codecs (H.26x inside MP4) stay honestly gated;
+    JPEG left the gated set in r6 (pure-numpy T.81 codec, jpeg.py) —
+    a malformed JPEG now raises a loud parse error, not a gate."""
+    fake_mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        stdlib_decode(fake_mp4)
+    with pytest.raises(ValueError):
         stdlib_decode(b"\xff\xd8\xff" + b"\x00" * 64)
 
 

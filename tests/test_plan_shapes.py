@@ -40,7 +40,9 @@ EXCHANGE_BUDGET = {
     "q_tpch_q10_returned_items": 1,
     "q_tpch_q14_promo_revenue": 1,  # broadcast part + single agg
     "q_tpch_q13_customer_distribution": 2,  # per-cust agg + histogram agg
-    "q_tpch_q18_large_volume_customer": 2,  # orderkey agg + final group
+    # big-order key agg appears twice statically (semi-filters lineitem
+    # AND orders; exchange reuse collapses it at runtime) + final group
+    "q_tpch_q18_large_volume_customer": 3,
     "q_tpch_q22_global_sales_opportunity": 2,  # 1-row threshold broadcast
     "q_agg_cube": 1,  # Expand + one shuffle, not 2^k scans
     "q_agg_grouping_sets": 1,
@@ -65,7 +67,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q7_volume_shipping": 1,  # orderkey fact join + final agg
     "q_tpch_q8_market_share": 1,
     "q_tpch_q9_product_type_profit": 1,
-    "q_tpch_q11_important_stock": 2,  # partkey agg + 1-row total broadcast
+    # partkey agg appears twice statically (threshold branch + output
+    # branch share the subtree; exchange reuse collapses it at runtime)
+    # + 1-row SinglePartition total
+    "q_tpch_q11_important_stock": 3,
     "q_tpch_q12_shipping_priority_class": 1,
     "q_tpch_q15_top_supplier": 2,  # checkpointed revenue view + sort
     "q_tpch_q16_parts_supplier": 2,  # two-level distinct-count agg
