@@ -247,6 +247,136 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
+def synthesize_video_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MP4 containers, one per doc_id: n_samples =
+    5 + id%10 opaque 20+id%50-byte samples at 40 ms each, keyframe every
+    4th sample, 3-samples-per-chunk stco layout (multimodal/mp4.py::
+    encode_mp4_stub). Every field a demuxer recovers is a closed-form
+    function of doc_id — which is what lets q_multimodal_mp4_demux be
+    ORACLE-matched: DuckDB computes the formulas, Spark must recover the
+    same numbers by actually parsing stts/stsz/stsc/stco/stss."""
+    from datawarehouse1_spark.multimodal.mp4 import encode_mp4_stub
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "modality", "payload", "mime",
+                "width", "height", "duration_ms",
+            )}
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                n = 5 + aid % 10
+                size = 20 + aid % 50
+                payloads = [
+                    hashlib.sha256(f"{aid}:{i}".encode()).digest() * (size // 32 + 1)
+                    for i in range(n)
+                ]
+                payloads = [p[:size] for p in payloads]
+                out["asset_id"].append(aid)
+                out["modality"].append("video")
+                out["payload"].append(
+                    encode_mp4_stub(payloads, sample_duration_units=40)
+                )
+                out["mime"].append("video/mp4")
+                out["width"].append(16)
+                out["height"].append(16)
+                out["duration_ms"].append(40 * n)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def demux_stats(assets: DataFrame) -> DataFrame:
+    """Real container-level video stats via the pure-stdlib demuxer:
+    sample count, keyframe count, duration, and total encoded bytes —
+    the pre-decode audit a video corpus pipeline runs first. One Arrow
+    crossing per asset; the payload never shuffles."""
+    from datawarehouse1_spark.multimodal.mp4 import demux_mp4
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("codec", StringType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("n_keyframes", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("total_sample_bytes", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "codec", "n_samples", "n_keyframes",
+                "duration_ms", "total_sample_bytes",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                track = demux_mp4(bytes(b))[0]
+                rows["asset_id"].append(aid)
+                rows["codec"].append(track.codec)
+                rows["n_samples"].append(len(track.samples))
+                rows["n_keyframes"].append(
+                    sum(1 for s in track.samples if s.is_sync)
+                )
+                rows["duration_ms"].append(
+                    track.duration * 1000 // track.timescale
+                )
+                rows["total_sample_bytes"].append(
+                    sum(s.size for s in track.samples)
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_real(
+    assets: DataFrame,
+    every_ms: int = 200,
+    decode_fn: Callable[[bytes], np.ndarray] = deterministic_fake_decode,
+) -> DataFrame:
+    """Real frame sampling over MP4 containers: demux the sample table,
+    seek the latest keyframe at or before each target instant (the rule
+    every player uses), slice that sample's genuine byte range out of
+    mdat. Only the bitstream decode of the sliced frame is stubbed
+    (H.26x is ffmpeg territory); the selection and extraction are real.
+    Fan-out happens INSIDE mapInPandas so each payload crosses Arrow
+    once, never once-per-frame."""
+    from datawarehouse1_spark.multimodal.mp4 import (
+        demux_mp4,
+        extract_sample,
+        keyframes_near,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("pts_ms", LongType(), True),
+            StructField("frame_bytes", IntegerType(), True),
+            StructField("feature", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "frame_idx", "pts_ms", "frame_bytes", "feature",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(b)
+                track = demux_mp4(payload)[0]
+                for s in keyframes_near(track, every_ms):
+                    frame = extract_sample(payload, s)
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(s.index)
+                    rows["pts_ms"].append(s.dts * 1000 // track.timescale)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["feature"].append(decode_fn(frame).tolist())
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def synthesize_assets_from_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
     """Build a deterministic asset table from the documents testdata
     (text bytes as payload) so the multimodal plumbing is testable at any

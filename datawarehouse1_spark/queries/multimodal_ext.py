@@ -66,6 +66,39 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stringify_array_cols(extract_features(assets, decode_fn=stdlib_decode))
 
 
+@declared(
+    "q_multimodal_mp4_demux",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'mp4v' AS codec,
+           CAST(5 + doc_id % 10 AS BIGINT) AS n_samples,
+           CAST(floor((5 + doc_id % 10 + 3) / 4.0) AS BIGINT) AS n_keyframes,
+           CAST(40 * (5 + doc_id % 10) AS BIGINT) AS duration_ms,
+           CAST((5 + doc_id % 10) * (20 + doc_id % 50) AS BIGINT)
+             AS total_sample_bytes
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 demux, hash-matched: containers are synthesized with
+    closed-form sample tables (multimodal/binary_columns.py::
+    synthesize_video_assets), then the pure-stdlib ISO-BMFF demuxer
+    (multimodal/mp4.py) recovers sample/keyframe counts, duration, and
+    encoded-byte totals by actually walking stts/stsz/stsc/stco/stss —
+    while DuckDB computes the same numbers from the generating formulas.
+    A parser bug anywhere in the box walk shows up as a value mismatch,
+    not a rows-only shrug. Bounded to 300 assets; the payload crosses
+    Arrow once per asset and never shuffles."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        demux_stats,
+        synthesize_video_assets,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 300")
+    return demux_stats(synthesize_video_assets(docs))
+
+
 @declared("q_multimodal_frame_sample", oracle=None)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame."""
