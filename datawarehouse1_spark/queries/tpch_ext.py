@@ -151,31 +151,44 @@ def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): bilateral trade volume between two
     nations per year — the two-role nation join (n1 on the supplier, n2
-    on the customer) with the symmetric OR pair predicate. Both nation
-    copies broadcast; the OR is applied after (tiny dims, so no blow-up),
-    and the fact⋈fact orderkey join carries only the filtered years."""
-    s = table(spark, sf_dir, "supplier")
+    on the customer) with the symmetric OR pair predicate.
+
+    Filter-first shape (r6): the pair predicate implies supp_nation AND
+    cust_nation each lie in the two-nation set, so that necessary
+    condition pushes onto supplier and customer BEFORE any fact join —
+    lineitem shrinks via the broadcast nation-filtered supplier, orders
+    shrinks via the nation-filtered customer, and the fact⋈fact
+    orderkey shuffle carries ~(2/|nations|)² of the naive volume. The
+    exact OR pair (excluding same-nation trade) applies after the
+    orderkey join, on already-small rows. The previous shape joined
+    full-size facts and filtered last — two full fact shuffles of rows
+    that were then discarded."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n1 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    nations = ("NATION_1", "NATION_2")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s2 = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    c2 = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li2 = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey).select(
+        "o_orderkey", "cust_nation"
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
+    ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
     return (
-        s.join(li, s.s_suppkey == li.l_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))

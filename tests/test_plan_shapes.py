@@ -64,7 +64,10 @@ EXCHANGE_BUDGET = {
     # r4 audit of the completed TPC-H canon (sf0.001, local[8]):
     "q_tpch_q2_min_cost_supplier": 2,  # partkey window (+1 when distinct not merged)
     "q_tpch_q4_order_priority": 1,  # semi-join broadcast + priority agg
-    "q_tpch_q7_volume_shipping": 1,  # orderkey fact join + final agg
+    # both pre-shrunk sides of the orderkey fact join (statically
+    # sort-merge; AQE broadcasts the small orders side at low SF) +
+    # final agg — each side carries ~(2/|nations|) of the naive volume
+    "q_tpch_q7_volume_shipping": 3,
     "q_tpch_q8_market_share": 1,
     "q_tpch_q9_product_type_profit": 1,
     # partkey agg appears twice statically (threshold branch + output
