@@ -84,11 +84,14 @@ def real_image_decode(payload: bytes) -> np.ndarray:
     if mime == "image/jpeg":
         return decode_jpeg(payload)
     from datawarehouse1_spark.multimodal.codecs import decode_bmp, decode_png
+    from datawarehouse1_spark.multimodal.gif import decode_gif
 
     if mime == "image/bmp":
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
+    if mime == "image/gif":
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no built-in pixel decoder for {mime or 'unknown container'}"
     )
@@ -179,11 +182,12 @@ def frame_sample(
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media asset table: even doc_ids become 16×16
-    images — ≡ 0 (mod 6) 24-bit BMP, ≡ 2 (mod 6) PNG (row filter cycled
-    through all five published predictors by id), ≡ 4 (mod 6) baseline
+    images — ≡ 0 (mod 8) 24-bit BMP, ≡ 2 (mod 8) PNG (row filter cycled
+    through all five published predictors by id), ≡ 4 (mod 8) baseline
     JPEG (4:4:4 / 4:2:0 alternated by id, quality cycled 75/85/95, one
-    in three with restart markers — every decoder branch gets real
-    traffic); odd doc_ids become 50 ms 8 kHz PCM WAV tones (frequency
+    in three with restart markers), ≡ 6 (mod 8) GIF89a (palette LZW,
+    every other one interlaced) — every decoder branch gets real
+    traffic; odd doc_ids become 50 ms 8 kHz PCM WAV tones (frequency
     derived from the id). Payloads are generated executor-side inside
     mapInPandas — genuine container bytes this repo's own codecs can
     decode, at any SF, with no binary fixtures in the testdata."""
@@ -191,6 +195,7 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     import wave as _wave
 
     from datawarehouse1_spark.multimodal.codecs import encode_bmp, encode_png
+    from datawarehouse1_spark.multimodal.gif import encode_gif
     from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,19 +209,25 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                 if aid % 2 == 0:
                     rng = np.random.default_rng(aid)
                     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                    if aid % 6 == 0:
+                    if aid % 8 == 0:
                         payload, mime = encode_bmp(img), "image/bmp"
-                    elif aid % 6 == 2:
+                    elif aid % 8 == 2:
                         payload = encode_png(img, filter_type=(aid // 2) % 5)
                         mime = "image/png"
-                    else:
+                    elif aid % 8 == 4:
                         payload = encode_jpeg(
                             img,
-                            quality=75 + ((aid // 6) % 3) * 10,
-                            subsample="4:4:4" if aid % 12 == 4 else "4:2:0",
-                            restart_interval=(aid // 6) % 3,  # 0 = none
+                            quality=75 + ((aid // 8) % 3) * 10,
+                            subsample="4:4:4" if aid % 16 == 4 else "4:2:0",
+                            restart_interval=(aid // 8) % 3,  # 0 = none
                         )
                         mime = "image/jpeg"
+                    else:
+                        # GIF needs <=256 distinct colors: grayscale noise
+                        gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+                        img = np.stack([gray, gray, gray], axis=2)
+                        payload = encode_gif(img, interlace=bool((aid // 8) % 2))
+                        mime = "image/gif"
                     out["asset_id"].append(aid)
                     out["modality"].append("image")
                     out["payload"].append(payload)

@@ -370,6 +370,10 @@ def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
         from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
 
         return image_features(decode_jpeg(payload), dim)
+    if mime == "image/gif":
+        from datawarehouse1_spark.multimodal.gif import decode_gif
+
+        return image_features(decode_gif(payload), dim)
     raise NotImplementedError(
         f"no built-in decoder for {mime or 'unknown container'}; video "
         "bitstream codecs (H.26x inside MP4) require ffmpeg — inject "

@@ -151,26 +151,52 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): the deepest star join in the
     canon — two facts and four dims, with the customer-nation ==
-    supplier-nation correlation. Region/nation broadcast; the only big
-    shuffle is lineitem⋈orders on orderkey; the supplier join is
-    broadcast-able at any realistic supplier:lineitem ratio."""
+    supplier-nation correlation.
+
+    Filter-first shape (r6): both sides of the correlation lie in the
+    ASIA nation set, so the region filter pushes onto customer AND
+    supplier before any fact join — lineitem shrinks via the broadcast
+    region-filtered supplier (which also carries n_name, so no later
+    nation join), orders shrinks via the region-filtered customer on
+    top of its date filter, and the orderkey fact join carries
+    ~(1/|regions|) per side instead of every region's rows. The exact
+    c_nationkey == s_nationkey correlation applies at the orderkey
+    join, on already-small rows."""
     cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c2 = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    o2 = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .join(c2, F.col("o_custkey") == c2.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
+    s2 = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
     li = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li2 = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
     revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li2.join(
+            o2,
+            (li2.l_orderkey == o2.o_orderkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )

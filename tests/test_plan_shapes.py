@@ -36,7 +36,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q1_pricing_summary": 1,
     "q_tpch_q3_shipping_priority": 1,  # + broadcast joins
     "q_tpch_q6_forecast_revenue": 1,  # single-row agg exchange
-    "q_tpch_q5_local_supplier": 1,  # 6-table star: one orderkey shuffle
+    # 6-table star, filter-first: both region-shrunk orderkey sides
+    # (statically sort-merge; AQE broadcasts the small side at low SF)
+    # + final agg
+    "q_tpch_q5_local_supplier": 3,
     "q_tpch_q10_returned_items": 1,
     "q_tpch_q14_promo_revenue": 1,  # broadcast part + single agg
     "q_tpch_q13_customer_distribution": 2,  # per-cust agg + histogram agg
