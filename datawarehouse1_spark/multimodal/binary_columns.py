@@ -6,13 +6,15 @@ mapInPandas decode/feature/resize/frame-sample operators with correct
 batch shapes, and metadata extraction that never leaves the JVM where
 possible. Decoding has two real tiers plus a stub:
 
-  * codecs.stdlib_decode — REAL decode for stdlib-parseable formats
-    (RIFF/WAVE audio via `wave`, uncompressed BMP via struct, PNG via
-    `zlib` + the five published row filters) with genuine signal/pixel
-    features; magic-byte container sniffing.
-  * PIL/ffmpeg-backed decode for entropy-coded formats (JPEG, MP4) —
-    honestly gated (no imaging libs in this container); inject via
-    decode_fn.
+  * codecs.stdlib_decode — REAL decode for every format this repo
+    implements itself (RIFF/WAVE audio via `wave`; uncompressed BMP via
+    struct; PNG via `zlib` + the five row filters + Adam7; baseline
+    JPEG via the pure-numpy T.81 codec in jpeg.py; GIF via the LZW
+    codec in gif.py) with genuine signal/pixel features; magic-byte
+    container sniffing. MP4 containers demux for real via mp4.py
+    (sample tables, keyframe seek, byte-range extraction).
+  * video bitstream decode (H.26x inside the demuxed samples) — the
+    one remaining honest gate (ffmpeg territory); inject via decode_fn.
   * deterministic_fake_decode — seed-stable pseudo-features for
     plumbing tests at any SF without binary fixtures.
 """
@@ -183,7 +185,8 @@ def frame_sample(
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media asset table: even doc_ids become 16×16
     images — ≡ 0 (mod 8) 24-bit BMP, ≡ 2 (mod 8) PNG (row filter cycled
-    through all five published predictors by id), ≡ 4 (mod 8) baseline
+    through all five published predictors by id, alternate ones Adam7-
+    interlaced), ≡ 4 (mod 8) baseline
     JPEG (4:4:4 / 4:2:0 alternated by id, quality cycled 75/85/95, one
     in three with restart markers), ≡ 6 (mod 8) GIF89a (palette LZW,
     every other one interlaced) — every decoder branch gets real
@@ -212,7 +215,11 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                     if aid % 8 == 0:
                         payload, mime = encode_bmp(img), "image/bmp"
                     elif aid % 8 == 2:
-                        payload = encode_png(img, filter_type=(aid // 2) % 5)
+                        payload = encode_png(
+                            img,
+                            filter_type=(aid // 2) % 5,
+                            interlace=bool((aid // 16) % 2),
+                        )
                         mime = "image/png"
                     elif aid % 8 == 4:
                         payload = encode_jpeg(

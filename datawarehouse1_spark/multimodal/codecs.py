@@ -162,6 +162,16 @@ def encode_bmp(img: np.ndarray) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per color type (PNG spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -213,12 +223,12 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
 
-    Supports the full non-interlaced core of the spec: color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths
-    1/2/4 (gray, palette) and 8/16 (16-bit scaled down to 8); all five
-    row filters. Alpha is dropped (feature extraction convention, same
-    as decode_bmp ignoring the BMP alpha byte). Adam7 interlacing is
-    rare-in-practice and raises honestly rather than mis-decoding."""
+    Supports the full core of the spec: color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4 (gray,
+    palette) and 8/16 (16-bit scaled down to 8); all five row filters;
+    Adam7 interlacing (each pass is its own filtered sub-image, spec
+    §8.2). Alpha is dropped (feature extraction convention, same as
+    decode_bmp ignoring the BMP alpha byte)."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -243,8 +253,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG compression/filter method {comp}/{filt}")
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color_type not in (0, 3)):
@@ -252,24 +262,48 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     channels = _PNG_CHANNELS[color_type]
     bits_pp = channels * depth
-    stride = (w * bits_pp + 7) // 8
-    bpp = max(bits_pp // 8, 1)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG data length {len(raw)} != expected {h * (1 + stride)}"
-        )
-    lines = _png_unfilter(raw, h, stride, bpp)
 
-    if depth == 16:
-        samples = lines.reshape(h, -1).view(np.uint8)[:, 0::2]  # big-endian high byte
-        samples = samples[:, : w * channels].reshape(h, w, channels)
-    elif depth == 8:
-        samples = lines[:, : w * channels].reshape(h, w, channels)
-    else:  # 1/2/4-bit gray or palette: unpack MSB-first within each byte
-        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
-        expanded = (lines[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
-        samples = expanded.reshape(h, -1)[:, :w].reshape(h, w, 1)
+    def _decode_pass(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
+        """One filtered sub-image (the whole image when non-interlaced,
+        one Adam7 pass otherwise) -> (ph, pw, channels) samples."""
+        stride = (pw * bits_pp + 7) // 8
+        bpp = max(bits_pp // 8, 1)
+        need = ph * (1 + stride)
+        if len(raw) - off < need:
+            raise ValueError(
+                f"PNG data truncated: have {len(raw) - off}, need {need}"
+            )
+        lines = _png_unfilter(raw[off : off + need], ph, stride, bpp)
+        if depth == 16:
+            s = lines.reshape(ph, -1).view(np.uint8)[:, 0::2]  # BE high byte
+            s = s[:, : pw * channels].reshape(ph, pw, channels)
+        elif depth == 8:
+            s = lines[:, : pw * channels].reshape(ph, pw, channels)
+        else:  # 1/2/4-bit gray or palette: unpack MSB-first per byte
+            shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+            expanded = (lines[:, :, None] >> shifts[None, None, :]) & (
+                (1 << depth) - 1
+            )
+            s = expanded.reshape(ph, -1)[:, :pw].reshape(ph, pw, 1)
+        return s, off + need
+
+    if interlace == 0:
+        samples, consumed = _decode_pass(0, w, h)
+    else:  # Adam7: seven independent sub-images scattered on the grid
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        consumed = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty passes are wholly absent (spec §8.2)
+            s, consumed = _decode_pass(consumed, pw, ph)
+            samples[y0::dy, x0::dx] = s
+    if consumed != len(raw):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {consumed}"
+        )
 
     if color_type == 3:
         if plte is None:
@@ -295,11 +329,36 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """(H, W, 3) uint8 RGB -> non-interlaced 8-bit truecolor PNG (the
-    inverse of decode_png; fixture writer). `filter_type` applies the
-    given row filter to every scanline — exercising each of the five
-    published predictors in decoder tests."""
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> 8-bit truecolor PNG (the inverse of
+    decode_png; fixture writer). `filter_type` applies the given row
+    filter to every scanline — exercising each of the five published
+    predictors in decoder tests. `interlace` writes Adam7: each pass is
+    its own filtered sub-image."""
+    h, w, _ = img.shape
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _png_filter_rows(np.ascontiguousarray(sub), filter_type)
+    else:
+        out = _png_filter_rows(img, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(img: np.ndarray, filter_type: int) -> bytearray:
+    """Apply one row filter to every scanline of an (H, W, 3) image,
+    returning the filter-byte-prefixed scanline stream."""
     h, w, _ = img.shape
     bpp = 3
     out = bytearray()
@@ -329,13 +388,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         out.append(filter_type)
         out.extend(enc.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return out
 
 
 def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:

@@ -180,19 +180,33 @@ def test_png_16bit_high_byte():
     np.testing.assert_array_equal(img[0, 0], [0x12, 0xFF, 0x00])
 
 
-def test_png_interlaced_raises_honestly():
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 left the gated set in r6: every pass is an independently
+    filtered sub-image; round-trip must be exact for all five filters
+    and for dims that leave some passes empty."""
+    from datawarehouse1_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (17, 19), (3, 3), (1, 1), (1, 9)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft, interlace=True))
+            np.testing.assert_array_equal(out, img)
+
+
+def test_png_invalid_interlace_method_raises():
     import zlib
 
     from datawarehouse1_spark.multimodal.codecs import _png_chunk, decode_png
 
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # interlace=1
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 7)  # bogus interlace
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(payload)
 
 
