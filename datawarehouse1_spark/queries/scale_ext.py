@@ -186,3 +186,44 @@ def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice", "total_price"),
         )
     )
+
+
+@declared(
+    "q_sketch_log_histogram",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CASE WHEN c <= 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(LOG2(CAST(c AS DOUBLE))) AS BIGINT) END AS bin,
+           COUNT(*) AS n,
+           MIN(c) AS min_cents,
+           MAX(c) AS max_cents,
+           CAST(SUM(c) AS BIGINT) AS sum_cents
+    FROM cents
+    GROUP BY l_returnflag, bin
+    """,
+)
+def q_sketch_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-histogram sketch over money cents, grouped by
+    returnflag — the bounded-size quantile summary that replaces a full
+    sort at 100 TB (operators/sketches.py: one shuffle carrying one row
+    per group x occupied octave; merge law + quantile-recovery accuracy
+    pinned in tests/test_sketches.py). Deterministic integer binning, so
+    the DuckDB oracle reproduces the sketch exactly — unlike HLL, this
+    sketch hash-matches."""
+    from datawarehouse1_spark.operators.sketches import log2_histogram
+
+    li = table(spark, sf_dir, "lineitem")
+    sk = log2_histogram(li, "l_extendedprice", group_cols=("l_returnflag",))
+    return sk.select(
+        "l_returnflag",
+        "bin",
+        "n",
+        "min_cents",
+        "max_cents",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
