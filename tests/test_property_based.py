@@ -9,6 +9,7 @@ timestamps, empty sides.
 
 from __future__ import annotations
 
+import struct
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -244,3 +245,127 @@ def test_curation_topk_is_topk_of_full_ranking(spark):
         assert len(rows) <= 20
         ranked = sorted(rows, key=lambda r: (-r.score, r.doc_id))
         assert [r.rk for r in ranked] == list(range(1, len(rows) + 1)), lang
+
+
+# ---------- codec round-trip properties (no Spark needed) ----------
+
+CODEC_SETTINGS = settings(max_examples=25, deadline=None)
+
+
+@CODEC_SETTINGS
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    filter_type=st.integers(0, 4),
+)
+def test_png_roundtrip_property(h, w, seed, interlace, filter_type):
+    """PNG is lossless: decode(encode(img)) == img for ANY uint8 RGB
+    image, any filter, interlaced or not."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.codecs import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=filter_type, interlace=interlace))
+    assert np.array_equal(out, img)
+
+
+@CODEC_SETTINGS
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31 - 1), interlace=st.booleans())
+def test_gif_roundtrip_property(h, w, seed, interlace):
+    """GIF is lossless for <=256-color images (grayscale by
+    construction here), interlaced or not."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.gif import decode_gif, encode_gif
+
+    v = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    img = np.stack([v, v, v], axis=2)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+@CODEC_SETTINGS
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(30, 100),
+    subsample=st.sampled_from(["4:4:4", "4:2:0"]),
+)
+def test_jpeg_decodes_to_correct_shape_and_range(h, w, seed, quality, subsample):
+    """JPEG is lossy, but decode(encode(img)) must always produce the
+    original shape, uint8 range, and for a FLAT image be near-exact."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+@CODEC_SETTINGS
+@given(
+    n=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    spc=st.integers(1, 5),
+    sync_every=st.integers(1, 6),
+)
+def test_mp4_demux_roundtrip_property(n, seed, spc, sync_every):
+    """Every sample written by the fixture writer must be recovered
+    byte-for-byte through the stsc/stco walk, for any chunking layout
+    and sync cadence."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.mp4 import (
+        demux_mp4,
+        encode_mp4_stub,
+        extract_sample,
+    )
+
+    rng = np.random.default_rng(seed)
+    payloads = [bytes(rng.integers(0, 256, int(rng.integers(1, 80)), dtype=np.uint8).tolist()) for _ in range(n)]
+    mp4 = encode_mp4_stub(payloads, samples_per_chunk=spc, sync_every=sync_every)
+    (track,) = demux_mp4(mp4)
+    assert len(track.samples) == n
+    for s in track.samples:
+        assert extract_sample(mp4, s) == payloads[s.index]
+    assert [s.index for s in track.samples if s.is_sync] == list(range(0, n, sync_every))
+
+
+@CODEC_SETTINGS
+@given(data=st.binary(min_size=0, max_size=256))
+def test_decoders_never_return_garbage_on_fuzz(data):
+    """Arbitrary bytes must either raise (ValueError family /
+    NotImplementedError) or decode legitimately — never hang or return
+    malformed output. Magic prefixes are prepended so each decoder's
+    parser proper gets fuzzed, not just the signature check."""
+    import zlib
+
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.codecs import decode_bmp, decode_png
+    from datawarehouse1_spark.multimodal.gif import decode_gif
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
+    from datawarehouse1_spark.multimodal.mp4 import demux_mp4
+
+    for fn, prefix in (
+        (decode_png, b"\x89PNG\r\n\x1a\n"),
+        (decode_jpeg, b"\xff\xd8\xff"),
+        (decode_gif, b"GIF89a"),
+        (decode_bmp, b"BM"),
+        (demux_mp4, b"\x00\x00\x00\x18ftypisom"),
+    ):
+        try:
+            out = fn(prefix + data)
+        except (ValueError, NotImplementedError, IndexError, struct.error,
+                zlib.error, EOFError, OverflowError):
+            continue
+        if fn is demux_mp4:
+            assert isinstance(out, list)
+        else:
+            assert isinstance(out, np.ndarray) and out.dtype == np.uint8
