@@ -182,6 +182,82 @@ def frame_sample(
     )
 
 
+def _resize_plane(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic numpy resize of (H, W, C) uint8: per-axis box
+    average when shrinking (each target cell averages its source span),
+    nearest-neighbor when growing. No PIL, no interpolation seams."""
+
+    def axis_resize(a: np.ndarray, target: int, axis: int) -> np.ndarray:
+        src = a.shape[axis]
+        if target == src:
+            return a
+        if target < src:  # box average over contiguous spans
+            edges = (np.arange(target + 1) * src) // target
+            chunks = [
+                a.take(range(edges[i], edges[i + 1]), axis=axis).mean(axis=axis)
+                for i in range(target)
+            ]
+            return np.stack(chunks, axis=axis)
+        idx = (np.arange(target) * src) // target  # nearest (floor) upscale
+        return a.take(idx, axis=axis)
+
+    out = axis_resize(img.astype(np.float64), th, 0)
+    out = axis_resize(out, tw, 1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_h: int,
+    target_w: int,
+    decode_fn: Callable[[bytes], np.ndarray] = real_image_decode,
+) -> DataFrame:
+    """Image resize operator: decode (any in-repo format), box-average /
+    nearest resize to (target_h, target_w), re-encode as lossless PNG.
+    One Arrow crossing per asset; the payload never shuffles — at 100 TB
+    this is pure per-partition CPU, exactly how a preprocessing fleet
+    runs it. Non-image rows and undecodable payloads pass through with
+    NULL output payload plus an error string (fail-soft per asset, the
+    quarantine convention of operators/ingest.py)."""
+    from datawarehouse1_spark.multimodal.codecs import encode_png
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("mime", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("error", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "payload", "mime", "width", "height", "error",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                rows["asset_id"].append(aid)
+                try:
+                    img = decode_fn(bytes(b))
+                    resized = _resize_plane(img, target_h, target_w)
+                    rows["payload"].append(encode_png(resized))
+                    rows["mime"].append("image/png")
+                    rows["width"].append(target_w)
+                    rows["height"].append(target_h)
+                    rows["error"].append(None)
+                except Exception as exc:  # fail-soft per asset
+                    rows["payload"].append(None)
+                    rows["mime"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media asset table: even doc_ids become 16×16
     images — ≡ 0 (mod 8) 24-bit BMP, ≡ 2 (mod 8) PNG (row filter cycled

@@ -334,3 +334,57 @@ def test_xlsx_mini_sheet_index_out_of_range():
     data = (Path("/root/reference/data/excel/clients.xlsx")).read_bytes()
     with pytest.raises(ValueError, match="out of range"):
         parse_xlsx_bytes(data, sheet=3)
+
+
+# ---------- resize operator (decode -> numpy resize -> PNG re-encode) ----------
+
+
+def test_resize_plane_box_average_exact():
+    """2x downscale of a checkerboard must be the exact mean of each
+    2x2 block (the box-average contract)."""
+    from datawarehouse1_spark.multimodal.binary_columns import _resize_plane
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[::2, 1::2] = 255
+    img[1::2, ::2] = 255
+    out = _resize_plane(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    np.testing.assert_array_equal(out, np.full((2, 2, 3), 128, dtype=np.uint8))
+
+
+def test_resize_plane_nearest_upscale_exact():
+    from datawarehouse1_spark.multimodal.binary_columns import _resize_plane
+
+    img = np.array([[[10, 20, 30], [200, 210, 220]]], dtype=np.uint8)  # 1x2
+    out = _resize_plane(img, 2, 4)
+    assert out.shape == (2, 4, 3)
+    # nearest: left half replicates pixel 0, right half pixel 1
+    np.testing.assert_array_equal(out[:, :2], np.broadcast_to(img[0, 0], (2, 2, 3)))
+    np.testing.assert_array_equal(out[:, 2:], np.broadcast_to(img[0, 1], (2, 2, 3)))
+
+
+def test_resize_images_through_spark_all_formats(spark):
+    """Every image format the synthesizer emits resizes end-to-end:
+    decode -> 8x8 -> lossless PNG payload that decodes to 8x8; the WAV
+    rows fail soft with a named error instead of poisoning the batch."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        resize_images,
+        synthesize_media_assets,
+    )
+    from datawarehouse1_spark.multimodal.codecs import decode_png
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").filter("doc_id < 32")
+    assets = synthesize_media_assets(docs)
+    out = {r.asset_id: r for r in resize_images(assets, 8, 8).collect()}
+    src = {r.asset_id: r for r in assets.collect()}
+    assert set(out) == set(src)
+    for aid, r in out.items():
+        if src[aid].modality == "image":
+            assert r.error is None and r.mime == "image/png"
+            img = decode_png(bytes(r.payload))
+            assert img.shape == (8, 8, 3)
+            assert (r.width, r.height) == (8, 8)
+        else:  # audio payloads are not images — fail-soft row
+            assert r.payload is None and r.error is not None
+            assert "NotImplementedError" in r.error or "ValueError" in r.error
