@@ -322,16 +322,35 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                     rate, n = 8000, 400  # 50 ms
                     freq = 200.0 + (aid % 40) * 20.0
                     t = np.arange(n) / rate
-                    mono = (np.sin(2 * np.pi * freq * t) * 30000).astype("<i2")
-                    buf = _io.BytesIO()
-                    with _wave.open(buf, "wb") as w:
-                        w.setnchannels(1)
-                        w.setsampwidth(2)
-                        w.setframerate(rate)
-                        w.writeframes(mono.tobytes())
+                    sig = np.sin(2 * np.pi * freq * t)
+                    if aid % 8 == 3:  # G.711 mu-law (telephony corpora)
+                        from datawarehouse1_spark.multimodal.codecs import (
+                            encode_wav_g711,
+                        )
+
+                        payload = encode_wav_g711(
+                            (sig * 0.9).astype(np.float32), rate, "ulaw"
+                        )
+                    elif aid % 8 == 7:  # G.711 A-law
+                        from datawarehouse1_spark.multimodal.codecs import (
+                            encode_wav_g711,
+                        )
+
+                        payload = encode_wav_g711(
+                            (sig * 0.9).astype(np.float32), rate, "alaw"
+                        )
+                    else:  # 16-bit PCM via stdlib wave
+                        mono = (sig * 30000).astype("<i2")
+                        buf = _io.BytesIO()
+                        with _wave.open(buf, "wb") as w:
+                            w.setnchannels(1)
+                            w.setsampwidth(2)
+                            w.setframerate(rate)
+                            w.writeframes(mono.tobytes())
+                        payload = buf.getvalue()
                     out["asset_id"].append(aid)
                     out["modality"].append("audio")
-                    out["payload"].append(buf.getvalue())
+                    out["payload"].append(payload)
                     out["mime"].append("audio/wav")
                     out["width"].append(None)
                     out["height"].append(None)

@@ -53,15 +53,88 @@ def sniff_mime(payload: bytes) -> str | None:
 # --- WAV audio (stdlib wave module) ---
 
 
+# G.711 companding (ITU-T G.711): 256-entry expansion tables computed
+# from the published formulas at import time.
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.float32)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        ulaw[b] = (-mag if sign else mag) / 32768.0
+    alaw = np.empty(256, dtype=np.float32)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            mag = (mantissa << 4) + 8
+        else:
+            mag = ((mantissa << 4) + 0x108) << (exponent - 1)
+        alaw[b] = (-mag if sign else mag) / 32768.0
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def _decode_wav_riff(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Manual RIFF walk for the formats stdlib `wave` rejects:
+    WAVE_FORMAT_IEEE_FLOAT (3), A-law (6), mu-law (7) — the encodings
+    telephony and speech corpora actually contain. Returns
+    (mono float32 samples, sample_rate, n_channels_before_downmix)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, rate, _br, _ba, bits = fmt
+    if audio_format == 0xFFFE and len(payload) > 0:  # extensible: real
+        raise ValueError("WAVE_FORMAT_EXTENSIBLE unsupported")
+    if audio_format == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format == 6 and bits == 8:
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 7 and bits == 8:
+        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {audio_format} ({bits}-bit)"
+        )
+    return samples, rate, n_channels
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> (mono float32 samples in [-1, 1], sample_rate).
-    Supports 8/16/32-bit integer PCM; multi-channel input is averaged to
+    Supports 8/16/32-bit integer PCM via stdlib `wave`, plus IEEE-float
+    and G.711 A-law/mu-law via a manual RIFF walk (the stdlib module
+    rejects non-PCM format codes). Multi-channel input is averaged to
     mono (standard practice for feature extraction)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        framerate = w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            framerate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        samples, framerate, n_channels = _decode_wav_riff(payload)
+        if n_channels > 1:
+            samples = samples.reshape(-1, n_channels).mean(axis=1)
+        return samples, framerate
     if sampwidth == 1:  # 8-bit WAV is unsigned
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
         samples = (samples - 128.0) / 128.0
@@ -74,6 +147,33 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if n_channels > 1:
         samples = samples.reshape(-1, n_channels).mean(axis=1)
     return samples, framerate
+
+
+def encode_g711(samples: np.ndarray, law: str = "ulaw") -> np.ndarray:
+    """Compress float32 [-1, 1] samples to G.711 bytes (fixture writer,
+    inverse of the expansion tables via nearest-match search — exact for
+    any byte that round-trips, which the tests rely on)."""
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    # nearest quantization level per sample (256-entry search, vectorized)
+    idx = np.abs(samples[:, None] - table[None, :]).argmin(axis=1)
+    return idx.astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """float32 mono -> RIFF/WAVE with G.711 (format 7 mu-law / 6 A-law)
+    — bytes the stdlib wave module cannot produce or read."""
+    compressed = encode_g711(samples, law).tobytes()
+    fmt_code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(compressed)) + compressed
+        + (b"\x00" if len(compressed) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 16) -> np.ndarray:

@@ -298,9 +298,9 @@ def test_decode_bmp_truncated_pixels_raises():
 
 
 def test_decode_wav_garbage_raises():
-    import wave as _w
-
-    with pytest.raises((_w.Error, EOFError)):
+    # stdlib wave rejects it, then the manual RIFF fallback finds no
+    # fmt/data chunk and raises its own named error
+    with pytest.raises(ValueError, match="fmt or data"):
         decode_wav(b"RIFFxxxxWAVE" + b"\x00" * 16)
 
 
@@ -388,3 +388,77 @@ def test_resize_images_through_spark_all_formats(spark):
         else:  # audio payloads are not images — fail-soft row
             assert r.payload is None and r.error is not None
             assert "NotImplementedError" in r.error or "ValueError" in r.error
+
+
+# ---------- G.711 / float WAV (formats stdlib wave rejects) ----------
+
+
+def test_g711_roundtrip_snr():
+    """mu-law and A-law compress-expand must hit textbook SNR (~38 dB)
+    on a speech-level sine; sniff still says audio/wav."""
+    from datawarehouse1_spark.multimodal.codecs import encode_wav_g711
+
+    t = np.arange(800) / 8000.0
+    sig = (np.sin(2 * np.pi * 440 * t) * 0.7).astype(np.float32)
+    for law in ("ulaw", "alaw"):
+        payload = encode_wav_g711(sig, 8000, law)
+        assert sniff_mime(payload) == "audio/wav"
+        out, rate = decode_wav(payload)
+        assert rate == 8000 and len(out) == 800
+        snr = 10 * np.log10(np.mean(sig**2) / np.mean((sig - out) ** 2))
+        assert snr > 30.0, (law, snr)
+
+
+def test_g711_expansion_tables_match_spec_extremes():
+    from datawarehouse1_spark.multimodal.codecs import _ALAW_TABLE, _ULAW_TABLE
+
+    # mu-law: 0xFF is positive zero, 0x7F negative zero-ish, max ~32124
+    assert abs(_ULAW_TABLE[0xFF]) < 1e-6
+    assert abs(_ULAW_TABLE.max() * 32768 - 32124) < 1
+    # A-law: max magnitude 32256 (ITU-T G.711 table 2)
+    assert abs(_ALAW_TABLE.max() * 32768 - 32256) < 1
+
+
+def test_ieee_float_wav_decodes():
+    from datawarehouse1_spark.multimodal.codecs import decode_wav as dw
+
+    sig = (np.linspace(-1, 1, 64)).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = dw(payload)
+    assert rate == 16000
+    np.testing.assert_allclose(out, sig, atol=1e-7)
+
+
+def test_unknown_wav_format_raises():
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # ADPCM: unsupported
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="format code 2"):
+        decode_wav(payload)
+
+
+def test_synthesizer_emits_decodable_g711(spark):
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_media_assets,
+    )
+    from datawarehouse1_spark.multimodal.codecs import stdlib_decode
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").filter("doc_id < 32")
+    rows = synthesize_media_assets(docs).filter("modality = 'audio'").collect()
+    laws = {3: 0, 7: 0, 1: 0, 5: 0}
+    for r in rows:
+        feat = stdlib_decode(bytes(r.payload))
+        assert abs(feat[0] - 0.05) < 1e-6  # 50 ms whatever the encoding
+        laws[r.asset_id % 8] += 1
+    assert laws[3] > 0 and laws[7] > 0  # both G.711 variants present
