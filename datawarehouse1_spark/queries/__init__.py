@@ -23,6 +23,7 @@ _MODULES = (
     "text_r5",
     "tpch",
     "tpch_ext",
+    "warc_ext",
 )
 
 
