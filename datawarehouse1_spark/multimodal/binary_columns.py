@@ -298,12 +298,21 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                         )
                         mime = "image/png"
                     elif aid % 8 == 4:
-                        payload = encode_jpeg(
-                            img,
-                            quality=75 + ((aid // 8) % 3) * 10,
-                            subsample="4:4:4" if aid % 16 == 4 else "4:2:0",
-                            restart_interval=(aid // 8) % 3,  # 0 = none
-                        )
+                        if aid % 32 == 20:  # progressive (SOF2) slice
+                            from datawarehouse1_spark.multimodal.jpeg import (
+                                encode_jpeg_progressive,
+                            )
+
+                            payload = encode_jpeg_progressive(
+                                img, quality=75 + ((aid // 8) % 3) * 10
+                            )
+                        else:
+                            payload = encode_jpeg(
+                                img,
+                                quality=75 + ((aid // 8) % 3) * 10,
+                                subsample="4:4:4" if aid % 16 == 4 else "4:2:0",
+                                restart_interval=(aid // 8) % 3,  # 0 = none
+                            )
                         mime = "image/jpeg"
                     else:
                         # GIF needs <=256 distinct colors: grayscale noise

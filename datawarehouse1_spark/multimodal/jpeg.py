@@ -7,15 +7,20 @@ example quantization and Huffman tables, JFIF 1.02 for the YCbCr
 conversion), and the arithmetic is 8x8 DCTs that numpy does as matrix
 multiplies. This module implements:
 
-  * decode_jpeg: baseline sequential (SOF0), 8-bit, 1 or 3 components,
-    arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-    restart markers, byte-stuffing — the bytes a real training-data
-    pipeline actually sees. Progressive (SOF2), arithmetic coding and
-    12-bit precision raise loudly.
-  * encode_jpeg: the matching fixture writer (4:4:4 or 4:2:0, Annex K
-    tables scaled by libjpeg's quality formula, standard Huffman
-    tables) so the decode tier is exercised on genuine entropy-coded
-    bytes at any SF with no binary fixtures in testdata.
+  * decode_jpeg: baseline sequential (SOF0/1), 8-bit, 1 or 3
+    components, arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    4:2:0), restart markers, byte-stuffing; PLUS progressive (SOF2,
+    Annex G Huffman path): spectral-selection AC bands with EOB-run
+    coding, DC successive approximation, multi-scan coefficient
+    accumulation. Remaining honest gates: AC successive-approximation
+    refinement, arithmetic coding, 12-bit precision — each raises
+    loudly.
+  * encode_jpeg / encode_jpeg_progressive: the matching fixture
+    writers (Annex K tables scaled by libjpeg's quality formula) so
+    both decode paths are exercised on genuine entropy-coded bytes at
+    any SF with no binary fixtures in testdata. Progressive and
+    baseline quantize identically, so their decodes must agree
+    bit-for-bit — the strongest self-check a codec pair can give.
 
 Parity with the reference: its ETL treats media files as opaque blobs
 (reference etl/app.py handles xlsx only); this tier is part of the
@@ -272,8 +277,11 @@ def _category(v: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale is replicated to
-    3 channels so downstream feature code sees one shape)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W, 3) uint8
+    RGB (grayscale is replicated to 3 channels so downstream feature
+    code sees one shape). Progressive support covers spectral selection,
+    DC successive approximation, and EOB-run coding; AC successive
+    approximation (Ah/Al != 0 on an AC band) raises honestly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -281,6 +289,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (h, w, components)
+    progressive = False
+    grids = None  # per-component zigzag coefficient planes across scans
+    pred = [0, 0, 0, 0]  # DC predictors, reset per DC scan
     pos = 2
     n = len(payload)
     while pos < n:
@@ -318,7 +329,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG unsupported")
@@ -329,24 +340,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cid] = (tables >> 4, tables & 0x0F)
-            pixels = _decode_scan(
-                payload, pos + seglen, frame, scan_tables,
-                quant, huff_dc, huff_ac, restart_interval,
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            if not progressive:
+                scan_tables = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan_tables,
+                    quant, huff_dc, huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if grids is None:
+                grids = _progressive_grids(frame)
+            pos = _decode_progressive_scan(
+                payload, pos + seglen, frame, scan_comps, grids,
+                huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0x0F,
+                restart_interval, pred,
             )
-            return pixels
+            # scan data ends byte-aligned; step to the next marker
+            while pos < n and payload[pos] != 0xFF:
+                pos += 1
+            continue
         pos += seglen
+    if progressive and grids is not None:
+        return _reconstruct_progressive(frame, grids, quant)
     raise ValueError("JPEG truncated: no SOS marker found")
 
 
@@ -426,6 +453,11 @@ def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart
         if cv != vmax:
             plane = np.repeat(plane, vmax // cv, axis=0)
         planes.append(plane[:h, :w])
+    return _planes_to_rgb(planes)
+
+
+def _planes_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    """Shared reconstruction tail: component planes -> uint8 RGB."""
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
@@ -435,6 +467,172 @@ def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+
+
+# --- progressive decoding (T.81 Annex G, Huffman path) ---
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_block_dims(frame, ci) -> tuple[int, int]:
+    """A non-interleaved scan covers the component's ACTUAL block grid
+    (ceil of its sampled dims / 8), not the MCU-padded grid (G.2)."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-(w * comps[ci]["h"]) // hmax)
+    ch = -(-(h * comps[ci]["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_grids(frame):
+    """One (blocks_y, blocks_x, 64) zigzag-coefficient plane per
+    component, MCU-padded so interleaved DC scans index freely."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    _, _, comps = frame
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, grids, huff_dc, huff_ac,
+    ss, se, ah, al, restart_interval, pred,
+):
+    """Decode one progressive scan into the coefficient grids; returns
+    the stream position after the entropy-coded data."""
+    h, w, comps = frame
+    comp_index = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for cid, _, _ in scan_comps:
+            pred[comp_index[cid]] = 0
+        _, _, mcus_x, mcus_y = _frame_geometry(frame)
+        if len(scan_comps) == 1:
+            ci = comp_index[scan_comps[0][0]]
+            by, bx = _comp_block_dims(frame, ci)
+            walk = [(ci, y, x) for y in range(by) for x in range(bx)]
+        else:
+            walk = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, _, _ in scan_comps:
+                        ci = comp_index[cid]
+                        cv, chh = comps[ci]["v"], comps[ci]["h"]
+                        for byy in range(cv):
+                            for bxx in range(chh):
+                                walk.append(
+                                    (ci, my * cv + byy, mx * chh + bxx)
+                                )
+        # restart markers are consumed where the bit reader meets them
+        # (_RestartPending), matching the baseline path
+        for ci, by, bx in walk:
+            if ah == 0:  # first DC scan
+                dc_tab = huff_dc[
+                    next(t for c, t, _ in scan_comps if comp_index[c] == ci)
+                ]
+                try:
+                    s = _decode_huff_symbol(reader, dc_tab)
+                except _RestartPending:
+                    reader.restart()
+                    for cid, _, _ in scan_comps:
+                        pred[comp_index[cid]] = 0
+                    s = _decode_huff_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(s), s)
+                pred[ci] += diff
+                grids[ci][by, bx, 0] = pred[ci] << al
+            else:  # DC refinement: one raw bit per block
+                try:
+                    bit = reader.read_bit()
+                except _RestartPending:
+                    reader.restart()
+                    bit = reader.read_bit()
+                if bit:
+                    grids[ci][by, bx, 0] |= 1 << al
+        return reader.pos
+    # AC scan: exactly one component, non-interleaved (G.2)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah != 0:
+        raise NotImplementedError(
+            "AC successive-approximation refinement unsupported"
+        )
+    cid, _, ac_tid = scan_comps[0]
+    ci = comp_index[cid]
+    ac_tab = huff_ac[ac_tid]
+    by, bx = _comp_block_dims(frame, ci)
+    eobrun = 0
+    block_count = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and block_count and block_count % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            block_count += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = grids[ci][y, x]
+            k = ss
+            while k <= se:
+                try:
+                    rs = _decode_huff_symbol(reader, ac_tab)
+                except _RestartPending:
+                    reader.restart()
+                    eobrun = 0
+                    rs = _decode_huff_symbol(reader, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<r)+bits end-of-band blocks (G.1.2.2)
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient index beyond Se")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, grids, quant):
+    """All scans consumed: dequantize + IDCT each component grid and
+    run the shared color reconstruction."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, comp in enumerate(comps):
+        g = grids[ci]
+        by, bx = g.shape[:2]
+        zz = g.reshape(-1, 64)
+        coeffs = np.zeros_like(zz)
+        coeffs[:, ZIGZAG] = zz
+        q = quant[comp["tq"]]
+        spatial = _idct_blocks(
+            (coeffs.reshape(-1, 8, 8) * q[None, :, :]).astype(np.float64)
+        ) + 128.0
+        plane = (
+            spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        if comp["h"] != hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        if comp["v"] != vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        planes.append(plane[:h, :w])
+    return _planes_to_rgb(planes)
 
 
 # --- encoder (fixture writer) ---
@@ -660,4 +858,169 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
         pred = _encode_block(writer, zz[bi], pred, dc_codes, ac_codes)
     writer.flush()
     out += writer.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (fixture writer for the SOF2 decode path) ---
+
+
+def _flat_huffman(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Equal-length canonical Huffman table over the used symbol set:
+    every symbol gets length L with 2^L > |symbols|, so the all-ones
+    codeword stays unused (a T.81 requirement). Suboptimal compression,
+    structurally valid — exactly what a fixture writer needs."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) <= len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+def _encode_prog_ac(blocks_zz: np.ndarray, ss: int, se: int):
+    """One AC band scan (Ah=Al=0) with EOB-run coding. Returns
+    [(symbol, value_bits, n_bits), ...] ready for two-pass writing."""
+    events: list[tuple[int, int, int]] = []
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            events.append(((r << 4), eobrun - (1 << r), r))
+            eobrun -= (1 << r) + (eobrun - (1 << r))
+
+    for zz in blocks_zz:
+        band = zz[ss : se + 1]
+        nz = np.nonzero(band)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        last = int(nz[-1])
+        for i in range(last + 1):
+            v = int(band[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                events.append((0xF0, 0, 0))  # ZRL
+                run -= 16
+            s = _category(v)
+            events.append(
+                ((run << 4) | s, v if v >= 0 else v + (1 << s) - 1, s)
+            )
+            run = 0
+        if last < se - ss:
+            eobrun += 1  # trailing zeros in this block end its band
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return events
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB -> progressive (SOF2) JFIF JPEG: a first DC
+    scan at Al=1, a DC refinement scan, then two spectral AC bands
+    (1-31, 32-63) per component with EOB-run coding — the transmission
+    order real web images use (minus AC successive approximation).
+    Quantized coefficients are identical to encode_jpeg's at the same
+    quality, so progressive and baseline decodes must agree exactly."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects (H, W, 3) uint8 RGB")
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128.0
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
+    qy = _quality_scaled(QUANT_LUMA, quality)
+    qc = _quality_scaled(QUANT_CHROMA, quality)
+    zz_comp = [
+        _fdct_quant(_pad_to(y, 8) - 128.0, qy),
+        _fdct_quant(_pad_to(cb, 8) - 128.0, qc),
+        _fdct_quant(_pad_to(cr, 8) - 128.0, qc),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dqt(tid, q):
+        return (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + bytes(int(v) for v in q.reshape(64)[ZIGZAG])
+        )
+
+    out += _dqt(0, qy) + _dqt(1, qc)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])  # 4:4:4
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def _dht(tclass, tid, bits, vals):
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    def _sos(comps_spec, ss, se, ah, al):
+        body = bytes([len(comps_spec)])
+        for cid, dc_t, ac_t in comps_spec:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # --- scan 1: DC first, Al=1, all components interlea­ved ---
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    dc_codes = [
+        _build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = zz_comp[0].shape[0]
+    for bi in range(n_blocks):  # 4:4:4: one block per component per MCU
+        for ci in range(3):
+            dc = int(zz_comp[ci][bi, 0]) >> 1  # Al=1 point transform
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            s = _category(diff)
+            code, length = dc_codes[ci][s]
+            writer.write(code, length)
+            if s:
+                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    writer.flush()
+    out += writer.out
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (raw bits, no Huffman) ---
+    out += _sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    writer = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(3):
+            writer.write(int(zz_comp[ci][bi, 0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # --- AC band scans: per component, bands 1-31 and 32-63 ---
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        for ss, se in ((1, 31), (32, 63)):
+            events = _encode_prog_ac(zz_comp[ci], ss, se)
+            bits, vals = _flat_huffman([sym for sym, _, _ in events] or [0x00])
+            out += _dht(1, 0, bits, vals)
+            codes = _build_huffman_codes(bits, vals)
+            out += _sos([(cid, 0, 0)], ss, se, 0, 0)
+            writer = _BitWriter()
+            for sym, vbits, nbits in events:
+                code, length = codes[sym]
+                writer.write(code, length)
+                if nbits:
+                    writer.write(vbits, nbits)
+            writer.flush()
+            out += writer.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1,8 +1,9 @@
 """Baseline JPEG codec (multimodal/jpeg.py): round-trip fidelity over
 every encoder layout the synthesizer emits (4:4:4 / 4:2:0, quality
-sweep, restart markers, grayscale, non-multiple-of-8 dims), marker-level
-structure, and loud failures on the formats the decoder honestly does
-not speak (progressive, 12-bit)."""
+sweep, restart markers, grayscale, progressive SOF2 scan scripts,
+non-multiple-of-8 dims), marker-level structure, and loud failures on
+the modes the decoder honestly does not speak (arithmetic coding,
+12-bit, AC successive approximation)."""
 
 from __future__ import annotations
 
@@ -133,13 +134,15 @@ def test_quality_scales_quant_tables():
     )
 
 
-def test_progressive_and_12bit_raise_honestly():
+def test_arithmetic_and_12bit_raise_honestly():
+    """Progressive (SOF2) left the gated set in r6; the remaining
+    honest gates are arithmetic coding and 12-bit precision."""
     base = bytearray(encode_jpeg(_gradient(16, 16)))
     sof = bytes(base).find(b"\xff\xc0")
-    prog = bytearray(base)
-    prog[sof + 1] = 0xC2  # pretend SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(bytes(prog))
+    arith = bytearray(base)
+    arith[sof + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="coding process"):
+        decode_jpeg(bytes(arith))
     deep = bytearray(base)
     deep[sof + 4] = 12  # 12-bit precision
     with pytest.raises(NotImplementedError, match="12-bit"):
@@ -173,3 +176,72 @@ def test_synthesizer_emits_decodable_jpegs(spark):
         assert img.shape == (16, 16, 3)
         feat = stdlib_decode(payload)
         assert feat[0] == 16.0 and feat[1] == 16.0
+
+
+# ---------- progressive (SOF2) ----------
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """Progressive transmits the SAME quantized coefficients in a
+    different order, so its decode must equal the baseline 4:4:4 decode
+    exactly — any disagreement is a scan-accounting bug."""
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    for h, w in ((16, 16), (17, 19), (1, 1), (24, 40)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for q in (50, 90):
+            base = decode_jpeg(encode_jpeg(img, q, "4:4:4"))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_marker_is_sof2():
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(_gradient(16, 16))
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # multiple SOS scans (1 DC + 1 DC refine + 6 AC bands)
+    assert payload.count(b"\xff\xda") == 8
+
+
+def test_progressive_quality_tracks_baseline():
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    img = _gradient(24, 40)
+    out = decode_jpeg(encode_jpeg_progressive(img, 90))
+    assert _psnr(img, out) > 35.0
+
+
+def test_ac_successive_approximation_raises_honestly():
+    """Hand-flip an AC scan's Ah/Al byte: the decoder must name the
+    unsupported mode, not silently mis-decode."""
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    payload = bytearray(encode_jpeg_progressive(_gradient(16, 16)))
+    # find the third SOS (first AC scan: ns=1): header is FFDA len ns cid tt Ss Se AhAl
+    pos = -1
+    for _ in range(3):
+        pos = payload.index(b"\xff\xda", pos + 1)
+    ns = payload[pos + 4]
+    assert ns == 1
+    ahal_off = pos + 4 + 1 + 2 * ns + 2
+    payload[ahal_off] = 0x10  # pretend Ah=1 refinement
+    with pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg(bytes(payload))
+
+
+def test_synthesizer_emits_progressive_slice(spark):
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_media_assets,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").filter("doc_id < 128")
+    rows = synthesize_media_assets(docs).filter("mime = 'image/jpeg'").collect()
+    kinds = {"prog": 0, "base": 0}
+    for r in rows:
+        payload = bytes(r.payload)
+        kinds["prog" if b"\xff\xc2" in payload else "base"] += 1
+        assert decode_jpeg(payload).shape == (16, 16, 3)
+    assert kinds["prog"] > 0 and kinds["base"] > 0
