@@ -11,10 +11,10 @@ multiplies. This module implements:
     components, arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 /
     4:2:0), restart markers, byte-stuffing; PLUS progressive (SOF2,
     Annex G Huffman path): spectral-selection AC bands with EOB-run
-    coding, DC successive approximation, multi-scan coefficient
-    accumulation. Remaining honest gates: AC successive-approximation
-    refinement, arithmetic coding, 12-bit precision — each raises
-    loudly.
+    coding, successive approximation on DC and AC (first + refinement
+    scans, the jcphuff.c correction-bit buffering discipline),
+    multi-scan coefficient accumulation. Remaining honest gates:
+    arithmetic coding and 12-bit precision — each raises loudly.
   * encode_jpeg / encode_jpeg_progressive: the matching fixture
     writers (Annex K tables scaled by libjpeg's quality formula) so
     both decode paths are exercised on genuine entropy-coded bytes at
@@ -280,8 +280,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W, 3) uint8
     RGB (grayscale is replicated to 3 channels so downstream feature
     code sees one shape). Progressive support covers spectral selection,
-    DC successive approximation, and EOB-run coding; AC successive
-    approximation (Ah/Al != 0 on an AC band) raises honestly."""
+    successive approximation on DC and AC (first + refinement scans),
+    and EOB-run coding — the full Huffman progressive mode."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -562,49 +562,92 @@ def _decode_progressive_scan(
     # AC scan: exactly one component, non-interleaved (G.2)
     if len(scan_comps) != 1:
         raise ValueError("progressive AC scan must be single-component")
-    if ah != 0:
-        raise NotImplementedError(
-            "AC successive-approximation refinement unsupported"
-        )
     cid, _, ac_tid = scan_comps[0]
     ci = comp_index[cid]
     ac_tab = huff_ac[ac_tid]
     by, bx = _comp_block_dims(frame, ci)
     eobrun = 0
     block_count = 0
+    p1 = 1 << al
+    m1 = -p1
     for y in range(by):
         for x in range(bx):
             if restart_interval and block_count and block_count % restart_interval == 0:
                 reader.restart()
                 eobrun = 0
             block_count += 1
-            if eobrun > 0:
-                eobrun -= 1
-                continue
             zz = grids[ci][y, x]
+            if ah == 0:  # first scan of this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    try:
+                        rs = _decode_huff_symbol(reader, ac_tab)
+                    except _RestartPending:
+                        reader.restart()
+                        eobrun = 0
+                        rs = _decode_huff_symbol(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        # EOBn: run of (1<<r)+bits end-of-band blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient index beyond Se")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # refinement scan (G.1.2.3): newly-significant coefficients
+            # arrive as ±1<<Al; every already-nonzero coefficient passed
+            # gets one correction bit
             k = ss
-            while k <= se:
-                try:
+            if eobrun == 0:
+                while k <= se:
                     rs = _decode_huff_symbol(reader, ac_tab)
-                except _RestartPending:
-                    reader.restart()
-                    eobrun = 0
-                    rs = _decode_huff_symbol(reader, ac_tab)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    # EOBn: run of (1<<r)+bits end-of-band blocks (G.1.2.2)
-                    eobrun = (1 << r) - 1
-                    if r:
-                        eobrun += reader.read_bits(r)
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("AC coefficient index beyond Se")
-                zz[k] = _extend(reader.read_bits(s), s) << al
-                k += 1
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan symbol with s > 1"
+                            )
+                        val = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: ZRL — pass 16 zero-history positions
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit():
+                                if (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # end-of-band: correction bits for the rest of this block
+                while k <= se:
+                    if zz[k] != 0 and reader.read_bit():
+                        if (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
     return reader.pos
 
 
@@ -878,8 +921,9 @@ def _flat_huffman(symbols: list[int]) -> tuple[list[int], list[int]]:
     return bits, syms
 
 
-def _encode_prog_ac(blocks_zz: np.ndarray, ss: int, se: int):
-    """One AC band scan (Ah=Al=0) with EOB-run coding. Returns
+def _encode_prog_ac(blocks_zz: np.ndarray, ss: int, se: int, al: int = 0):
+    """One first AC band scan (Ah=0) with EOB-run coding; coefficients
+    carry the point transform sign*(|v| >> Al). Returns
     [(symbol, value_bits, n_bits), ...] ready for two-pass writing."""
     events: list[tuple[int, int, int]] = []
     eobrun = 0
@@ -889,21 +933,24 @@ def _encode_prog_ac(blocks_zz: np.ndarray, ss: int, se: int):
         while eobrun > 0:
             r = min(eobrun.bit_length() - 1, 14)
             events.append(((r << 4), eobrun - (1 << r), r))
-            eobrun -= (1 << r) + (eobrun - (1 << r))
+            eobrun = 0
 
     for zz in blocks_zz:
-        band = zz[ss : se + 1]
-        nz = np.nonzero(band)[0]
-        if len(nz) == 0:
+        band = [
+            (1 if v >= 0 else -1) * (abs(int(v)) >> al)
+            for v in zz[ss : se + 1]
+        ]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
             eobrun += 1
             if eobrun == 0x7FFF:
                 flush_eobrun()
             continue
         flush_eobrun()
         run = 0
-        last = int(nz[-1])
+        last = nz[-1]
         for i in range(last + 1):
-            v = int(band[i])
+            v = band[i]
             if v == 0:
                 run += 1
                 continue
@@ -923,11 +970,76 @@ def _encode_prog_ac(blocks_zz: np.ndarray, ss: int, se: int):
     return events
 
 
+def _encode_prog_ac_refine(blocks_zz: np.ndarray, ss: int, se: int, al: int):
+    """One AC refinement scan (Ah=Al+1 semantics, G.1.2.3 / the
+    jcphuff.c buffering discipline): newly-significant coefficients
+    (|v| >> Al == 1) emit (run<<4)|1 + a sign bit; already-significant
+    ones contribute one buffered correction bit apiece, appended after
+    the next emitted symbol; blocks with no new significance fold into
+    an EOB run whose correction bits ride behind the EOBn code."""
+    events: list[tuple[int, int, int]] = []
+    eobrun = 0
+    run_bits: list[int] = []  # correction bits buffered across the EOB run
+
+    def flush_eobrun():
+        nonlocal eobrun, run_bits
+        if eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            events.append(((r << 4), eobrun - (1 << r), r))
+            eobrun = 0
+        for bit in run_bits:
+            events.append((-1, bit, 1))  # raw bit, no Huffman symbol
+        run_bits = []
+
+    for zz in blocks_zz:
+        band = [int(v) for v in zz[ss : se + 1]]
+        absval = [abs(v) >> al for v in band]
+        eob = -1
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absval):
+            if t == 0:
+                r += 1
+                continue
+            # ZRL check runs at EVERY nonzero position (jcphuff.c): the
+            # buffered correction bits attached to each ZRL are exactly
+            # the history coefficients the decoder walks past within
+            # that ZRL's 16-zero span
+            while r > 15 and i <= eob:
+                flush_eobrun()
+                events.append((0xF0, 0, 0))
+                r -= 16
+                for bit in br:
+                    events.append((-1, bit, 1))
+                br = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant
+            flush_eobrun()
+            events.append(((r << 4) | 1, 0, 0))
+            events.append((-1, 1 if band[i] >= 0 else 0, 1))  # sign bit
+            for bit in br:
+                events.append((-1, bit, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            run_bits.extend(br)
+            if eobrun == 0x7FFF or len(run_bits) > 900:
+                flush_eobrun()
+    flush_eobrun()
+    return events
+
+
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     """(H, W, 3) uint8 RGB -> progressive (SOF2) JFIF JPEG: a first DC
-    scan at Al=1, a DC refinement scan, then two spectral AC bands
-    (1-31, 32-63) per component with EOB-run coding — the transmission
-    order real web images use (minus AC successive approximation).
+    scan at Al=1, a DC refinement scan, two spectral AC bands
+    (1-31, 32-63) per component at Al=1, then their AC refinement
+    scans at Ah=1 — the transmission order real web images use.
     Quantized coefficients are identical to encode_jpeg's at the same
     quality, so progressive and baseline decodes must agree exactly."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -1005,22 +1117,36 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     writer.flush()
     out += writer.out
 
-    # --- AC band scans: per component, bands 1-31 and 32-63 ---
-    for ci, cid in ((0, 1), (1, 2), (2, 3)):
-        for ss, se in ((1, 31), (32, 63)):
-            events = _encode_prog_ac(zz_comp[ci], ss, se)
-            bits, vals = _flat_huffman([sym for sym, _, _ in events] or [0x00])
-            out += _dht(1, 0, bits, vals)
-            codes = _build_huffman_codes(bits, vals)
-            out += _sos([(cid, 0, 0)], ss, se, 0, 0)
-            writer = _BitWriter()
-            for sym, vbits, nbits in events:
+    # --- AC scans: per component, bands 1-31 / 32-63 first at Al=1,
+    # then the successive-approximation refinement scans at Ah=1 Al=0 ---
+    def _write_ac_scan(events, cid, ss, se, ah, al):
+        nonlocal out
+        syms = [sym for sym, _, _ in events if sym >= 0]
+        bits, vals = _flat_huffman(syms or [0x00])
+        out += _dht(1, 0, bits, vals)
+        codes = _build_huffman_codes(bits, vals)
+        out += _sos([(cid, 0, 0)], ss, se, ah, al)
+        writer = _BitWriter()
+        for sym, vbits, nbits in events:
+            if sym >= 0:
                 code, length = codes[sym]
                 writer.write(code, length)
-                if nbits:
-                    writer.write(vbits, nbits)
-            writer.flush()
-            out += writer.out
+            if nbits:
+                writer.write(vbits, nbits)
+        writer.flush()
+        out += writer.out
+
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        for ss, se in ((1, 31), (32, 63)):
+            _write_ac_scan(
+                _encode_prog_ac(zz_comp[ci], ss, se, al=1), cid, ss, se, 0, 1
+            )
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        for ss, se in ((1, 31), (32, 63)):
+            _write_ac_scan(
+                _encode_prog_ac_refine(zz_comp[ci], ss, se, al=0),
+                cid, ss, se, 1, 0,
+            )
 
     out += b"\xff\xd9"
     return bytes(out)

@@ -201,8 +201,8 @@ def test_progressive_marker_is_sof2():
 
     payload = encode_jpeg_progressive(_gradient(16, 16))
     assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
-    # multiple SOS scans (1 DC + 1 DC refine + 6 AC bands)
-    assert payload.count(b"\xff\xda") == 8
+    # 1 DC + 1 DC refine + 6 AC first bands + 6 AC refinement scans
+    assert payload.count(b"\xff\xda") == 14
 
 
 def test_progressive_quality_tracks_baseline():
@@ -213,22 +213,27 @@ def test_progressive_quality_tracks_baseline():
     assert _psnr(img, out) > 35.0
 
 
-def test_ac_successive_approximation_raises_honestly():
-    """Hand-flip an AC scan's Ah/Al byte: the decoder must name the
-    unsupported mode, not silently mis-decode."""
+def test_progressive_scan_script_covers_both_approximation_passes():
+    """The fixture writer emits Al=1 first scans AND Ah=1 refinement
+    scans — parse every SOS header and check both passes are present
+    for AC (the decode-equality test then proves they reconstruct)."""
     from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_progressive
 
-    payload = bytearray(encode_jpeg_progressive(_gradient(16, 16)))
-    # find the third SOS (first AC scan: ns=1): header is FFDA len ns cid tt Ss Se AhAl
+    payload = encode_jpeg_progressive(_gradient(16, 16))
+    passes = []
     pos = -1
-    for _ in range(3):
-        pos = payload.index(b"\xff\xda", pos + 1)
-    ns = payload[pos + 4]
-    assert ns == 1
-    ahal_off = pos + 4 + 1 + 2 * ns + 2
-    payload[ahal_off] = 0x10  # pretend Ah=1 refinement
-    with pytest.raises(NotImplementedError, match="successive"):
-        decode_jpeg(bytes(payload))
+    while True:
+        pos = payload.find(b"\xff\xda", pos + 1)
+        if pos < 0:
+            break
+        ns = payload[pos + 4]
+        ss, se, ahal = payload[pos + 5 + 2 * ns : pos + 8 + 2 * ns]
+        passes.append((ns, ss, se, ahal >> 4, ahal & 0x0F))
+    ac_first = [p for p in passes if p[1] > 0 and p[3] == 0 and p[4] == 1]
+    ac_refine = [p for p in passes if p[1] > 0 and p[3] == 1 and p[4] == 0]
+    assert len(ac_first) == 6 and len(ac_refine) == 6
+    assert passes[0] == (3, 0, 0, 0, 1)  # DC first
+    assert passes[1] == (3, 0, 0, 1, 0)  # DC refine
 
 
 def test_synthesizer_emits_progressive_slice(spark):
