@@ -85,6 +85,78 @@ def merge_histograms(*sketches: DataFrame) -> DataFrame:
     )
 
 
+# Carter-Wegman universal hash family for the count-min rows: exact
+# BIGINT arithmetic ((a*k + b) mod p) mod w with p = 2^31 - 1, so the
+# DuckDB oracle reproduces every bucket index bit-for-bit (md5 would
+# need hex->int, which the two engines spell differently).
+CM_PRIME = 2_147_483_647
+CM_PARAMS = ((1_103_515_245, 12_345), (69_069, 362_437), (134_775_813, 1))
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Count-min sketch build (Cormode-Muthukrishnan 2005): d=3 hash
+    rows x `width` counters. One explode + one groupBy — the shuffle
+    carries at most d*width rows after map-side partial aggregation,
+    however many input rows. Estimates are one-sided (never under-
+    count); merge is exact vector addition."""
+    k = F.col(key_col).cast("bigint")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (((F.lit(a) * k + F.lit(b)) % CM_PRIME) % width).alias("col"),
+            )
+            for j, (a, b) in enumerate(CM_PARAMS)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Exact merge: counter vectors add (union + re-aggregate)."""
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("row", "col").agg(F.sum("n").alias("n"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates for a set of keys: min over the d row
+    counters each key hashes to (broadcast the tiny sketch; the keys
+    side streams — no all-pairs)."""
+    k = F.col(key_col).cast("bigint")
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (((F.lit(a) * k + F.lit(b)) % CM_PRIME) % width).alias(
+                            "col"
+                        ),
+                    )
+                    for j, (a, b) in enumerate(CM_PARAMS)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .fillna(0, subset=["n"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("est_count"))
+    )
+
+
 def histogram_quantiles(
     sketch: DataFrame,
     quantiles: Sequence[float],

@@ -227,3 +227,32 @@ def q_sketch_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cents",
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@declared(
+    "q_sketch_count_min",
+    oracle="""
+    WITH k AS (SELECT CAST(o_custkey AS BIGINT) AS key FROM orders),
+    cells AS (
+      SELECT 0 AS row, ((1103515245 * key + 12345) % 2147483647) % 256 AS col FROM k
+      UNION ALL
+      SELECT 1, ((69069 * key + 362437) % 2147483647) % 256 FROM k
+      UNION ALL
+      SELECT 2, ((134775813 * key + 1) % 2147483647) % 256 FROM k
+    )
+    SELECT row, col, COUNT(*) AS n
+    FROM cells
+    GROUP BY row, col
+    """,
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over order custkeys — the bounded-size frequency
+    summary for heavy-hitter detection at 100 TB (operators/sketches.py:
+    one explode + one groupBy; the shuffle carries at most d x width
+    counter rows after map-side combine). Carter-Wegman integer hashing
+    keeps every bucket index reproducible in DuckDB, so the sketch
+    HASH-matches — estimates' one-sided error and exact merge law are
+    pinned in tests/test_sketches.py."""
+    from datawarehouse1_spark.operators.sketches import count_min_sketch
+
+    return count_min_sketch(table(spark, sf_dir, "orders"), "o_custkey")

@@ -45,9 +45,9 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # each contain exactly queries()[:50] in dict order). Round-6 rotation
 # (VERDICT r5 "Next round" #1: verdict-freshness): the 50 queries graded
 # green in r5 retire behind the window, and the window fronts (a) the
-# four NEW r6 queries, (b) all 29 queries whose latest driver verdict is
+# five NEW r6 queries, (b) all 29 queries whose latest driver verdict is
 # r2-vintage, (c) all 12 r3-vintage (incl. the three rows-only ANN/LSH
-# slots), (d) 5 high-value r4 re-checks (the complex TPC-H plans the
+# slots), (d) 4 high-value r4 re-checks (the complex TPC-H plans the
 # verdict called out, the pipeline-adjacent q_embedding_neardup, and
 # UDF/multimodal representatives). Everything behind the window holds a
 # green driver verdict on the CURRENT testdata (CORRECTNESS_r04/r05).
@@ -61,6 +61,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
     "q_warc_extract_text",
+    "q_sketch_count_min",
     # -- (b) r2-vintage verdicts: relational/agg/window/warehouse core --
     "q_agg_group_sum",
     "q_agg_rollup",
@@ -107,11 +108,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- (d) r4 re-checks: complex TPC-H plans + pipeline-adjacent --
     "q_embedding_neardup",
     "q_tpch_q1_pricing_summary",
-    "q_tpch_q8_market_share",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded re-checks displaced by the new r6 queries --
+    "q_tpch_q8_market_share",
     "q_agg_cube",
     "q_profile_columns",
     "q_pandas_udf_scalar",

@@ -109,3 +109,61 @@ def test_zero_and_negative_go_to_sentinel_bucket(spark):
     assert rows[-1] == 2  # 0 and negative
     assert rows[0] == 1  # 1 cent -> log2(1) = 0
     assert rows[6] == 1  # 100 cents -> floor(log2(100)) = 6
+
+
+# ---------- count-min sketch ----------
+
+
+def test_count_min_never_undercounts(spark):
+    """One-sided error: est >= true count for every probed key, and for
+    a 256-wide sketch over this keyspace the overestimate stays small."""
+    from datawarehouse1_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    o = table(spark, SF_DIR, "orders")
+    sk = count_min_sketch(o, "o_custkey")
+    true = {r.o_custkey: r.cnt for r in o.groupBy("o_custkey").agg(F.count("*").alias("cnt")).collect()}
+    keys = o.select("o_custkey").distinct().limit(50)
+    est = {r.o_custkey: r.est_count for r in count_min_estimate(sk, keys, "o_custkey").collect()}
+    total = sum(true.values())
+    for k, e in est.items():
+        assert e >= true[k], (k, e, true[k])
+        # epsilon ~ e/width: overestimate bounded by ~3N/256
+        assert e - true[k] <= 3 * total / 256 + 1, (k, e, true[k])
+
+
+def test_count_min_merge_law_exact(spark):
+    from datawarehouse1_spark.operators.sketches import (
+        count_min_merge,
+        count_min_sketch,
+    )
+
+    o = table(spark, SF_DIR, "orders")
+    whole = count_min_sketch(o, "o_custkey")
+    merged = count_min_merge(
+        count_min_sketch(o.filter("o_orderkey % 2 = 0"), "o_custkey"),
+        count_min_sketch(o.filter("o_orderkey % 2 = 1"), "o_custkey"),
+    )
+    assert _canon(whole) == _canon(merged)
+
+
+def test_count_min_bounded_size(spark):
+    from datawarehouse1_spark.operators.sketches import count_min_sketch
+
+    n = count_min_sketch(table(spark, SF_DIR, "orders"), "o_custkey").count()
+    assert n <= 3 * 256
+
+
+def test_count_min_plan_one_shuffle(spark):
+    from datawarehouse1_spark.operators.sketches import count_min_sketch
+
+    plan = (
+        count_min_sketch(table(spark, SF_DIR, "orders"), "o_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "BatchEvalPython" not in plan
