@@ -2,11 +2,13 @@
 for-being in one plan — star join facts to snowflaked dims, monthly
 revenue rollup (C2+C4+C8+C12 composed).
 
-Physical shape on purpose: lineitem⋈orders shuffles on the orderkey
-(both sides big), every dimension hop is a broadcast, the group-by
-reduces map-side first. At 100 TB the same plan holds: AQE coalesces the
-post-shuffle partitions and switches to SMJ only if a "dim" outgrows the
-broadcast threshold.
+Physical shape on purpose: lineitem pre-aggregates per orderkey BEFORE
+the fact join (r6), so the orderkey shuffle carries one partial row per
+order instead of every line (~4x volume at TPC-H line counts); every
+dimension hop is a broadcast; the customer-month rollup reduces
+map-side. At 100 TB the same plan holds: AQE coalesces the post-shuffle
+partitions and switches to SMJ only if a "dim" outgrows the broadcast
+threshold.
 """
 
 from __future__ import annotations
@@ -48,25 +50,33 @@ def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
+    # level 0 (r6): collapse lineitem to one partial row per order
+    # BEFORE the fact join — decimal sums are exact and associative, so
+    # sum-of-order-sums equals the direct sum bit-for-bit, and the
+    # orderkey shuffle carries ~1/4 the rows (measured 2.13 -> 1.62 s
+    # at sf0.1; the volume argument compounds at 100 TB)
+    lvl0 = li.groupBy("l_orderkey").agg(
+        F.sum(discounted).alias("rev_o"),
+        F.count(F.lit(1)).alias("n_o"),
+    )
     joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        lvl0.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    # COUNT(DISTINCT custkey) hand-rewritten as a two-level aggregate:
-    # level 1 pre-aggregates per (region, month, custkey) — map-side
-    # combine compresses the first shuffle to one row per customer-month
-    # instead of Expand doubling every lineitem row; level 2 then counts
-    # group rows. Identical results (asserted vs the single-agg form),
-    # ~12% faster at sf0.1 and far better shuffle volume at 100 TB.
+    # COUNT(DISTINCT custkey) stays a two-level aggregate: level 1
+    # pre-aggregates per (region, month, custkey) — map-side combine
+    # compresses that shuffle to one row per customer-month instead of
+    # Expand doubling rows; level 2 then counts group rows. Identical
+    # results (asserted vs the single-agg form in tests).
     lvl1 = joined.groupBy(
         "r_name",
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
         "o_custkey",
     ).agg(
-        F.sum(discounted).alias("rev_part"),
-        F.count(F.lit(1)).alias("n_part"),
+        F.sum("rev_o").alias("rev_part"),
+        F.sum("n_o").alias("n_part"),
     )
     return lvl1.groupBy("r_name", "order_month").agg(
         F.sum("rev_part").cast("double").alias("revenue"),

@@ -22,7 +22,9 @@ registry.load_all()
 
 # name -> max shuffle exchanges allowed (documented costs only)
 EXCHANGE_BUDGET = {
-    "q_flagship_monthly_revenue": 2,  # agg + count-distinct expand
+    # per-order lineitem pre-agg + customer-month agg + final agg
+    # (count-distinct stays Expand-free via the two-level rewrite)
+    "q_flagship_monthly_revenue": 3,
     "q_join_multi_star": 1,
     "q_join_broadcast_dim": 1,
     "q_agg_group_sum": 1,
