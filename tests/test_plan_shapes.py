@@ -25,7 +25,9 @@ EXCHANGE_BUDGET = {
     # per-order lineitem pre-agg + customer-month agg + final agg
     # (count-distinct stays Expand-free via the two-level rewrite)
     "q_flagship_monthly_revenue": 3,
-    "q_join_multi_star": 1,
+    # per-order lineitem pre-agg (reused as the orderkey join side) +
+    # final region/nation agg
+    "q_join_multi_star": 2,
     "q_join_broadcast_dim": 1,
     "q_agg_group_sum": 1,
     "q_window_rank_topn": 1,
