@@ -94,6 +94,10 @@ def real_image_decode(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if mime == "image/gif":
         return decode_gif(payload)
+    if mime == "image/tiff":
+        from datawarehouse1_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no built-in pixel decoder for {mime or 'unknown container'}"
     )
@@ -289,7 +293,21 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                     rng = np.random.default_rng(aid)
                     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
                     if aid % 8 == 0:
-                        payload, mime = encode_bmp(img), "image/bmp"
+                        if aid % 16 == 8:  # TIFF slice (compression cycled)
+                            from datawarehouse1_spark.multimodal.tiff import (
+                                encode_tiff,
+                            )
+
+                            payload = encode_tiff(
+                                img,
+                                compression=("none", "lzw", "packbits")[
+                                    (aid // 16) % 3
+                                ],
+                                predictor=bool((aid // 16) % 2),
+                            )
+                            mime = "image/tiff"
+                        else:
+                            payload, mime = encode_bmp(img), "image/bmp"
                     elif aid % 8 == 2:
                         payload = encode_png(
                             img,

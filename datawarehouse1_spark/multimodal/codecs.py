@@ -32,6 +32,8 @@ _MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"BM", "image/bmp"),
 )
 
@@ -527,6 +529,10 @@ def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
         from datawarehouse1_spark.multimodal.gif import decode_gif
 
         return image_features(decode_gif(payload), dim)
+    if mime == "image/tiff":
+        from datawarehouse1_spark.multimodal.tiff import decode_tiff
+
+        return image_features(decode_tiff(payload), dim)
     raise NotImplementedError(
         f"no built-in decoder for {mime or 'unknown container'}; video "
         "bitstream codecs (H.26x inside MP4) require ffmpeg — inject "

@@ -1,0 +1,345 @@
+"""Baseline TIFF 6.0 codec in pure stdlib+numpy — the container of
+scanned-document corpora (OCR training data is full of it).
+
+Implements the published baseline subset a text/image pipeline meets:
+both byte orders, IFD walking with inline/offset values, multi-strip
+images, 8-bit grayscale / RGB / palette photometrics, Compression 1
+(none), 32773 (PackBits) and 5 (TIFF-LZW: MSB-first packing with the
+spec's historical "early change" code-width rule, which differs from
+GIF), and Predictor 2 (horizontal differencing). The encoder writes
+little-endian fixtures in every combination so the decoder is
+exercised on genuine container bytes at any SF. Tiled TIFF, 16-bit
+depths, and JPEG-in-TIFF raise loudly by name.
+
+Pure bytes+numpy — safe inside Arrow-batched executors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 §8)
+_WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
+_STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_PREDICTOR, _COLORMAP, _TILE_WIDTH = 317, 320, 322
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+# --- TIFF-variant LZW (spec §13: MSB-first, early change) ---
+
+
+def tiff_lzw_decode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    bits = 9
+    base = {i: bytes([i]) for i in range(256)}
+    table: dict[int, bytes] = {}
+    next_code = 258
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < bits:
+            if pos >= len(data):
+                return bytes(out)
+            acc = (acc << 8) | data[pos]  # MSB-first packing
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+        nbits -= bits
+        if code == CLEAR:
+            table = {}
+            next_code = 258
+            bits = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if code < 256:
+            entry = base[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt TIFF-LZW stream: code {code}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # the "early change": width grows one code sooner than GIF
+            if next_code == (1 << bits) - 1 and bits < 12:
+                bits += 1
+        prev = entry
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    bits = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR, bits)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], bits)
+        table[wk] = next_code
+        next_code += 1
+        # encoder leads the decoder by one entry, so it grows at 2^bits
+        # where the decoder grows at 2^bits - 1 (the early change)
+        if next_code == (1 << bits) and bits < 12:
+            bits += 1
+        if next_code >= 4094:  # reset before the 12-bit table fills
+            emit(CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], bits)
+    emit(EOI, bits)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# --- PackBits (TIFF 6.0 §9 / classic Mac) ---
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = struct.unpack_from("b", data, pos)[0]
+        pos += 1
+        if n >= 0:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n != -128:
+            out += bytes([data[pos]]) * (1 - n)
+            pos += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += struct.pack("b", 1 - run) + bytes([data[i]])
+            i += run
+            continue
+        lit_start = i
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += struct.pack("b", i - lit_start - 1) + data[lit_start:i]
+    return bytes(out)
+
+
+# --- container ---
+
+
+def _read_ifd(payload: bytes, fmt: str):
+    (ifd_off,) = struct.unpack_from(fmt + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(fmt + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(fmt + "HHI", payload, off)
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            raw = payload[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack_from(fmt + "I", payload, off + 8)
+            raw = payload[voff : voff + size]
+        if typ == 3:
+            vals = list(struct.unpack(fmt + f"{count}H", raw))
+        elif typ == 4:
+            vals = list(struct.unpack(fmt + f"{count}I", raw))
+        elif typ == 1:
+            vals = list(raw)
+        else:
+            vals = [raw]
+        tags[tag] = vals
+    return tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF -> (H, W, 3) uint8 RGB."""
+    if payload[:4] == b"II*\x00":
+        fmt = "<"
+    elif payload[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    tags = _read_ifd(payload, fmt)
+    if _TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    w = tags[_WIDTH][0]
+    h = tags[_LENGTH][0]
+    spp = tags.get(_SPP, [1])[0]
+    bps = tags.get(_BPS, [1])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"bits-per-sample {bps} unsupported (8 only)")
+    compression = tags.get(_COMPRESSION, [1])[0]
+    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    offsets = tags[_STRIP_OFFSETS]
+    counts = tags[_STRIP_COUNTS]
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("TIFF strip truncated")
+        if compression == 1:
+            raw += strip
+        elif compression == 5:
+            raw += tiff_lzw_decode(strip)
+        elif compression == 32773:
+            raw += packbits_decode(strip)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {compression} unsupported "
+                "(none/LZW/PackBits only; JPEG-in-TIFF needs tag 7 support)"
+            )
+    expected = h * w * spp
+    if len(raw) < expected:
+        raise ValueError(f"TIFF data short: {len(raw)} < {expected}")
+    img = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo by row cumsum
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if photometric == 2:  # RGB
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples per pixel")
+        return np.ascontiguousarray(img[:, :, :3])
+    if photometric == 3:  # palette
+        cmap = tags[_COLORMAP][0] if isinstance(tags[_COLORMAP][0], (bytes, bytearray)) else None
+        vals = tags[_COLORMAP]
+        if cmap is not None:
+            n = len(cmap) // 6
+            trip = struct.unpack(fmt + f"{n * 3}H", cmap)
+        else:
+            trip = vals
+            n = len(trip) // 3
+        table = (
+            np.array(trip, dtype=np.uint32).reshape(3, n).T >> 8
+        ).astype(np.uint8)  # 16-bit colormap entries scale to 8
+        return table[img[:, :, 0]]
+    gray = img[:, :, 0]
+    if photometric == 0:  # WhiteIsZero
+        gray = 255 - gray
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int = 8,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> little-endian strip TIFF. compression in
+    {'none', 'lzw', 'packbits'}; predictor applies horizontal
+    differencing (only meaningful with LZW, but legal with any)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_tiff expects (H, W, 3) uint8 RGB")
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    h, w = img.shape[:2]
+    data = img
+    if predictor:
+        diff = img.astype(np.int64)
+        diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+        data = (diff & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        strip = data[y0 : y0 + rows_per_strip].tobytes()
+        if compression == "lzw":
+            strip = tiff_lzw_encode(strip)
+        elif compression == "packbits":
+            strip = packbits_encode(strip)
+        strips.append(strip)
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(_WIDTH, 4, [w])
+    entry(_LENGTH, 4, [h])
+    entry(_BPS, 3, [8, 8, 8])
+    entry(_COMPRESSION, 3, [comp_id])
+    entry(_PHOTOMETRIC, 3, [2])
+    entry(_STRIP_OFFSETS, 4, ["offsets"])  # patched below
+    entry(_SPP, 3, [3])
+    entry(_ROWS_PER_STRIP, 4, [rows_per_strip])
+    entry(_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if predictor:
+        entry(_PREDICTOR, 3, [2])
+
+    # layout: header(8) | strips | overflow values | IFD
+    header_size = 8
+    strip_offsets = []
+    off = header_size
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    overflow = bytearray()
+    overflow_base = off
+
+    def value_bytes(typ, vals):
+        code = {3: "H", 4: "I"}[typ]
+        return struct.pack("<" + code * len(vals), *vals)
+
+    packed_entries = []
+    for tag, typ, vals in sorted(entries):
+        if vals == ["offsets"]:
+            vals = strip_offsets
+        raw = value_bytes(typ, vals)
+        if len(raw) <= 4:
+            packed_entries.append((tag, typ, len(vals), raw.ljust(4, b"\x00")))
+        else:
+            packed_entries.append(
+                (tag, typ, len(vals), struct.pack("<I", overflow_base + len(overflow)))
+            )
+            overflow += raw
+    ifd_off = overflow_base + len(overflow)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    for s in strips:
+        out += s
+    out += overflow
+    out += struct.pack("<H", len(packed_entries))
+    for tag, typ, count, val4 in packed_entries:
+        out += struct.pack("<HHI", tag, typ, count) + val4
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)

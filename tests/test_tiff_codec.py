@@ -1,0 +1,123 @@
+"""TIFF 6.0 codec (multimodal/tiff.py): exact round trips across every
+compression/predictor/strip layout the fixture writer emits, the
+TIFF-variant LZW (MSB packing, early change), PackBits corner cases,
+byte-order and photometric handling, and loud failures."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datawarehouse1_spark.multimodal.tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_lzw_decode,
+    tiff_lzw_encode,
+)
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_roundtrip_exact(compression, predictor):
+    rng = np.random.default_rng(hash((compression, predictor)) % 2**32)
+    for h, w in ((16, 16), (17, 19), (1, 1), (40, 3)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_tiff(
+            encode_tiff(img, compression, predictor, rows_per_strip=5)
+        )
+        assert np.array_equal(out, img), (h, w, compression, predictor)
+
+
+def test_lzw_crosses_width_boundaries_and_reset():
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(0, 256, 40000, dtype=np.uint8).tolist())
+    assert tiff_lzw_decode(tiff_lzw_encode(data)) == data
+    rep = b"abab" * 1000 + b"\x00" * 5000 + b"xyz" * 700  # KwKwK + runs
+    assert tiff_lzw_decode(tiff_lzw_encode(rep)) == rep
+
+
+def test_lzw_early_change_produces_msb_stream():
+    # first emitted code is CLEAR (256) at 9 bits, MSB-first:
+    # 100000000 -> bytes start 0x80 0x0...
+    stream = tiff_lzw_encode(b"A")
+    assert stream[0] == 0x80
+
+
+def test_packbits_corner_cases():
+    for d in (b"", b"a", b"aaaa", bytes(range(256)), b"ab" * 300, b"\xff" * 500):
+        assert packbits_decode(packbits_encode(d)) == d
+
+
+def test_big_endian_and_photometrics():
+    """Hand-build a big-endian grayscale WhiteIsZero TIFF: the decoder
+    must honor MM byte order and invert the gray ramp."""
+    h, w = 2, 3
+    pixels = bytes([0, 128, 255, 10, 20, 30])
+    # layout: header(8) + pixels + IFD
+    ifd_off = 8 + len(pixels)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 0),  # WhiteIsZero
+        (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(pixels)),
+    ]
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off) + pixels)
+    out += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            out += struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    img = decode_tiff(bytes(out))
+    assert img.shape == (2, 3, 3)
+    np.testing.assert_array_equal(img[0, :, 0], [255, 127, 0])  # inverted
+    np.testing.assert_array_equal(img[:, :, 0], img[:, :, 2])
+
+
+def test_malformed_and_gated_raise():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX\x00\x00" + b"\x00" * 16)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    ok = encode_tiff(img)
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        decode_tiff(ok[:30])
+    # unsupported compression id: patch the COMPRESSION entry value
+    bad = bytearray(encode_tiff(img))
+    # find IFD and the compression tag (259)
+    (ifd_off,) = struct.unpack_from("<I", bad, 4)
+    (n,) = struct.unpack_from("<H", bad, ifd_off)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", bad, off)[0]
+        if tag == 259:
+            struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(bad))
+
+
+def test_sniff_and_stdlib_decode_route_tiff():
+    from datawarehouse1_spark.multimodal.codecs import sniff_mime, stdlib_decode
+
+    img = np.random.default_rng(3).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    payload = encode_tiff(img, "lzw", predictor=True)
+    assert sniff_mime(payload) == "image/tiff"
+    feat = stdlib_decode(payload)
+    assert feat[0] == 16.0 and feat[1] == 16.0
+
+
+def test_synthesizer_emits_decodable_tiffs(spark):
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_media_assets,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").filter("doc_id < 128")
+    rows = synthesize_media_assets(docs).filter("mime = 'image/tiff'").collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert decode_tiff(bytes(r.payload)).shape == (16, 16, 3)
