@@ -141,3 +141,45 @@ def test_csv_stream_source_starts(spark, tmp_path):
         assert rows[0].source_file.endswith("a.csv")
     finally:
         q.stop()
+
+
+def test_orc_roundtrip_parity_with_parquet(spark, tmp_path):
+    """ORC is a first-class Spark-native columnar source: writing any
+    warehouse table to ORC and reading it back must reproduce the
+    parquet-sourced rows and schema exactly (including NTZ timestamps
+    — the events drift lesson applies to every columnar sink)."""
+    from datawarehouse1_spark.catalog import table
+
+    for name in ("nation", "orders", "events"):
+        src = table(spark, "/root/testdata/sf0.001", name)
+        path = str(tmp_path / f"{name}_orc")
+        src.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == src.schema, name
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        ), name
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """Filters must reach the ORC reader (searchArgument/pushdown), same
+    contract the parquet plan-shape tests pin."""
+    from datawarehouse1_spark.catalog import table
+
+    src = table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    df = spark.read.orc(path).filter("o_custkey = 7").select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:80]
+
+
+def test_avro_gated_honestly(spark):
+    """spark-avro is an external package; absent here. The failure mode
+    must be Spark's loud AnalysisException naming the format, not a
+    silent fallback."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="[Aa]vro"):
+        spark.read.format("avro").load("/tmp/nonexistent.avro")
