@@ -312,3 +312,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     ids = sorted(r.event_id for r in got)
     assert ids == list(range(15)), f"dedup failed: {ids}"
+
+
+# ---------- streaming media ingest (binaryFile source + real decode) ----------
+
+
+def test_streaming_media_decode_exactly_once(spark, tmp_path):
+    """Real media files land in a watch dir; the binaryFile stream
+    decodes them with the SAME codecs as the batch tier, exactly once
+    per file across restarts, corrupt uploads fail soft."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.codecs import encode_png, stdlib_decode
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
+    from datawarehouse1_spark.streaming.media_ingest import run_media_ingest
+
+    watch = tmp_path / "media"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(1)
+    img1 = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    (watch / "a.png").write_bytes(encode_png(img1))
+    (watch / "b.jpg").write_bytes(encode_jpeg(img2, 90))
+    (watch / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"junk")
+
+    out_dir = str(tmp_path / "out")
+    q = run_media_ingest(spark, str(watch), ckpt, out_dir)
+    q.awaitTermination(60)
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {"a.png", "b.jpg", "broken.png"}
+    np.testing.assert_allclose(
+        np.array(rows["a.png"].feature),
+        stdlib_decode((watch / "a.png").read_bytes()),
+        rtol=1e-6,
+    )
+    assert rows["b.jpg"].mime == "image/jpeg" and rows["b.jpg"].error is None
+    assert rows["broken.png"].feature is None
+    assert rows["broken.png"].error is not None  # quarantined, not fatal
+
+    # restart with a NEW file: only the new file is processed
+    img3 = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    (watch / "c.png").write_bytes(encode_png(img3))
+    q2 = run_media_ingest(spark, str(watch), ckpt, out_dir)
+    q2.awaitTermination(60)
+    after = sorted(r.path.rsplit("/", 1)[-1] for r in spark.read.parquet(out_dir).collect())
+    # exactly once: the original three are NOT re-decoded on restart
+    assert after == ["a.png", "b.jpg", "broken.png", "c.png"]
