@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.text_tokens import BPE_ISH_PATTERN
 from datawarehouse1_spark.registry import declared
+
+# the pattern contains contraction apostrophes: escape for SQL literals
+_BPE_SQL = BPE_ISH_PATTERN.replace("'", "''")
 
 # Tiny English stopword list for quality scoring (deterministic, shared
 # verbatim with the SQL oracle).
@@ -53,8 +57,8 @@ def q_text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budget accounting for a training-data pipeline: cheap
-    whitespace tokens per doc (a BPE-ish regex variant is in
-    operators/text_pipeline.py)."""
+    whitespace tokens per doc (the BPE-ish GPT-2-style pre-tokenizer is
+    functions/text_tokens.py, counted by q_text_bpe_token_count)."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     return d.select(
@@ -360,4 +364,40 @@ def q_curation_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "score", "rk")
+    )
+
+
+# --- ext: BPE-ish pre-tokenizer budget accounting (r6) ---
+@declared(
+    "q_text_bpe_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpeish,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '')) AS n_ws,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE)
+             / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')), 1) AS bpeish_per_word
+    FROM documents
+    """,
+)
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with the GPT-2-style pre-tokenizer
+    (functions/text_tokens.py: contractions / letter runs / digit runs /
+    punctuation runs — RE2-safe, so Spark's Java regex and DuckDB's RE2
+    count IDENTICAL token streams and this hash-matches) next to the
+    cheap whitespace count; bpeish_per_word is the fertility proxy a
+    mixture planner budgets with."""
+    from datawarehouse1_spark.functions.text_tokens import bpe_ish_token_count
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_bpeish"),
+        F.size(ws).alias("n_ws"),
+        (
+            bpe_ish_token_count("text").cast("double")
+            / F.greatest(F.size(ws), F.lit(1))
+        ).alias("bpeish_per_word"),
     )

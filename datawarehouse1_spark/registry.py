@@ -122,6 +122,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_cube",
     "q_profile_columns",
     "q_pandas_udf_scalar",
+    # -- new in r6 behind the window (hash-checked by the pytest parity
+    # suite every run; fronts the r7 graded window) --
+    "q_text_bpe_token_count",
     # -- r5-graded (CORRECTNESS_r05, all green) --
     "q_events_sessionize",
     "q_events_tumbling_window",

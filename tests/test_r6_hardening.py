@@ -73,3 +73,36 @@ def test_semantic_dedup_drops_twins_keeps_min_ids(spark):
     # survivors without a twin absorbed nothing (unless base-base pairs
     # exist, which the staged corpus does not produce at this threshold)
     assert sum(n for v, n in rows.items() if v % 3 != 0) == 0
+
+
+# ---------- BPE-ish pre-tokenizer (functions/text_tokens.py) ----------
+
+
+def test_bpe_ish_tokens_match_published_splits(spark):
+    """The GPT-2-style pre-tokenizer splits contractions, space-prefixed
+    word/digit runs, and punctuation runs as published (minus the
+    trailing-space lookahead, documented)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.functions.text_tokens import bpe_ish_tokens
+
+    df = spark.createDataFrame(
+        [("It's 2026, isn't it?",), ("hello   world",)], "t string"
+    )
+    rows = df.select(bpe_ish_tokens("t").alias("toks")).collect()
+    assert rows[0].toks == ["It", "'s", " 2026", ",", " isn", "'t", " it", "?"]
+    # whitespace runs collapse to one token (RE2-safe simplification)
+    assert rows[1].toks == ["hello", "   ", "world"]
+
+
+def test_bpe_ish_stays_jvm_side(spark):
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES["q_text_bpe_token_count"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
