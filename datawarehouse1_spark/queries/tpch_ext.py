@@ -643,42 +643,39 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct supplier among its 'R' lines (l1 itself is 'R', so that one
     is l1's supplier).
 
-    Two-level aggregate shape (r6): distinct-counting via
-    groupBy(order, supplier) then groupBy(order) instead of a double
-    countDistinct. A multi-countDistinct plans as an Expand that
-    DOUBLES every lineitem row before the shuffle; the two-level form
-    instead lets the map-side partial collapse each order's lines to
-    one (order,supplier) row (~4:1 at TPC-H line multiplicity) before
-    anything shuffles — strictly less network at any scale. max(is 'R')
-    per pair then sums into 'distinct suppliers with an R line'."""
+    Single-scan two-level shape (r6): groupBy(order, supplier) with a
+    per-pair R-line COUNT does everything in one lineitem read — the
+    (order,supplier) pairs re-aggregate into per-order supplier stats
+    (exchange-reused subtree), and the same pair rows with n_r_lines>0
+    ARE the qualifying l1 candidates (numwait = sum of per-pair R-line
+    counts), so the second full lineitem scan of the naive decorrelated
+    plan disappears. A multi-countDistinct would instead plan an Expand
+    that doubles every row before the shuffle; map-side partials here
+    collapse each order's lines ~4:1 before anything shuffles."""
     li = table(spark, sf_dir, "lineitem")
-    stats = (
-        li.groupBy(
-            F.col("l_orderkey").alias("s_key"), F.col("l_suppkey").alias("s_supp")
-        )
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("has_r")
-        )
-        .groupBy("s_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("has_r").alias("n_r_supp"),
-        )
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_r_lines")
+    )
+    per_order = pair.groupBy(F.col("l_orderkey").alias("s_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(
+            F.when(F.col("n_r_lines") > 0, 1).otherwise(0)
+        ).alias("n_r_supp"),
     )
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        pair.filter(F.col("n_r_lines") > 0)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(stats, F.col("s_key") == F.col("l_orderkey"))
+        .join(per_order, F.col("s_key") == F.col("l_orderkey"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )

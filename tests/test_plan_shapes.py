@@ -87,7 +87,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q17_small_quantity_revenue": 2,  # per-part avg agg + global agg
     "q_tpch_q19_discounted_revenue": 1,
     "q_tpch_q20_part_promotion": 2,  # suppkey HAVING agg feeding semi join
-    "q_tpch_q21_waiting_supplier": 3,  # one stats agg + orderkey join + name agg
+    # pair agg appears twice statically (candidate branch + per-order
+    # stats branch share the subtree; exchange reuse collapses it at
+    # runtime to ONE lineitem scan) + orderkey join + name agg
+    "q_tpch_q21_waiting_supplier": 4,
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N
