@@ -24,6 +24,7 @@ _MODULES = (
     "tpch",
     "tpch_ext",
     "warc_ext",
+    "wds_ext",
 )
 
 

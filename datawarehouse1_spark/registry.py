@@ -125,6 +125,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- new in r6 behind the window (hash-checked by the pytest parity
     # suite every run; fronts the r7 graded window) --
     "q_text_bpe_token_count",
+    "q_wds_extract_samples",
     # -- r5-graded (CORRECTNESS_r05, all green) --
     "q_events_sessionize",
     "q_events_tumbling_window",
