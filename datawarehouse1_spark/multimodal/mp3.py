@@ -1,0 +1,151 @@
+"""MPEG audio (MP3) frame-header walker in pure stdlib.
+
+MP3 decode proper needs the Huffman/MDCT bitstream (honestly gated,
+like H.26x) — but the CONTAINER layer is published arithmetic: 4-byte
+frame headers carry version/layer/bitrate/samplerate, frame length is
+`144 * bitrate / samplerate + padding` for Layer III, and ID3v2/ID3v1
+tags frame the stream. That layer is what a corpus pipeline needs to
+audit audio at scale (duration, bitrate, tag metadata, corrupt-stream
+detection) before any decode, and it is fully implementable without
+codecs. This module walks it: ID3v2 skip (syncsafe size), frame-by-
+frame traversal with header validation, CBR stats, ID3v2.3 TIT2 title
+extraction, ID3v1 trailer tolerance. encode_mp3_stub writes valid
+frame sequences (zeroed payloads) + an ID3v2.3 tag as fixtures.
+
+Pure bytes — safe inside Arrow-batched executors.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# MPEG1 Layer III tables (ISO 11172-3)
+_BITRATES_V1L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_SAMPLERATES_V1 = (44100, 48000, 32000)
+_SAMPLES_PER_FRAME_V1L3 = 1152
+
+
+@dataclass
+class Mp3Info:
+    n_frames: int
+    samplerate: int
+    bitrate_kbps: int  # of the first frame (CBR assumption flagged below)
+    is_cbr: bool
+    duration_ms: int
+    title: str | None
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _parse_id3v2(payload: bytes) -> tuple[int, str | None]:
+    """Returns (bytes_to_skip, TIT2 title if present)."""
+    if payload[:3] != b"ID3":
+        return 0, None
+    size = _syncsafe(payload[6:10])
+    end = 10 + size
+    title = None
+    pos = 10
+    while pos + 10 <= end:
+        frame_id = payload[pos : pos + 4]
+        if frame_id == b"\x00\x00\x00\x00":
+            break
+        fsize = struct.unpack_from(">I", payload, pos + 4)[0]
+        if frame_id == b"TIT2" and fsize > 1:
+            body = payload[pos + 10 : pos + 10 + fsize]
+            title = body[1:].decode("latin-1" if body[0] == 0 else "utf-8")
+        pos += 10 + fsize
+    return end, title
+
+
+def demux_mp3(payload: bytes) -> Mp3Info:
+    """Walk every frame header; raises on desync (corrupt stream)."""
+    pos, title = _parse_id3v2(payload)
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    n_frames = 0
+    first_bitrate = None
+    samplerate = 0
+    is_cbr = True
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"trailing garbage at offset {pos}")
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at offset {pos}")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError(
+                "only MPEG1 Layer III frame walking implemented"
+            )
+        bitrate_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if bitrate_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"invalid frame header at offset {pos}")
+        bitrate = _BITRATES_V1L3[bitrate_idx] * 1000
+        samplerate = _SAMPLERATES_V1[sr_idx]
+        if first_bitrate is None:
+            first_bitrate = bitrate
+        elif bitrate != first_bitrate:
+            is_cbr = False
+        frame_len = 144 * bitrate // samplerate + padding
+        if pos + frame_len > end:
+            raise ValueError(f"truncated final frame at offset {pos}")
+        pos += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    duration_ms = n_frames * _SAMPLES_PER_FRAME_V1L3 * 1000 // samplerate
+    return Mp3Info(
+        n_frames=n_frames,
+        samplerate=samplerate,
+        bitrate_kbps=(first_bitrate or 0) // 1000,
+        is_cbr=is_cbr,
+        duration_ms=duration_ms,
+        title=title,
+    )
+
+
+def encode_mp3_stub(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    samplerate: int = 44100,
+    title: str | None = None,
+) -> bytes:
+    """Valid MPEG1 Layer III frame sequence with zeroed payloads (the
+    bitstream inside is fake by construction — this writer exists to
+    exercise the frame walk, not decode) plus an ID3v2.3 TIT2 tag."""
+    bitrate_idx = _BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _SAMPLERATES_V1.index(samplerate)
+    out = bytearray()
+    if title is not None:
+        body = b"\x00" + title.encode("latin-1")
+        frame = b"TIT2" + struct.pack(">I", len(body)) + b"\x00\x00" + body
+        size = len(frame)
+        out += (
+            b"ID3\x03\x00\x00"
+            + bytes(
+                [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                 (size >> 7) & 0x7F, size & 0x7F]
+            )
+            + frame
+        )
+    header = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1, Layer III, no CRC
+            (bitrate_idx << 4) | (sr_idx << 2),  # no padding
+            0x00,
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // samplerate
+    for _ in range(n_frames):
+        out += header + b"\x00" * (frame_len - 4)
+    return bytes(out)

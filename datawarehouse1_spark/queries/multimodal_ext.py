@@ -106,3 +106,77 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
     ).filter("modality = 'video'").limit(50)
     return stringify_array_cols(frame_sample(assets, every_ms=5000))
+
+
+@declared(
+    "q_multimodal_mp3_scan",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+                ELSE 320 END AS BIGINT) AS bitrate_kbps,
+           CAST(44100 AS BIGINT) AS samplerate,
+           CAST(((10 + doc_id % 20) * 1152000) // 44100 AS BIGINT)
+             AS duration_ms,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def q_multimodal_mp3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio frame walk, hash-matched: MP3 streams are
+    synthesized with closed-form frame counts/bitrates + ID3v2.3 TIT2
+    tags (multimodal/mp3.py::encode_mp3_stub), then the pure-stdlib
+    walker recovers frame count, bitrate, duration, and the tag title
+    by actually stepping `144*bitrate/samplerate+padding` through the
+    stream and parsing the syncsafe ID3 header — while DuckDB computes
+    the same values from the generating formulas. The audio twin of
+    q_multimodal_mp4_demux; bounded to 300 assets."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datawarehouse1_spark.multimodal.mp3 import demux_mp3, encode_mp3_stub
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("n_frames", LongType(), True),
+            StructField("bitrate_kbps", LongType(), True),
+            StructField("samplerate", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("title", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "n_frames", "bitrate_kbps", "samplerate",
+                "duration_ms", "title",
+            )}
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                payload = encode_mp3_stub(
+                    n_frames=10 + aid % 20,
+                    bitrate_kbps=(128, 192, 320)[aid % 3],
+                    samplerate=44100,
+                    title=f"doc {aid}",
+                )
+                info = demux_mp3(payload)
+                rows["asset_id"].append(aid)
+                rows["n_frames"].append(info.n_frames)
+                rows["bitrate_kbps"].append(info.bitrate_kbps)
+                rows["samplerate"].append(info.samplerate)
+                rows["duration_ms"].append(info.duration_ms)
+                rows["title"].append(info.title)
+            yield pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 300")
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)

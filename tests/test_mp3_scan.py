@@ -1,0 +1,63 @@
+"""MPEG-audio frame walker (multimodal/mp3.py): header arithmetic over
+every bitrate/samplerate combination, ID3v2/ID3v1 tag handling, and
+loud desync/truncation errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehouse1_spark.multimodal.mp3 import demux_mp3, encode_mp3_stub
+
+
+@pytest.mark.parametrize("bitrate", [32, 128, 192, 320])
+@pytest.mark.parametrize("samplerate", [44100, 48000, 32000])
+def test_frame_walk_every_table_entry(bitrate, samplerate):
+    info = demux_mp3(encode_mp3_stub(7, bitrate, samplerate, title="t"))
+    assert info.n_frames == 7
+    assert info.bitrate_kbps == bitrate and info.samplerate == samplerate
+    assert info.is_cbr
+    assert info.duration_ms == 7 * 1152 * 1000 // samplerate
+    assert info.title == "t"
+
+
+def test_tagless_and_id3v1_trailer():
+    assert demux_mp3(encode_mp3_stub(5)).title is None
+    with_v1 = encode_mp3_stub(3) + b"TAG" + b"\x00" * 125
+    assert demux_mp3(with_v1).n_frames == 3
+
+
+def test_id3v2_skip_is_syncsafe():
+    # a tag body > 127 bytes forces multi-byte syncsafe size encoding
+    payload = encode_mp3_stub(4, title="x" * 300)
+    info = demux_mp3(payload)
+    assert info.n_frames == 4 and info.title == "x" * 300
+
+
+def test_corrupt_streams_raise():
+    with pytest.raises(ValueError, match="frame sync"):
+        demux_mp3(b"\x00" * 100)
+    with pytest.raises(ValueError, match="truncated"):
+        demux_mp3(encode_mp3_stub(3)[:-10])
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        demux_mp3(encode_mp3_stub(1, title="only-tag")[:-417])
+
+
+def test_mpeg2_gated_honestly():
+    p = bytearray(encode_mp3_stub(1))
+    p[1] = 0xF3  # flip version bits to MPEG2
+    with pytest.raises(NotImplementedError, match="MPEG1 Layer III"):
+        demux_mp3(bytes(p))
+
+
+def test_declared_query_matches_formulas(spark):
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_multimodal_mp3_scan"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 300
+    for r in rows:
+        n = 10 + r.asset_id % 20
+        assert r.n_frames == n
+        assert r.bitrate_kbps == (128, 192, 320)[r.asset_id % 3]
+        assert r.duration_ms == n * 1152 * 1000 // 44100
+        assert r.title == f"doc {r.asset_id}"
