@@ -121,3 +121,62 @@ def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     point is the extraction chain, not volume."""
     docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
     return warc_extract_documents(synthesize_warc_archives(docs))
+
+
+@declared(
+    "q_compressed_blob_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                ELSE 'xz' END AS codec,
+           text
+    FROM documents
+    WHERE doc_id < 400
+    """,
+)
+def q_compressed_blob_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text blobs, hash-matched round trip: each document is
+    stored as a gzip/bz2/xz blob (codec cycled by id — the three stdlib
+    compression containers raw corpora actually use), sniffed by magic
+    bytes and decompressed executor-side; DuckDB reads the plain text.
+    Compression and decompression both happen inside mapInPandas — the
+    blob crosses Arrow once and never shuffles."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("codec", StringType(), False),
+            StructField("text", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "codec": [], "text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = (text or "").encode("utf-8")
+                blob = (
+                    _gzip.compress(raw, 6) if doc_id % 3 == 0
+                    else _bz2.compress(raw) if doc_id % 3 == 1
+                    else _lzma.compress(raw)
+                )
+                # sniff + decompress (magic bytes: published container ids)
+                if blob[:2] == b"\x1f\x8b":
+                    codec, out = "gzip", _gzip.decompress(blob)
+                elif blob[:3] == b"BZh":
+                    codec, out = "bz2", _bz2.decompress(blob)
+                elif blob[:6] == b"\xfd7zXZ\x00":
+                    codec, out = "xz", _lzma.decompress(blob)
+                else:
+                    raise ValueError("unknown compression container")
+                rows["doc_id"].append(doc_id)
+                rows["codec"].append(codec)
+                rows["text"].append(out.decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
+    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)

@@ -127,6 +127,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
+    "q_compressed_blob_extract",
     # -- r5-graded (CORRECTNESS_r05, all green) --
     "q_events_sessionize",
     "q_events_tumbling_window",
