@@ -75,10 +75,10 @@ def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def real_image_decode(payload: bytes) -> np.ndarray:
-    """Image decode path: WAV/BMP/PNG/baseline-JPEG are all decoded by
-    this repo's own codecs (codecs.py + jpeg.py — stdlib + numpy, no
-    PIL). Only video bitstreams (H.26x inside MP4) remain gated; the
-    MP4 container demuxes via mp4.py."""
+    """Image decode path: BMP/PNG/JPEG/GIF/TIFF all decode via this
+    repo's own codecs (stdlib + numpy, no PIL). Only video bitstreams
+    (H.26x inside MP4) remain gated; the MP4 container demuxes via
+    mp4.py."""
     from datawarehouse1_spark.multimodal.codecs import sniff_mime
     from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
 
@@ -263,15 +263,20 @@ def resize_images(
 
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media asset table: even doc_ids become 16×16
-    images — ≡ 0 (mod 8) 24-bit BMP, ≡ 2 (mod 8) PNG (row filter cycled
-    through all five published predictors by id, alternate ones Adam7-
-    interlaced), ≡ 4 (mod 8) baseline
-    JPEG (4:4:4 / 4:2:0 alternated by id, quality cycled 75/85/95, one
-    in three with restart markers), ≡ 6 (mod 8) GIF89a (palette LZW,
-    every other one interlaced) — every decoder branch gets real
-    traffic; odd doc_ids become 50 ms 8 kHz PCM WAV tones (frequency
-    derived from the id). Payloads are generated executor-side inside
+    """Deterministic REAL media asset table; every decoder branch gets
+    genuine traffic. Even doc_ids are 16×16 images:
+      - ≡ 0 (mod 16)  24-bit BMP
+      - ≡ 8 (mod 16)  TIFF (none/LZW/PackBits compression and the
+                      horizontal predictor cycled by id)
+      - ≡ 2 (mod 8)   PNG (all five row filters cycled; alternate ones
+                      Adam7-interlaced)
+      - ≡ 4 (mod 8)   JPEG (quality 75/85/95 and 4:4:4/4:2:0 cycled,
+                      one in three with restart markers; the
+                      ≡ 20 (mod 32) slice is progressive SOF2)
+      - ≡ 6 (mod 8)   GIF89a (palette LZW, every other one interlaced)
+    Odd doc_ids are 50 ms 8 kHz WAV tones (frequency derived from the
+    id): ≡ 1,5 (mod 8) 16-bit PCM, ≡ 3 (mod 8) G.711 mu-law, ≡ 7
+    (mod 8) G.711 A-law. Payloads are generated executor-side inside
     mapInPandas — genuine container bytes this repo's own codecs can
     decode, at any SF, with no binary fixtures in the testdata."""
     import io as _io

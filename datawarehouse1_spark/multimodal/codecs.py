@@ -105,7 +105,7 @@ def _decode_wav_riff(payload: bytes) -> tuple[np.ndarray, int, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, rate, _br, _ba, bits = fmt
-    if audio_format == 0xFFFE and len(payload) > 0:  # extensible: real
+    if audio_format == 0xFFFE:
         raise ValueError("WAVE_FORMAT_EXTENSIBLE unsupported")
     if audio_format == 3 and bits == 32:
         samples = np.frombuffer(data, dtype="<f4").astype(np.float32)

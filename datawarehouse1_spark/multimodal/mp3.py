@@ -42,10 +42,19 @@ def _syncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
+# ID3v2 text-frame encodings (v2.3 §3.3 / v2.4 §4): byte 0 selects
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
 def _parse_id3v2(payload: bytes) -> tuple[int, str | None]:
-    """Returns (bytes_to_skip, TIT2 title if present)."""
+    """Returns (bytes_to_skip, TIT2 title if present). Handles both
+    v2.3 (plain big-endian frame sizes) and v2.4 (syncsafe frame
+    sizes); all four published text encodings including the UTF-16
+    variants real taggers write. An undecodable title fails soft to
+    None — tag damage must not kill the frame walk."""
     if payload[:3] != b"ID3":
         return 0, None
+    version = payload[3]
     size = _syncsafe(payload[6:10])
     end = 10 + size
     title = None
@@ -54,10 +63,16 @@ def _parse_id3v2(payload: bytes) -> tuple[int, str | None]:
         frame_id = payload[pos : pos + 4]
         if frame_id == b"\x00\x00\x00\x00":
             break
-        fsize = struct.unpack_from(">I", payload, pos + 4)[0]
+        raw = payload[pos + 4 : pos + 8]
+        fsize = _syncsafe(raw) if version >= 4 else struct.unpack(">I", raw)[0]
         if frame_id == b"TIT2" and fsize > 1:
             body = payload[pos + 10 : pos + 10 + fsize]
-            title = body[1:].decode("latin-1" if body[0] == 0 else "utf-8")
+            try:
+                title = body[1:].decode(
+                    _ID3_ENCODINGS.get(body[0], "latin-1")
+                ).rstrip("\x00")
+            except UnicodeDecodeError:
+                title = None
         pos += 10 + fsize
     return end, title
 

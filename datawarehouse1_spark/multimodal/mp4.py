@@ -152,7 +152,6 @@ def _parse_stbl(data: bytes, p0: int, p1: int) -> tuple[str, list[Mp4Sample]]:
     samples: list[Mp4Sample] = []
     si = 0
     for ci, coff in enumerate(chunk_offsets):
-        within = 0
         spc = per_chunk[ci] if ci < len(per_chunk) else 0
         off = coff
         for _ in range(spc):
@@ -171,7 +170,6 @@ def _parse_stbl(data: bytes, p0: int, p1: int) -> tuple[str, list[Mp4Sample]]:
             )
             off += sizes[si]
             si += 1
-            within += 1
     if si != n_samples:
         raise ValueError(
             f"sample table inconsistent: placed {si} of {n_samples} samples"
@@ -254,20 +252,19 @@ def keyframes_near(track: Mp4Track, every_ms: int) -> list[Mp4Sample]:
     if not syncs:
         return []
     duration_ms = track.duration * 1000 // track.timescale
+    # single merged walk over targets and syncs (both monotonic):
+    # O(n_targets + n_syncs), not a rescan per target
     picked: list[Mp4Sample] = []
-    seen: set[int] = set()
+    si = 0
+    best: Mp4Sample | None = None
     t = 0
     while t <= max(duration_ms - 1, 0):
         target_units = t * track.timescale // 1000
-        best = None
-        for s in syncs:
-            if s.dts <= target_units:
-                best = s
-            else:
-                break
-        if best is not None and best.index not in seen:
+        while si < len(syncs) and syncs[si].dts <= target_units:
+            best = syncs[si]
+            si += 1
+        if best is not None and (not picked or picked[-1].index != best.index):
             picked.append(best)
-            seen.add(best.index)
         t += every_ms
     return picked
 

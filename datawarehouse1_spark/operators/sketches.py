@@ -93,16 +93,12 @@ CM_PRIME = 2_147_483_647
 CM_PARAMS = ((1_103_515_245, 12_345), (69_069, 362_437), (134_775_813, 1))
 
 
-def count_min_sketch(
-    df: DataFrame, key_col: str, width: int = 256
-) -> DataFrame:
-    """Count-min sketch build (Cormode-Muthukrishnan 2005): d=3 hash
-    rows x `width` counters. One explode + one groupBy — the shuffle
-    carries at most d*width rows after map-side partial aggregation,
-    however many input rows. Estimates are one-sided (never under-
-    count); merge is exact vector addition."""
+def _cm_cells(key_col: str, width: int) -> F.Column:
+    """The d (row, col) cells a key hashes to — the ONE definition both
+    the build and the probe use (a divergence here would silently break
+    the one-sided-error guarantee)."""
     k = F.col(key_col).cast("bigint")
-    cells = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(j).alias("row"),
@@ -111,8 +107,18 @@ def count_min_sketch(
             for j, (a, b) in enumerate(CM_PARAMS)
         ]
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Count-min sketch build (Cormode-Muthukrishnan 2005): d=3 hash
+    rows x `width` counters. One explode + one groupBy — the shuffle
+    carries at most d*width rows after map-side partial aggregation,
+    however many input rows. Estimates are one-sided (never under-
+    count); merge is exact vector addition."""
     return (
-        df.select(F.explode(cells).alias("cell"))
+        df.select(F.explode(_cm_cells(key_col, width)).alias("cell"))
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
         .agg(F.count("*").alias("n"))
     )
@@ -132,22 +138,8 @@ def count_min_estimate(
     """Point-frequency estimates for a set of keys: min over the d row
     counters each key hashes to (broadcast the tiny sketch; the keys
     side streams — no all-pairs)."""
-    k = F.col(key_col).cast("bigint")
     probes = keys.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        (((F.lit(a) * k + F.lit(b)) % CM_PRIME) % width).alias(
-                            "col"
-                        ),
-                    )
-                    for j, (a, b) in enumerate(CM_PARAMS)
-                ]
-            )
-        ).alias("cell"),
+        key_col, F.explode(_cm_cells(key_col, width)).alias("cell")
     ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
     return (
         probes.join(F.broadcast(sketch), ["row", "col"], "left")

@@ -108,7 +108,7 @@ def warc_extract_documents(archives: DataFrame) -> DataFrame:
     oracle="""
     SELECT doc_id,
            'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-           text
+           COALESCE(text, '') AS text
     FROM documents
     WHERE doc_id < 400
     """,
@@ -129,7 +129,7 @@ def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
                 ELSE 'xz' END AS codec,
-           text
+           COALESCE(text, '') AS text
     FROM documents
     WHERE doc_id < 400
     """,

@@ -127,9 +127,9 @@ def wds_extract_samples(shards: DataFrame) -> DataFrame:
     "q_wds_extract_samples",
     oracle="""
     SELECT doc_id,
-           text,
+           COALESCE(text, '') AS text,
            lang,
-           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
            (doc_id % 2 = 0) AS has_image,
            (doc_id % 2 = 0) AS image_ok
     FROM documents

@@ -16,7 +16,6 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -101,8 +100,7 @@ def run_media_ingest(
     once per landed file, end to end."""
     stream = decode_media_stream(media_file_stream(spark, watch_dir))
     return (
-        stream.withColumn("feature", F.col("feature"))
-        .writeStream.format("parquet")
+        stream.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -181,5 +181,10 @@ def test_avro_gated_honestly(spark):
     import pytest
     from pyspark.errors import AnalysisException
 
-    with pytest.raises(AnalysisException, match="[Aa]vro"):
+    # pin the DATA_SOURCE error condition, not the path string — a
+    # container WITH spark-avro would raise PATH_NOT_FOUND here, which
+    # must FAIL this test (the gate would no longer be true)
+    with pytest.raises(
+        AnalysisException, match="DATA_SOURCE|Failed to find.*avro"
+    ):
         spark.read.format("avro").load("/tmp/nonexistent.avro")

@@ -61,3 +61,40 @@ def test_declared_query_matches_formulas(spark):
         assert r.bitrate_kbps == (128, 192, 320)[r.asset_id % 3]
         assert r.duration_ms == n * 1152 * 1000 // 44100
         assert r.title == f"doc {r.asset_id}"
+
+
+def test_id3v2_utf16_and_v24_syncsafe_frames():
+    """Real taggers write UTF-16 TIT2 bodies and v2.4 syncsafe frame
+    sizes — both must parse (not crash), and tag damage fails soft."""
+    import struct as _s
+
+    from datawarehouse1_spark.multimodal.mp3 import encode_mp3_stub
+
+    frames = encode_mp3_stub(3)  # bare frame sequence
+
+    def tag(version: int, body: bytes, fsize: int | None = None) -> bytes:
+        n = len(body)
+        fs = fsize if fsize is not None else n
+        if version >= 4:  # syncsafe
+            raw = bytes([(fs >> 21) & 0x7F, (fs >> 14) & 0x7F, (fs >> 7) & 0x7F, fs & 0x7F])
+        else:
+            raw = _s.pack(">I", fs)
+        frame = b"TIT2" + raw + b"\x00\x00" + body
+        size = len(frame)
+        return (
+            bytes([0x49, 0x44, 0x33, version, 0, 0])
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F])
+            + frame
+        )
+
+    # v2.3 UTF-16 with BOM (encoding byte 1)
+    body = b"\x01" + "héllo".encode("utf-16")
+    assert demux_mp3(tag(3, body) + frames).title == "héllo"
+    # v2.4 syncsafe frame size >= 0x80 (would mis-frame as big-endian)
+    long_title = "t" * 200
+    body = b"\x03" + long_title.encode("utf-8")
+    assert demux_mp3(tag(4, body) + frames).title == long_title
+    # damaged encoding: fails soft to None, frames still counted
+    body = b"\x01" + b"\xff\xfe\x00\xd8"  # lone surrogate U+D800 (LE)
+    info = demux_mp3(tag(3, body) + frames)
+    assert info.title is None and info.n_frames == 3
