@@ -281,3 +281,141 @@ def tune_nprobe(
         if recalls[nprobe] >= target_recall or nprobe >= n_centroids:
             return nprobe, recalls
         nprobe = min(nprobe * 2, n_centroids)
+
+
+# --- product quantization (Jégou et al., PAMI 2011 — the FAISS IVF-PQ
+# memory-scale path) ---
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = DEFAULT_SEED,
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    n_iter: int = 20,
+) -> np.ndarray:
+    """Train per-subvector codebooks: split the (L2-normalized) vector
+    into m contiguous subvectors and run seeded Lloyd k-means on each —
+    returns (m, n_codes, dim/m). Trains on a bounded driver-side sample
+    (FAISS trains PQ on a sample too); the ENCODING pass stays fully
+    distributed."""
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(max_sample).collect()
+        ]
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cents = x[rng.choice(len(x), size=n_codes, replace=False)]
+        for _ in range(n_iter):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed encoding: each (normalized) vector becomes m small
+    code indices — 8 bytes instead of 256 for a 64-dim float vector.
+    At 100 TB this is what makes the candidate store RAM-resident."""
+    m, n_codes, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @F.pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            x = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(id_col, vec_col, _enc(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank: each query
+    precomputes an (m, n_codes) lookup of subvector distances, corpus
+    codes are scored by m table lookups apiece (never touching the full
+    vectors), the best `shortlist` candidates per query are then
+    re-ranked with exact cosine — the standard two-stage ADC search.
+    The corpus never shuffles: queries broadcast into the scoring UDF
+    and the shortlist is a tiny (query, candidate) set."""
+    m, n_codes, dsub = codebooks.shape
+    books = codebooks.copy()
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # per-query LUT: lut[q, j, c] = ||q_sub - codeword||^2
+    lut = np.empty((len(q_mat), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q_mat[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["pq_codes"].to_numpy())  # (n, m)
+            # adc[q, row] = sum_j lut[q, j, codes[row, j]]
+            adc = np.zeros((len(q_mat), len(codes)))
+            for j in range(m):
+                adc += lut[:, j, codes[:, j]]
+            nbr = pdf[id_col].to_numpy()
+            out = {
+                "query_id": np.repeat(q_ids, len(codes)),
+                "neighbor_id": np.tile(nbr, len(q_mat)),
+                "adc": adc.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    scored = enc.select(id_col, "pq_codes").mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cands = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= shortlist
+    )
+    # exact re-rank of the shortlist
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    reranked = (
+        cands.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return reranked.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )
