@@ -164,3 +164,97 @@ def encode_mp3_stub(
     for _ in range(n_frames):
         out += header + b"\x00" * (frame_len - 4)
     return bytes(out)
+
+
+# --- FLAC metadata blocks (the lossless sibling; decode stays gated) ---
+
+
+@dataclass
+class FlacInfo:
+    sample_rate: int
+    channels: int
+    bits_per_sample: int
+    total_samples: int
+    duration_ms: int
+    vendor: str | None
+
+
+def scan_flac(payload: bytes) -> FlacInfo:
+    """Walk the published FLAC metadata-block layer (format spec §
+    METADATA_BLOCK): STREAMINFO's packed sample-rate/channels/bits/
+    total-samples word and the VORBIS_COMMENT vendor string. The
+    Rice-coded subframes (decode proper) stay honestly gated, exactly
+    like MP3's Huffman bitstream."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    vendor = None
+    while pos + 4 <= len(payload):
+        header = payload[pos]
+        is_last = bool(header & 0x80)
+        btype = header & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("FLAC metadata block truncated")
+        if btype == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("STREAMINFO too short")
+            # bytes 10..17 pack: rate(20) channels-1(3) bits-1(5) total(36)
+            word = int.from_bytes(body[10:18], "big")
+            rate = word >> 44
+            channels = ((word >> 41) & 0x07) + 1
+            bits = ((word >> 36) & 0x1F) + 1
+            total = word & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("invalid FLAC sample rate 0")
+            info = (rate, channels, bits, total)
+        elif btype == 4:  # VORBIS_COMMENT (little-endian lengths)
+            vlen = int.from_bytes(body[0:4], "little")
+            vendor = body[4 : 4 + vlen].decode("utf-8", errors="replace")
+        pos += 4 + size
+        if is_last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, channels, bits, total = info
+    return FlacInfo(
+        sample_rate=rate,
+        channels=channels,
+        bits_per_sample=bits,
+        total_samples=total,
+        duration_ms=total * 1000 // rate,
+        vendor=vendor,
+    )
+
+
+def encode_flac_stub(
+    total_samples: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits: int = 16,
+    vendor: str = "datawarehouse1",
+) -> bytes:
+    """Structurally valid FLAC metadata prologue (STREAMINFO +
+    VORBIS_COMMENT, last-block flag set) — no audio frames, which is
+    legal for a metadata scan fixture and honest about the gated
+    decode tier."""
+    word = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + (0).to_bytes(3, "big") * 2  # min/max framesize (unknown)
+        + word.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio (unknown)
+    )
+    v = vendor.encode("utf-8")
+    comment = len(v).to_bytes(4, "little") + v + (0).to_bytes(4, "little")
+    out = bytearray(b"fLaC")
+    out += bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    out += bytes([0x80 | 0x04]) + len(comment).to_bytes(3, "big") + comment
+    return bytes(out)

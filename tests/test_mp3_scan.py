@@ -98,3 +98,33 @@ def test_id3v2_utf16_and_v24_syncsafe_frames():
     body = b"\x01" + b"\xff\xfe\x00\xd8"  # lone surrogate U+D800 (LE)
     info = demux_mp3(tag(3, body) + frames)
     assert info.title is None and info.n_frames == 3
+
+
+# ---------- FLAC metadata scan ----------
+
+
+def test_flac_streaminfo_roundtrip():
+    from datawarehouse1_spark.multimodal.mp3 import encode_flac_stub, scan_flac
+
+    for total, rate, ch, bits in (
+        (44100, 44100, 2, 16),
+        (123456, 48000, 1, 24),
+        (0, 8000, 8, 32),
+        ((1 << 36) - 1, 96000, 2, 16),  # max representable sample count
+    ):
+        info = scan_flac(encode_flac_stub(total, rate, ch, bits, vendor="v1"))
+        assert info.total_samples == total
+        assert (info.sample_rate, info.channels, info.bits_per_sample) == (rate, ch, bits)
+        assert info.duration_ms == total * 1000 // rate
+        assert info.vendor == "v1"
+
+
+def test_flac_malformed_raises():
+    from datawarehouse1_spark.multimodal.mp3 import encode_flac_stub, scan_flac
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        scan_flac(b"flaC" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated"):
+        scan_flac(encode_flac_stub(100)[:20])
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        scan_flac(b"fLaC" + bytes([0x80 | 0x04, 0, 0, 1, 0]))  # comment only
