@@ -106,3 +106,39 @@ def test_bpe_ish_stays_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_registry_window_structure():
+    """The driver grades queries()[:50]; pin the structural facts the
+    rotation docs claim so an r7 edit that accidentally reorders or
+    shrinks the window fails here, not in the graded artifact."""
+    from datawarehouse1_spark.registry import (
+        DRIVER_CHECK_ORDER,
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    names = list(QUERIES)
+    assert names == list(DRIVER_CHECK_ORDER)
+    assert len(names) == len(set(names))
+    window = names[:50]
+    # the r6 must-grades: new hash-matched queries + rewritten plans
+    for q in (
+        "q_semantic_dedup_corpus",
+        "q_multimodal_mp4_demux",
+        "q_sketch_log_histogram",
+        "q_warc_extract_text",
+        "q_sketch_count_min",
+        "q_flagship_monthly_revenue",
+        "q_tpch_q5_local_supplier",
+        "q_tpch_q21_waiting_supplier",
+        "q_join_multi_star",
+        "q_multimodal_real_decode",
+    ):
+        assert q in window, f"{q} fell out of the graded window"
+    # every declared query resolves to a callable, and every oracle
+    # belongs to a declared query
+    assert set(ORACLES) <= set(QUERIES)
+    assert all(callable(QUERIES[n]) for n in names)
