@@ -431,6 +431,114 @@ def synthesize_video_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
+def synthesize_mjpeg_video_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video: MJPEG-in-MP4, one container per doc_id.
+    Each of the n = 4 + id%5 frames is a genuine baseline JPEG
+    (multimodal/jpeg.py) of a solid-gray 16×16 image with pixel value
+    (id*37 + frame_idx*83) % 256, encoded at quality 96 — where libjpeg's
+    quality scaling degenerates the DC quant step to 1, so a solid block
+    survives the DCT→quantize→IDCT round trip BIT-EXACT (pinned in
+    tests/test_multimodal_codecs.py). Frames are 40 ms, keyframe every
+    2nd sample ('jpeg' sample entry, the QuickTime MJPEG convention).
+    Every value a full demux+decode recovers is therefore a closed-form
+    function of doc_id — which is what lets q_multimodal_video_decode be
+    ORACLE-matched on actually-decoded pixel values."""
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
+    from datawarehouse1_spark.multimodal.mp4 import encode_mp4_stub
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "modality", "payload", "mime",
+                "width", "height", "duration_ms",
+            )}
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                n = 4 + aid % 5
+                frames = [
+                    encode_jpeg(
+                        np.full(
+                            (16, 16, 3), (aid * 37 + i * 83) % 256, dtype=np.uint8
+                        ),
+                        quality=96,
+                    )
+                    for i in range(n)
+                ]
+                out["asset_id"].append(aid)
+                out["modality"].append("video")
+                out["payload"].append(
+                    encode_mp4_stub(
+                        frames,
+                        sample_duration_units=40,
+                        codec=b"jpeg",
+                        sync_every=2,
+                    )
+                )
+                out["mime"].append("video/mp4")
+                out["width"].append(16)
+                out["height"].append(16)
+                out["duration_ms"].append(40 * n)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def decode_video_frames(assets: DataFrame, every_ms: int = 80) -> DataFrame:
+    """REAL end-to-end video frame decode: demux the MP4 sample table,
+    keyframe-seek each target instant, slice the sample bytes out of
+    mdat, and route the bitstream by the track's sample-entry fourcc —
+    'jpeg' (MJPEG) decodes for real via the in-repo T.81 codec; H.26x
+    stays an honest NotImplementedError gate (ffmpeg territory). One
+    Arrow crossing per asset; fan-out to frames happens inside the task
+    so the payload is never duplicated per frame. Emits per-frame pixel
+    stats (min/max over all channels) — the evidence the decode ran."""
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
+    from datawarehouse1_spark.multimodal.mp4 import (
+        demux_mp4,
+        extract_sample,
+        keyframes_near,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("pts_ms", LongType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("px_min", IntegerType(), True),
+            StructField("px_max", IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "frame_idx", "pts_ms", "width", "height",
+                "px_min", "px_max",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(b)
+                track = demux_mp4(payload)[0]
+                if track.codec != "jpeg":
+                    raise NotImplementedError(
+                        f"no built-in bitstream decoder for video codec "
+                        f"{track.codec!r} (H.26x needs ffmpeg)"
+                    )
+                for s in keyframes_near(track, every_ms):
+                    img = decode_jpeg(extract_sample(payload, s))
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(s.index)
+                    rows["pts_ms"].append(s.dts * 1000 // track.timescale)
+                    rows["width"].append(img.shape[1])
+                    rows["height"].append(img.shape[0])
+                    rows["px_min"].append(int(img.min()))
+                    rows["px_max"].append(int(img.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def demux_stats(assets: DataFrame) -> DataFrame:
     """Real container-level video stats via the pure-stdlib demuxer:
     sample count, keyframe count, duration, and total encoded bytes —

@@ -99,6 +99,45 @@ def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demux_stats(synthesize_video_assets(docs))
 
 
+@declared(
+    "q_multimodal_video_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(2 * m AS INTEGER) AS frame_idx,
+           CAST(80 * m AS BIGINT) AS pts_ms,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST((doc_id * 37 + 2 * m * 83) % 256 AS INTEGER) AS px_min,
+           CAST((doc_id * 37 + 2 * m * 83) % 256 AS INTEGER) AS px_max
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil((4 + doc_id % 5) / 2.0) AS BIGINT))) AS m
+      FROM documents WHERE doc_id < 240
+    )
+    """,
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end VIDEO decode, hash-matched: MJPEG-in-MP4
+    containers are synthesized executor-side (each frame a genuine
+    baseline JPEG of a solid-gray image, quality 96 where the quant
+    table's DC step is 1 so the round trip is bit-exact), then Spark
+    must demux the ISO-BMFF sample table, keyframe-seek every 80 ms
+    target, slice the frame out of mdat, and entropy-decode the JPEG
+    bitstream to recover per-frame pixel values — while DuckDB computes
+    the same values from the generating formulas. A bug anywhere in the
+    demux→seek→slice→decode chain is a value mismatch, not a rows-only
+    shrug. H.26x bitstreams remain the one honest gate
+    (binary_columns.py::decode_video_frames raises for them). Bounded
+    to 240 assets: the point is the decode chain, not volume."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        decode_video_frames,
+        synthesize_mjpeg_video_assets,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 240")
+    return decode_video_frames(synthesize_mjpeg_video_assets(docs), every_ms=80)
+
+
 @declared("q_multimodal_frame_sample", oracle=None)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame."""

@@ -54,10 +54,13 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Vintage per query was computed from the CORRECTNESS_r0{1..5}.json
 # artifacts (latest round containing each query).
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) new in r6: composed SemDeDup-style pipeline + the
-    # oracle-matched MP4 demux (displaces the q_agg_cube re-check,
-    # which holds an r4-green verdict on current testdata) --
+    # -- (a) new in r6: composed SemDeDup-style pipeline, the REAL
+    # MJPEG video-decode chain, + the oracle-matched MP4 demux (these
+    # displace the q_agg_cube/q_profile_columns/q_string_funcs
+    # re-checks, all r4-or-fresher-green on current testdata and
+    # re-verified by the pytest parity suite every run) --
     "q_semantic_dedup_corpus",
+    "q_multimodal_video_decode",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
     "q_warc_extract_text",
@@ -85,7 +88,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_rows",
     "q_dup_report",
     "q_incremental_antijoin",
-    "q_string_funcs",
     "q_date_parts",
     "q_text_tokenize_wordcount",
     "q_text_token_count",
@@ -117,6 +119,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # rewritten-query regrades (all hold green verdicts on current
     # testdata) --
     "q_embedding_neardup",
+    "q_string_funcs",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q8_market_share",
     "q_agg_cube",

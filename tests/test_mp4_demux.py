@@ -160,3 +160,68 @@ def test_spark_frame_sample_real(spark):
     counts = Counter(r.asset_id for r in out)
     for aid, payload in local.items():
         assert counts[aid] == len(_near(demux_mp4(payload)[0], 200))
+
+
+def test_mjpeg_noise_frames_decode_to_encoded_pixels():
+    """MJPEG end-to-end on NOISE frames (not the solid-gray oracle
+    case): slicing a sample out of mdat and decoding it must equal
+    decoding the original encoded frame directly — container framing
+    adds or drops nothing."""
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    frames = [
+        encode_jpeg(
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), quality=85
+        )
+        for _ in range(5)
+    ]
+    mp4 = encode_mp4_stub(frames, sample_duration_units=40, codec=b"jpeg",
+                          sync_every=2)
+    (track,) = demux_mp4(mp4)
+    assert track.codec == "jpeg"
+    for s in track.samples:
+        np.testing.assert_array_equal(
+            decode_jpeg(extract_sample(mp4, s)), decode_jpeg(frames[s.index])
+        )
+
+
+def test_solid_gray_q96_roundtrip_bit_exact():
+    """The invariant q_multimodal_video_decode's oracle rests on: at
+    quality 96 libjpeg's scaling makes the DC quant step 1, so a
+    solid-gray block survives encode->decode bit-exact for EVERY value."""
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for v in range(0, 256, 17):
+        img = np.full((16, 16, 3), v, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(img, quality=96)), img
+        )
+
+
+def test_spark_decode_video_frames_real(spark):
+    """decode_video_frames over synthesized MJPEG assets: per-frame
+    pixel stats must equal the generating formula, and the H.26x path
+    must stay an honest gate."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        decode_video_frames,
+        synthesize_mjpeg_video_assets,
+        synthesize_video_assets,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").filter("doc_id < 12")
+    out = decode_video_frames(
+        synthesize_mjpeg_video_assets(docs), every_ms=80
+    ).collect()
+    assert out and {r.asset_id for r in out} == set(range(12))
+    for r in out:
+        v = (r.asset_id * 37 + r.frame_idx * 83) % 256
+        assert (r.px_min, r.px_max) == (v, v)
+        assert (r.width, r.height) == (16, 16)
+        assert r.pts_ms == r.frame_idx * 40
+
+    # non-MJPEG tracks (opaque 'mp4v' payloads) must raise, not fake it
+    gated = decode_video_frames(synthesize_video_assets(docs.limit(1)))
+    with pytest.raises(Exception, match="no built-in bitstream decoder"):
+        gated.collect()

@@ -127,6 +127,7 @@ def test_registry_window_structure():
     # the r6 must-grades: new hash-matched queries + rewritten plans
     for q in (
         "q_semantic_dedup_corpus",
+        "q_multimodal_video_decode",
         "q_multimodal_mp4_demux",
         "q_sketch_log_histogram",
         "q_warc_extract_text",
