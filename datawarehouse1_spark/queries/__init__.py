@@ -25,6 +25,7 @@ _MODULES = (
     "tpch_ext",
     "warc_ext",
     "wds_ext",
+    "curation_r6",
 )
 
 

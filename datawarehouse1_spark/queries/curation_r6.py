@@ -1,0 +1,213 @@
+"""Round-6 curation operators: paragraph-level exact dedup and PII
+redaction — two steps every web-scale training-data pipeline runs
+between raw extraction and tokenization (RefinedWeb/CCNet run exactly
+this paragraph dedup; PII scrubbing is a standard pre-release gate).
+
+Both queries stage their inputs deterministically IN BOTH ENGINES (the
+documents testdata is single-paragraph word salad with no PII, so
+un-staged versions would be vacuous — the same twin-staging convention
+as dedup_ext.py). Reference parity: the reference ETL (etl/app.py) has
+no text-curation surface; this belongs to the LLM-pipeline extension
+inventory (SURVEY.md §2D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+# Boilerplate lines injected as the shared duplicate mass: every web
+# corpus is full of these, and paragraph dedup exists to strip them.
+_BOILER = (
+    "subscribe to our newsletter for updates",
+    "all rights reserved by the site owner",
+    "click here to accept cookies and continue",
+)
+
+
+def _staged_paragraphs(docs: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, para): 3 paragraphs per doc — two doc-text
+    slices around one boilerplate line chosen by doc_id % 3. The same
+    construction is written in SQL inside the oracles below; both
+    engines must see byte-identical paragraphs."""
+    boiler = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    paras = F.array(
+        F.substring("text", 1, 60),
+        boiler,
+        F.substring("text", 61, 60),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).filter(F.trim("para") != "")
+
+
+_PARAS_SQL = """
+      SELECT doc_id, para_idx, para
+      FROM (
+        SELECT doc_id,
+               unnest(ARRAY[
+                 substr(text, 1, 60),
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'subscribe to our newsletter for updates'
+                   WHEN 1 THEN 'all rights reserved by the site owner'
+                   ELSE 'click here to accept cookies and continue'
+                 END,
+                 substr(text, 61, 60)
+               ]) AS para,
+               unnest([0, 1, 2]) AS para_idx
+        FROM documents
+      )
+      WHERE trim(para) <> ''
+"""
+
+
+@declared(
+    "q_dedup_paragraphs",
+    oracle=f"""
+    WITH paras AS ({_PARAS_SQL}),
+    ranked AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (
+               PARTITION BY regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')
+               ORDER BY doc_id, para_idx) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           coalesce(
+             string_agg(para, chr(10) ORDER BY para_idx)
+               FILTER (WHERE rn = 1),
+             '') AS kept_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/CCNet step): split
+    each document into paragraphs, keep only the GLOBALLY first
+    occurrence of each normalized paragraph (ordered by doc_id then
+    position), and reassemble the surviving text per document.
+
+    Scale posture: paragraphs shuffle once, keyed by their normalized
+    form, to elect the keeper (groupBy-min of the (doc_id, para_idx)
+    struct); at 100 TB you'd key by a 128-bit hash of the paragraph so
+    only (hash, doc_id, idx) triples shuffle in the election — the
+    election join back to occurrences then carries the winner ids, and
+    the reassembly groupBy is per-doc (co-partitioned with the explode's
+    source). No driver-side state, no all-pairs step anywhere."""
+    paras = _staged_paragraphs(table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("para")), r"\s+", " ")
+    occ = paras.withColumn("norm", norm)
+    keepers = occ.groupBy("norm").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first_occ")
+    )
+    kept_flag = occ.join(keepers, "norm").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("para_idx") == F.col("first_occ.para_idx")),
+    )
+    return kept_flag.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.count(F.when(F.col("is_kept"), 1)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_kept"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
+# PII staged into the text as closed-form functions of doc_id: an email,
+# a phone, and an IPv4 — the three canonical scrub targets. Patterns are
+# written in the common subset of Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_TEXT_SQL = """
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.com or call 555-0'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+           || '.' || CAST((doc_id * 7) % 250 AS VARCHAR) || '.25 end'
+"""
+
+
+@declared(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(pii_text, '{_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM staged
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pre-release scrub): count and mask
+    emails, phone numbers, and IPv4 addresses with JVM-side regexes.
+    The staged text embeds one of each as closed-form functions of
+    doc_id, so the redaction is non-vacuous at any SF and both engines
+    scrub byte-identical inputs. Narrow per-row projection — no
+    shuffle, no Python; at 100 TB this is pure map-side codegen."""
+    docs = table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" node 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit(".25 end"),
+    )
+    staged = docs.select("doc_id", pii_text.alias("pii_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pii_text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count("pii_text", F.lit(_IPV4_RE)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )

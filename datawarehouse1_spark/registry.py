@@ -61,6 +61,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # re-verified by the pytest parity suite every run) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
+    "q_dedup_paragraphs",
+    "q_text_pii_redact",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
     "q_warc_extract_text",
@@ -83,12 +85,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_count_distinct",
     "q_agg_approx_distinct",
     "q_agg_having",
-    "q_topk_orderby_limit",
     "q_window_range_frame",
     "q_dedup_rows",
     "q_dup_report",
     "q_incremental_antijoin",
-    "q_date_parts",
     "q_text_tokenize_wordcount",
     "q_text_token_count",
     "q_text_quality_score",
@@ -120,6 +120,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # testdata) --
     "q_embedding_neardup",
     "q_string_funcs",
+    "q_date_parts",
+    "q_topk_orderby_limit",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q8_market_share",
     "q_agg_cube",

@@ -128,6 +128,8 @@ def test_registry_window_structure():
     for q in (
         "q_semantic_dedup_corpus",
         "q_multimodal_video_decode",
+        "q_dedup_paragraphs",
+        "q_text_pii_redact",
         "q_multimodal_mp4_demux",
         "q_sketch_log_histogram",
         "q_warc_extract_text",
