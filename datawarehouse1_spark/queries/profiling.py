@@ -193,3 +193,80 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_lines"), F.desc("key_revenue"), F.asc("l_orderkey"))
         .limit(20)
     )
+
+
+@declared(
+    "q_expectations_orders",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(o_custkey) AS nn_custkey,
+             count(o_orderdate) AS nn_orderdate,
+             count(DISTINCT o_orderkey) AS d_orderkey,
+             count(o_orderkey) AS nn_orderkey,
+             count(CASE WHEN o_totalprice BETWEEN 0 AND 500000 THEN 1 END)
+               AS p_totalprice,
+             count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)
+               AS p_status,
+             count(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                        THEN 1 END) AS p_priority
+      FROM orders
+    )
+    SELECT 'complete_o_custkey' AS constraint, 'o_custkey' AS "column",
+           'completeness' AS kind, n_rows, nn_custkey AS n_passed,
+           CASE WHEN nn_custkey = n_rows THEN 'pass' ELSE 'fail' END AS status
+    FROM m
+    UNION ALL
+    SELECT 'complete_o_orderdate', 'o_orderdate', 'completeness',
+           n_rows, nn_orderdate,
+           CASE WHEN nn_orderdate = n_rows THEN 'pass' ELSE 'fail' END
+    FROM m
+    UNION ALL
+    SELECT 'unique_o_orderkey', 'o_orderkey', 'uniqueness',
+           n_rows, d_orderkey,
+           CASE WHEN nn_orderkey = n_rows AND d_orderkey = n_rows
+                THEN 'pass' ELSE 'fail' END
+    FROM m
+    UNION ALL
+    SELECT 'range_o_totalprice', 'o_totalprice', 'range',
+           n_rows, p_totalprice,
+           CASE WHEN p_totalprice = n_rows THEN 'pass' ELSE 'fail' END
+    FROM m
+    UNION ALL
+    SELECT 'in_set_o_orderstatus', 'o_orderstatus', 'set_membership',
+           n_rows, p_status,
+           CASE WHEN p_status = n_rows THEN 'pass' ELSE 'fail' END
+    FROM m
+    UNION ALL
+    SELECT 'matches_o_orderpriority', 'o_orderpriority', 'pattern',
+           n_rows, p_priority,
+           CASE WHEN p_priority = n_rows THEN 'pass' ELSE 'fail' END
+    FROM m
+    """,
+)
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative validation suite over orders — the
+    scalable re-expression of the reference's Postgres DDL contract
+    surface (init.sql NOT NULL / PRIMARY KEY / CHECK semantics) as ONE
+    aggregate pass + an inline() unpivot (operators/expectations.py).
+    The o_orderpriority pattern check fails BY DESIGN (priorities 4/5
+    exist), so the report's fail path is non-vacuous and the driver
+    hash pins both verdict branches."""
+    from datawarehouse1_spark.operators.expectations import (
+        expect_complete,
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_unique,
+        run_expectations,
+    )
+
+    suite = [
+        expect_complete("o_custkey"),
+        expect_complete("o_orderdate"),
+        expect_unique("o_orderkey"),
+        expect_in_range("o_totalprice", 0, 500000),
+        expect_in_set("o_orderstatus", ("O", "F", "P")),
+        expect_matches("o_orderpriority", "^[1-3]-"),
+    ]
+    return run_expectations(table(spark, sf_dir, "orders"), suite)

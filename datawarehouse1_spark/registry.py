@@ -63,6 +63,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
     "q_text_pii_redact",
+    "q_expectations_orders",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
     "q_warc_extract_text",
@@ -85,7 +86,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_count_distinct",
     "q_agg_approx_distinct",
     "q_agg_having",
-    "q_window_range_frame",
     "q_dedup_rows",
     "q_dup_report",
     "q_incremental_antijoin",
@@ -120,6 +120,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # testdata) --
     "q_embedding_neardup",
     "q_string_funcs",
+    "q_window_range_frame",
     "q_date_parts",
     "q_topk_orderby_limit",
     "q_tpch_q1_pricing_summary",

@@ -1,0 +1,96 @@
+"""Deequ-style expectations engine (operators/expectations.py): verdict
+correctness on a table with known violations, the approx scale path,
+and the one-pass plan shape."""
+
+from __future__ import annotations
+
+
+def _suite():
+    from datawarehouse1_spark.operators.expectations import (
+        expect_complete,
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_unique,
+    )
+
+    return [
+        expect_complete("k"),
+        expect_unique("k"),
+        expect_in_range("v", 0, 10),
+        expect_in_set("s", ("a", "b")),
+        expect_matches("code", "^X-[0-9]+$"),
+    ]
+
+
+def _df(spark):
+    rows = [
+        (1, 5, "a", "X-1"),
+        (2, 11, "b", "X-2"),     # v out of range
+        (2, None, "c", "Y-3"),   # duplicate k, null v, s not in set, bad code
+        (None, 3, "a", "X-4"),   # null k
+    ]
+    return spark.createDataFrame(rows, "k int, v int, s string, code string")
+
+
+def test_verdicts_on_known_violations(spark):
+    from datawarehouse1_spark.operators.expectations import run_expectations
+
+    out = {
+        r["constraint"]: r.asDict()
+        for r in run_expectations(_df(spark), _suite()).collect()
+    }
+    assert set(out) == {
+        "complete_k", "unique_k", "range_v", "in_set_s", "matches_code",
+    }
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert (out["complete_k"]["n_passed"], out["complete_k"]["status"]) == (3, "fail")
+    # k has 3 non-null rows over 2 distinct values -> not a key
+    assert (out["unique_k"]["n_passed"], out["unique_k"]["status"]) == (2, "fail")
+    # NULL v must FAIL the range check, not count as unknown
+    assert (out["range_v"]["n_passed"], out["range_v"]["status"]) == (2, "fail")
+    assert (out["in_set_s"]["n_passed"], out["in_set_s"]["status"]) == (3, "fail")
+    assert (out["matches_code"]["n_passed"], out["matches_code"]["status"]) == (
+        3, "fail",
+    )
+
+
+def test_all_pass_on_clean_table(spark):
+    from datawarehouse1_spark.operators.expectations import run_expectations
+
+    clean = spark.createDataFrame(
+        [(1, 5, "a", "X-1"), (2, 7, "b", "X-2")],
+        "k int, v int, s string, code string",
+    )
+    out = run_expectations(clean, _suite()).collect()
+    assert len(out) == 5 and all(r["status"] == "pass" for r in out)
+    assert all(r["n_passed"] == 2 for r in out)
+
+
+def test_approx_uniqueness_scale_path(spark):
+    from datawarehouse1_spark.operators.expectations import (
+        expect_unique,
+        run_expectations,
+    )
+
+    df = spark.range(500).selectExpr("id AS k")
+    (r,) = run_expectations(df, [expect_unique("k")], approx=True).collect()
+    # HLL estimate: within its published ~2% error, and typed long
+    assert abs(r["n_passed"] - 500) <= 25
+    assert isinstance(r["n_passed"], int)
+
+
+def test_one_pass_plan_shape(spark):
+    """The whole suite must compile to ONE aggregate subtree: a single
+    scan, no unions/joins. Exact uniqueness is allowed its Expand; the
+    generate (inline) sits above the final agg."""
+    from datawarehouse1_spark.operators.expectations import run_expectations
+
+    plan = (
+        run_expectations(_df(spark), _suite())
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LocalRelation") + plan.count("Relation") <= 1
+    assert "Union" not in plan and "Join" not in plan
