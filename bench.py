@@ -95,6 +95,36 @@ def main() -> None:
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
                 print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
 
+    # LLM-pipeline battery: the dedup/ANN/curation operators are graded
+    # as first-class components, so their plan regressions need the same
+    # round-over-round visibility as TPC-H (the r6 minhash fix — 62 s →
+    # 2.8 s from the shingle zip_with rewrite + signature checkpoint —
+    # was found exactly this way). Warmup + 1 timed run each; kept OUT
+    # of the headline total. SPARK_GRAFT_BENCH_LLM=0 skips.
+    LLM = (
+        "q_dedup_minhash_lsh",
+        "q_dedup_simhash_neardup",
+        "q_semantic_dedup_corpus",
+        "q_dedup_paragraphs",
+        "q_similarity_lsh_topk",
+        "q_similarity_ivf_topk",
+        "q_text_pii_redact",
+        "q_text_bpe_token_count",
+        "q_curation_pack_chunks",
+        "q_llm_pipeline_packed",
+        "q_sample_hash_mixture",
+    )
+    llm: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":
+        for name in LLM:
+            try:
+                llm[name] = round(
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1), 4
+                )
+            except Exception as ex:  # noqa: BLE001 - record and keep benching
+                errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+                print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -106,6 +136,9 @@ def main() -> None:
     if tpch:
         out["tpch"] = tpch
         out["tpch_total"] = round(sum(tpch.values()), 4)
+    if llm:
+        out["llm"] = llm
+        out["llm_total"] = round(sum(llm.values()), 4)
     if errors:
         out["errors"] = errors
         out["incomplete"] = True

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import word_ngrams
 from datawarehouse1_spark.functions.text_tokens import BPE_ISH_PATTERN
 from datawarehouse1_spark.registry import declared
 
@@ -275,24 +276,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     docs = base.select("doc_id", toks.alias("toks"))
-    n = F.size("toks")
-    # sequence() flips direction when start > stop, so guard the <3-token
-    # case explicitly to get an empty shingle set (matches the oracle's
-    # range(1, greatest(len-2,0)+1)).
-    shingles = F.array_distinct(
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    # zip_with chain (functions/arrays.py::word_ngrams): same strings
+    # as the oracle's range()+concat_ws, empty below 3 tokens (the slice
+    # length clamps to 0, matching range(1, greatest(len-2,0)+1)).
+    shingles = F.array_distinct(word_ngrams(F.col("toks"), 3))
     sh = docs.select("doc_id", shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )

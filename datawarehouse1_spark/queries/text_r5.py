@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import word_ngrams
 from datawarehouse1_spark.registry import declared
 
 # Shared tokenizer (Spark + DuckDB twins must stay in lockstep).
@@ -55,14 +56,7 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(_tokens().alias("t")).filter(F.size("t") >= 2)
     bigrams = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i), F.element_at("t", i + 1)
-                ),
-            )
-        ).alias("bigram")
+        F.explode(word_ngrams(F.col("t"), 2)).alias("bigram")
     )
     return (
         bigrams.groupBy("bigram")
@@ -168,15 +162,7 @@ def q_text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at("t", i + j) for j in range(3)],
-                    )
-                ),
-            )
+            F.transform(word_ngrams(F.col("t"), 3), F.md5)
         ).alias("sh"),
     )
     bench = shingles.filter(F.col("doc_id") % 97 == 0).distinct()
@@ -295,12 +281,7 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units so engines can't diverge on float rendering."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("t", i), F.element_at("t", i + 1)
-        ),
-    )
+    bg = word_ngrams(F.col("t"), 2)
     grams = toks.withColumn("bg", bg)
 
     def dup_frac_e6(col):
