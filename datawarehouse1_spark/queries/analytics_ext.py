@@ -150,3 +150,87 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE walk(doc_id, anc, depth) AS (
+      SELECT doc_id, doc_id AS anc, 0 AS depth
+      FROM documents WHERE doc_id < 127
+      UNION ALL
+      SELECT doc_id, CAST(floor((anc - 1) / 2.0) AS BIGINT) AS anc, depth + 1
+      FROM walk WHERE anc > 0
+    )
+    SELECT doc_id,
+           MAX(depth) AS depth,
+           MIN(anc) AS root_id,
+           COUNT(*) AS n_ancestors
+    FROM walk
+    GROUP BY doc_id
+"""
+
+
+@declared("q_hierarchy_sql_recursive", oracle=_RECURSIVE_TREE_SQL)
+def q_hierarchy_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE SQL recursion (WITH RECURSIVE, new in Spark 4): walk the
+    implicit binary-tree ancestry of doc ids (parent = floor((id-1)/2))
+    to the root and report depth / root / ancestor count per doc. The
+    IDENTICAL query text runs on both engines — Spark's recursive-CTE
+    executor vs DuckDB's — so this certifies the recursion semantics
+    themselves, complementing q_hierarchy_recursive_cte which certifies
+    the DataFrame-loop re-expression of iterative reachability. Bounded
+    to 127 docs (7 levels); each iteration is a narrow self-union."""
+    from datawarehouse1_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+@declared(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             CAST(COUNT(DISTINCT o.o_custkey) AS DOUBLE) AS n_customers
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, metric, value FROM (
+      SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM wide
+      UNION ALL
+      SELECT n_name, 'revenue', revenue FROM wide
+      UNION ALL
+      SELECT n_name, 'n_customers', n_customers FROM wide
+    )
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of q_pivot_status_by_priority): a
+    wide per-nation metrics row becomes (nation, metric, value) long
+    form — the shape metric stores and BI exports want. Uses the native
+    DataFrame unpivot (Expand under the hood: one pass, no self-union);
+    the oracle spells the same melt as UNION ALL. Money goes through
+    the exact-decimal sum before the double projection, per the
+    determinism contract."""
+    from datawarehouse1_spark.functions.money import money_sum
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+            F.count_distinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_orders", "revenue", "n_customers"], "metric", "value"
+    )

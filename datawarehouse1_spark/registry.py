@@ -130,6 +130,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_pandas_udf_scalar",
     # -- new in r6 behind the window (hash-checked by the pytest parity
     # suite every run; fronts the r7 graded window) --
+    "q_hierarchy_sql_recursive",
+    "q_unpivot_metrics",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
