@@ -389,7 +389,14 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                     out["duration_ms"].append(50)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    # Python codec work is the bottleneck, not data volume: run the
+    # synthesis/decode chain at full parallelism even when the doc scan
+    # delivered 1-2 row groups (no-op at production split counts)
+    return widen_if_narrow(docs.select("doc_id")).mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
 
 
 def synthesize_video_assets(docs: DataFrame) -> DataFrame:
@@ -428,7 +435,14 @@ def synthesize_video_assets(docs: DataFrame) -> DataFrame:
                 out["duration_ms"].append(40 * n)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    # Python codec work is the bottleneck, not data volume: run the
+    # synthesis/decode chain at full parallelism even when the doc scan
+    # delivered 1-2 row groups (no-op at production split counts)
+    return widen_if_narrow(docs.select("doc_id")).mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
 
 
 def synthesize_mjpeg_video_assets(docs: DataFrame) -> DataFrame:
@@ -480,7 +494,14 @@ def synthesize_mjpeg_video_assets(docs: DataFrame) -> DataFrame:
                 out["duration_ms"].append(40 * n)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    # Python codec work is the bottleneck, not data volume: run the
+    # synthesis/decode chain at full parallelism even when the doc scan
+    # delivered 1-2 row groups (no-op at production split counts)
+    return widen_if_narrow(docs.select("doc_id")).mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
 
 
 def decode_video_frames(assets: DataFrame, every_ms: int = 80) -> DataFrame:

@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datawarehouse1_spark.operators.scale import widen_if_narrow
+
 MERSENNE_P = (1 << 61) - 1
 DEFAULT_SEED = 42
 
@@ -212,8 +214,10 @@ def minhash_lsh_pairs(
         )
     r = num_hashes // bands
 
-    docs = df.select(
-        F.col(id_col).alias("_id"),
+    # widen BEFORE the shingle/signature compute: the fold is the CPU
+    # bottleneck, and a narrow scan (few row groups) would serialize it
+    docs = widen_if_narrow(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
         hashed_shingles(shingles(tokens(text_col), shingle_n)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     signed = docs.withColumn(
@@ -508,8 +512,10 @@ def _simhash_candidate_pairs(
             f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
             "(pigeonhole needs at least one guaranteed-matching block)"
         )
-    fp = df.select(
-        F.col(id_col).alias("_id"),
+    fp = widen_if_narrow(
+        df.select(F.col(id_col).alias("_id2"), F.col(text_col))
+    ).select(
+        F.col("_id2").alias("_id"),
         simhash(tokens(text_col), seed=seed).alias("_fp"),
     )
     # slice the 63-bit fingerprint into n_blocks contiguous block values

