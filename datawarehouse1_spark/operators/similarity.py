@@ -45,6 +45,40 @@ def lsh_signature(col: str | Column, n_planes: int = 8, seed: int = DEFAULT_SEED
     return _sig(F.col(col) if isinstance(col, str) else col)
 
 
+def lsh_signatures(
+    col: str | Column,
+    n_planes: int,
+    n_tables: int,
+    seed: int = DEFAULT_SEED,
+) -> Column:
+    """ALL tables' bucket ids in one Arrow pass: one
+    (batch×dim)@(dim×planes·tables) matmul per batch, returned as an
+    array<string> indexed by table. Table t's bits are identical to
+    lsh_signature(col, n_planes, seed + t) — same hyperplane RNG per
+    table — so multi-table callers get the same buckets for 1/L the
+    Arrow transfers and decode work."""
+
+    @F.pandas_udf("array<string>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        planes = np.concatenate(
+            [_hyperplanes(mat.shape[1], n_planes, seed + t) for t in range(n_tables)],
+            axis=1,
+        )
+        bits = mat @ planes > 0
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    "".join("1" if b else "0" for b in row[t * n_planes:(t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return _sigs(F.col(col) if isinstance(col, str) else col)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,22 +96,25 @@ def lsh_topk(
     Scale shape: per table, one bucket equi-join keyed on a short bit
     string; vectors shuffle once per table at most, never O(n²)."""
 
-    def with_sig(df: DataFrame, t: int) -> DataFrame:
-        return df.withColumn("bucket", lsh_signature(vec_col, n_planes, seed + t))
+    # all L tables' signatures in ONE Arrow pass per side, exploded to
+    # (table, bucket) rows and matched in ONE equi-join — the per-table
+    # union recomputed the corpus pandas_udf L times (same buckets:
+    # lsh_signatures pins table t == lsh_signature with seed + t)
+    def with_sigs(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                lsh_signatures(vec_col, n_planes, n_tables, seed)
+            ).alias("tbl", "bucket"),
+        )
 
-    cand = None
-    for t in range(n_tables):
-        c = with_sig(corpus, t).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
-        )
-        q = with_sig(queries, t).select(F.col(id_col).alias("query_id"), "bucket")
-        pairs_t = (
-            c.join(F.broadcast(q), "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    cand = (
+        with_sigs(corpus, "neighbor_id")
+        .join(F.broadcast(with_sigs(queries, "query_id")), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
 
     scored = (
         cand.join(
