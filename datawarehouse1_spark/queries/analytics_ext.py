@@ -234,3 +234,50 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_name"], ["n_orders", "revenue", "n_customers"], "metric", "value"
     )
+
+
+@declared(
+    "q_events_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_days,
+             SUM(n_events) AS s,
+             SUM(n_events * n_events) AS q
+      FROM daily
+    )
+    SELECT day, n_events,
+           (n_days * n_events - s) * (n_days * n_events - s)
+             > 4 * (n_days * q - s * s) AS is_anomaly
+    FROM daily, tot
+    """,
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags (the ops dashboard check): a day is
+    anomalous when its count deviates from the mean by more than two
+    population standard deviations. The 2σ test is algebraically
+    rearranged to PURE INTEGER form — (N·n_d − S)² > 4·(N·Q − S²) with
+    S=Σn, Q=Σn² — so both engines compare exact integers and no
+    floating-point variance accumulation order can diverge. Stats come
+    from one single-row aggregate broadcast-joined back to the daily
+    counts (the scalar-subquery shape); at 100 TB only per-day counts
+    shuffle."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_events",
+        (dev * dev > 4 * var_n2).alias("is_anomaly"),
+    )

@@ -132,6 +132,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # suite every run; fronts the r7 graded window) --
     "q_hierarchy_sql_recursive",
     "q_unpivot_metrics",
+    "q_events_anomaly_days",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",

@@ -122,6 +122,22 @@ EXCHANGE_BUDGET = {
     "q_embedding_quantize_error": 0,  # pure higher-order exprs, narrow
     "q_embedding_norm_stats": 1,
     "q_llm_pipeline_packed": 2,  # fp window + lang pack sort
+    # r6 audit of the new battery (sf0.001, local[8]):
+    "q_dedup_paragraphs": 2,  # keeper election agg + per-doc reassembly
+    "q_text_pii_redact": 0,  # narrow regex projection, pure codegen
+    "q_expectations_orders": 2,  # ONE scan: count_distinct 2-level agg
+    "q_unpivot_metrics": 2,  # custkey join + distinct-count agg; melt is narrow
+    # daily agg appears twice statically (stats branch + output branch
+    # share the subtree; exchange reuse collapses it) + 1-row stats agg
+    "q_events_anomaly_days": 3,
+    "q_hierarchy_sql_recursive": 1,  # recursion union + final per-doc agg
+    "q_sketch_log_histogram": 1,
+    "q_sketch_count_min": 1,
+    "q_warc_extract_text": 1,
+    # widen_if_narrow round-robin before the Python codec work (fires
+    # only locally where the scan has fewer splits than cores)
+    "q_multimodal_video_decode": 1,
+    "q_multimodal_mp4_demux": 1,
 }
 
 
