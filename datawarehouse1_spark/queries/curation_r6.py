@@ -211,3 +211,74 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("pii_text", F.lit(_IPV4_RE)).alias("n_ips"),
         redacted.alias("redacted"),
     )
+
+
+@declared(
+    "q_text_bigram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+               AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                            i -> concat_ws(' ', t[i], t[i+1])) AS bgs
+      FROM toks WHERE len(t) >= 2
+    ),
+    exploded AS (
+      SELECT doc_id, len(bgs) AS n_bigrams, unnest(bgs) AS bg FROM grams
+    ),
+    vocab AS (
+      SELECT bg FROM exploded GROUP BY bg HAVING COUNT(*) >= 3
+    )
+    SELECT e.doc_id,
+           CAST(e.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(count(*) FILTER (WHERE v.bg IS NULL) AS BIGINT) AS n_novel,
+           CAST(floor(count(*) FILTER (WHERE v.bg IS NULL)
+                      * 1000000.0 / e.n_bigrams) AS BIGINT) AS novelty_e6
+    FROM exploded e LEFT JOIN vocab v ON e.bg = v.bg
+    GROUP BY e.doc_id, e.n_bigrams
+    """,
+)
+def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-novelty quality signal (LM-lite perplexity proxy): the
+    fraction of a document's bigrams that fall outside the corpus's
+    frequent-bigram vocabulary (count >= 3). High novelty flags
+    gibberish/OCR noise exactly the way an n-gram LM's high perplexity
+    would — but the statistic stays in INTEGER micro-units (count
+    ratio, floored), so no cross-engine float accumulation can diverge.
+
+    Scale shape: one bigram-count aggregate builds the vocab (only
+    (bigram, partial count) pairs shuffle); per-doc novelty is an
+    explode → broadcast-friendly anti-lookup → per-doc count. The
+    exploded rows carry (doc_id, bigram) — never document bodies."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    from datawarehouse1_spark.functions.arrays import word_ngrams
+
+    grams = d.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= 2
+    ).select("doc_id", word_ngrams(F.col("t"), 2).alias("bgs"))
+    exploded = grams.select(
+        "doc_id", F.size("bgs").alias("n_bigrams"), F.explode("bgs").alias("bg")
+    )
+    vocab = (
+        exploded.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("bg")
+    )
+    flagged = exploded.join(vocab.withColumn("_known", F.lit(1)), "bg", "left")
+    return flagged.groupBy("doc_id", "n_bigrams").agg(
+        F.count(F.when(F.col("_known").isNull(), 1)).alias("n_novel")
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_novel").alias("n_novel"),
+        F.floor(F.col("n_novel") * 1000000.0 / F.col("n_bigrams"))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
