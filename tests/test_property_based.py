@@ -369,3 +369,24 @@ def test_decoders_never_return_garbage_on_fuzz(data):
             assert isinstance(out, list)
         else:
             assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+
+
+@given(toks=st.lists(WORD, min_size=0, max_size=10), n=st.integers(2, 4))
+@SETTINGS
+def test_word_ngrams_matches_naive_reference(spark, toks, n):
+    """functions/arrays.py::word_ngrams (the zip_with-chain rewrite every
+    shingle/bigram path now rides on) must equal the naive Python
+    n-gram construction for any token list, including len < n."""
+    import pyspark.sql.functions as F
+
+    from datawarehouse1_spark.functions.arrays import word_ngrams
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    (got,) = df.select(word_ngrams(F.col("t"), n).alias("g")).collect()
+    expected = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+    assert list(got.g) == expected
