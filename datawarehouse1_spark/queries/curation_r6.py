@@ -400,3 +400,79 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@declared(
+    "q_bpe_apply_encode",
+    oracle=_BPE_ORACLE.format(
+        iters=",\n".join(_BPE_ITER.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    ).replace(
+        """    SELECT * FROM (
+      SELECT 1 AS rank, l, r, n FROM b1
+      UNION ALL SELECT 2, l, r, n FROM b2
+      UNION ALL SELECT 3, l, r, n FROM b3
+    )""",
+        r"""    , vocab AS (
+      SELECT replace(replace(repr, '<', ''), '>', '') AS word,
+             len(string_split(substr(repr, 2, length(repr) - 2), '><'))
+               AS ntok
+      FROM r3
+    ),
+    doc_words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.ntok) AS BIGINT) AS n_bpe_tokens
+    FROM doc_words d JOIN vocab v ON v.word = d.word
+    GROUP BY d.doc_id""",
+    ),
+)
+def q_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the trained tokenizer: encode every document with
+    the 3 learned BPE merges and report its post-merge token count —
+    the number a packing/budgeting pipeline actually consumes. The
+    vocabulary (word → merged symbol count) is computed once by the
+    same training loop and broadcast back onto the exploded corpus
+    words; the oracle replays the identical rounds and joins the same
+    way (a word's unmerged spelling is recovered by stripping the
+    symbol separators)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    words = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.regexp_replace("word", "(.)", "<$1>").alias("repr"),
+        )
+    )
+    for _ in (1, 2, 3):
+        words = words.localCheckpoint(eager=True)
+        pairs = _bpe_pairs(words)
+        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1)
+        pattern = F.concat(F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">"))
+        merged = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", F.replace("repr", pattern, merged).alias("repr")
+        )
+    vocab = words.select(
+        "word",
+        F.size(
+            F.split(F.col("repr").substr(F.lit(2), F.length("repr") - 2), "><")
+        ).alias("ntok"),
+    )
+    doc_words = d.select("doc_id", F.explode(toks).alias("word"))
+    return (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_bpe_tokens"),
+        )
+    )

@@ -135,6 +135,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_anomaly_days",
     "q_text_bigram_novelty",
     "q_bpe_learn_merges",
+    "q_bpe_apply_encode",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
