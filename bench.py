@@ -113,6 +113,8 @@ def main() -> None:
         "q_curation_pack_chunks",
         "q_llm_pipeline_packed",
         "q_sample_hash_mixture",
+        "q_text_bigram_novelty",
+        "q_bpe_learn_merges",
     )
     llm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":

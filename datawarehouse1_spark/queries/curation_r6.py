@@ -1,14 +1,22 @@
-"""Round-6 curation operators: paragraph-level exact dedup and PII
-redaction — two steps every web-scale training-data pipeline runs
-between raw extraction and tokenization (RefinedWeb/CCNet run exactly
-this paragraph dedup; PII scrubbing is a standard pre-release gate).
+"""Round-6 curation operators — the steps a web-scale training-data
+pipeline runs between raw extraction and tokenization:
 
-Both queries stage their inputs deterministically IN BOTH ENGINES (the
-documents testdata is single-paragraph word salad with no PII, so
-un-staged versions would be vacuous — the same twin-staging convention
-as dedup_ext.py). Reference parity: the reference ETL (etl/app.py) has
-no text-curation surface; this belongs to the LLM-pipeline extension
-inventory (SURVEY.md §2D).
+  q_dedup_paragraphs    paragraph-level first-occurrence dedup
+                        (the RefinedWeb/CCNet step) + per-doc reassembly
+  q_text_pii_redact     email/phone/IPv4 detection + masking
+  q_text_bigram_novelty LM-lite quality gate: fraction of bigrams
+                        outside the corpus frequent-bigram vocabulary
+  q_bpe_learn_merges    distributed BPE tokenizer TRAINING (first 3
+                        merge rounds, Sennrich et al. 2016)
+  q_bpe_apply_encode    the trained tokenizer APPLIED: per-doc
+                        post-merge token counts
+
+The dedup/PII queries stage their inputs deterministically IN BOTH
+ENGINES (the documents testdata is single-paragraph word salad with no
+PII, so un-staged versions would be vacuous — the same twin-staging
+convention as dedup_ext.py). Reference parity: the reference ETL
+(etl/app.py) has no text-curation surface; this belongs to the
+LLM-pipeline extension inventory (SURVEY.md §2D).
 """
 
 from __future__ import annotations
