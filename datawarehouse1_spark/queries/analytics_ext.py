@@ -281,3 +281,58 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (dev * dev > 4 * var_n2).alias("is_anomaly"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, top.c_name, top.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c.c_name, CAST(c.c_acctbal AS DOUBLE) AS bal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey
+      LIMIT 2
+    ) AS top
+"""
+
+
+@declared("q_lateral_topn_per_nation", oracle=_LATERAL_SQL)
+def q_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) — the
+    IDENTICAL query text on Spark's lateral-join planner and DuckDB.
+    Spark decorrelates this into the same window-rank shape as
+    q_window_rank_topn; this query certifies the SQL surface itself, as
+    with q_hierarchy_sql_recursive."""
+    from datawarehouse1_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_SET_ALL_SQL = """
+    SELECT o_orderpriority, 'both_months' AS tag FROM (
+      SELECT o_orderpriority FROM orders WHERE month(o_orderdate) = 1
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE month(o_orderdate) = 2
+    )
+    UNION ALL
+    SELECT o_orderpriority, 'jan_surplus' AS tag FROM (
+      SELECT o_orderpriority FROM orders WHERE month(o_orderdate) = 1
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE month(o_orderdate) = 2
+    )
+"""
+
+
+@declared("q_set_ops_all", oracle=_SET_ALL_SQL)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-preserving overlap and surplus of order priorities
+    between two months — identical SQL text on both engines,
+    complementing the DISTINCT-semantics q_set_intersect/q_set_except.
+    Spark plans these as aggregate+generate (count-min replication),
+    one shuffle each."""
+    from datawarehouse1_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SET_ALL_SQL)
