@@ -83,19 +83,27 @@ def expect_matches(column: str, pattern: str) -> Expectation:
 
 
 def run_expectations(
-    df: DataFrame, expectations: list[Expectation], approx: bool = False
+    df: DataFrame,
+    expectations: list[Expectation],
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Evaluate the whole suite in one aggregate pass and unpivot to a
     report: (constraint, column, kind, n_rows, n_passed, status).
     For row-level checks n_passed counts conforming rows; for
     uniqueness n_passed is the distinct-value count, and the check
     passes iff the column is fully non-null with n_distinct == n_rows
-    (the PRIMARY KEY contract)."""
+    (the PRIMARY KEY contract). With approx=True the HLL estimate
+    carries ±rsd relative error, so the verdict allows a 3·rsd band
+    around n_rows — a near-key with few duplicates can pass (inherent
+    to sketched uniqueness; the exact path is the authoritative one),
+    but a genuinely unique key no longer FAILS just because the
+    estimate is off by its published error."""
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for e in expectations:
         if e.unique:
             distinct = (
-                F.approx_count_distinct(e.column).cast("long")
+                F.approx_count_distinct(e.column, rsd).cast("long")
                 if approx
                 else F.count_distinct(F.col(e.column))
             )
@@ -112,9 +120,14 @@ def run_expectations(
     def report_struct(e: Expectation) -> Column:
         if e.unique:
             n_passed = F.col(f"__d_{e.name}")
-            ok = (F.col(f"__nn_{e.name}") == F.col("__n_rows")) & (
-                F.col(f"__d_{e.name}") == F.col("__n_rows")
-            )
+            if approx:
+                tol = F.ceil(F.col("__n_rows") * (3.0 * rsd))
+                distinct_ok = (
+                    F.abs(F.col(f"__d_{e.name}") - F.col("__n_rows")) <= tol
+                )
+            else:
+                distinct_ok = F.col(f"__d_{e.name}") == F.col("__n_rows")
+            ok = (F.col(f"__nn_{e.name}") == F.col("__n_rows")) & distinct_ok
         else:
             n_passed = F.col(f"__p_{e.name}")
             ok = n_passed == F.col("__n_rows")

@@ -310,7 +310,7 @@ def compact_table(
     return n_files
 
 
-def widen_if_narrow(df: DataFrame, min_rows_per_task: int = 0) -> DataFrame:
+def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Raise a CPU-bound narrow stage to full parallelism when the scan
     delivered fewer input splits than the cluster has cores.
 

@@ -246,12 +246,14 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT COUNT(*) AS n_days,
              SUM(n_events) AS s,
-             SUM(n_events * n_events) AS q
+             SUM(CAST(n_events AS HUGEINT) * n_events) AS q
       FROM daily
     )
     SELECT day, n_events,
-           (n_days * n_events - s) * (n_days * n_events - s)
-             > 4 * (n_days * q - s * s) AS is_anomaly
+           CAST(n_days * n_events - s AS HUGEINT)
+             * CAST(n_days * n_events - s AS HUGEINT)
+             > 4 * (CAST(n_days AS HUGEINT) * q
+                    - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anomaly
     FROM daily, tot
     """,
 )
@@ -259,12 +261,17 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume anomaly flags (the ops dashboard check): a day is
     anomalous when its count deviates from the mean by more than two
     population standard deviations. The 2σ test is algebraically
-    rearranged to PURE INTEGER form — (N·n_d − S)² > 4·(N·Q − S²) with
+    rearranged to EXACT INTEGER form — (N·n_d − S)² > 4·(N·Q − S²) with
     S=Σn, Q=Σn² — so both engines compare exact integers and no
-    floating-point variance accumulation order can diverge. Stats come
-    from one single-row aggregate broadcast-joined back to the daily
-    counts (the scalar-subquery shape); at 100 TB only per-day counts
+    floating-point variance accumulation order can diverge. The wide
+    products run in DECIMAL(38,0) (Spark) vs HUGEINT (DuckDB): int64
+    would overflow N·Q once daily counts pass ~10⁷ over multi-year
+    spans, and Spark wraps silently where DuckDB raises — 128-bit
+    integers keep the test exact to ~10¹² events/day. Stats come from
+    one single-row aggregate broadcast-joined back to the daily counts
+    (the scalar-subquery shape); at 100 TB only per-day counts
     shuffle."""
+    D = "decimal(20,0)"
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -272,15 +279,19 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+        F.sum(F.col("n_events").cast(D) * F.col("n_events")).alias("q"),
     )
-    dev = F.col("n_days") * F.col("n_events") - F.col("s")
-    var_n2 = F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    dev = (F.col("n_days") * F.col("n_events") - F.col("s")).cast(D)
+    var_n2 = (
+        F.col("n_days").cast(D) * F.col("q")
+        - F.col("s").cast(D) * F.col("s").cast(D)
+    )
     return daily.crossJoin(F.broadcast(tot)).select(
         "day",
         "n_events",
         (dev * dev > 4 * var_n2).alias("is_anomaly"),
     )
+
 
 
 _LATERAL_SQL = """

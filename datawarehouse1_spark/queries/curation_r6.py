@@ -311,6 +311,37 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
     )
 
 
+def _learn_merges(words: DataFrame, rounds: int = 3):
+    """The shared BPE training loop (used by both the learn and apply
+    queries so merge semantics and tie-breaking can never diverge):
+    per round, checkpoint the vocabulary-sized word table (keeps
+    lineage linear), take the weighted-count argmax pair with
+    lexicographic tie-break, and apply the merge corpus-wide via a
+    broadcast single-row join. Extra columns on `words` (e.g. the raw
+    word) ride along untouched. Returns (words_after, [merge rows])."""
+    merges = []
+    for i in range(1, rounds + 1):
+        words = words.localCheckpoint(eager=True)
+        best = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        merges.append(best.select(F.lit(i).alias("rank"), "l", "r", "n"))
+        pattern = F.concat(
+            F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">")
+        )
+        merged = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
+        keep = [
+            F.replace("repr", pattern, merged).alias("repr")
+            if c == "repr"
+            else F.col(c)
+            for c in words.columns
+        ]
+        words = words.crossJoin(F.broadcast(best)).select(*keep)
+    return words, merges
+
+
 _BPE_ORACLE = r"""
     WITH words AS (
       SELECT t AS word, COUNT(*) AS cnt FROM (
@@ -385,25 +416,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("word", "(.)", "<$1>").alias("repr"),
         )
     )
-    merges = []
-    for i in (1, 2, 3):
-        # checkpoint per round: round k's replace chain would otherwise
-        # re-execute rounds 1..k-1 for every downstream branch (O(k²)
-        # lineage). The word table is vocabulary-sized — small by
-        # construction — so materializing it each round is the same
-        # call real iterative BPE trainers make. 8.1 s → 2.6 s at sf0.1.
-        words = words.localCheckpoint(eager=True)
-        best = (
-            _bpe_pairs(words)
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
-        )
-        merges.append(best.select(F.lit(i).alias("rank"), "l", "r", "n"))
-        pattern = F.concat(F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">"))
-        merged = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
-        words = words.crossJoin(F.broadcast(best)).select(
-            "cnt", F.replace("repr", pattern, merged).alias("repr")
-        )
+    _, merges = _learn_merges(words)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -460,15 +473,7 @@ def q_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("word", "(.)", "<$1>").alias("repr"),
         )
     )
-    for _ in (1, 2, 3):
-        words = words.localCheckpoint(eager=True)
-        pairs = _bpe_pairs(words)
-        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1)
-        pattern = F.concat(F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">"))
-        merged = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
-        words = words.crossJoin(F.broadcast(best)).select(
-            "word", "cnt", F.replace("repr", pattern, merged).alias("repr")
-        )
+    words, _ = _learn_merges(words)
     vocab = words.select(
         "word",
         F.size(

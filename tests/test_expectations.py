@@ -75,9 +75,17 @@ def test_approx_uniqueness_scale_path(spark):
 
     df = spark.range(500).selectExpr("id AS k")
     (r,) = run_expectations(df, [expect_unique("k")], approx=True).collect()
-    # HLL estimate: within its published ~2% error, and typed long
-    assert abs(r["n_passed"] - 500) <= 25
+    # HLL estimate: within its published error, typed long — and a
+    # genuinely unique key must PASS despite estimate wobble (the
+    # verdict allows the 3·rsd band)
+    assert abs(r["n_passed"] - 500) <= 75
     assert isinstance(r["n_passed"], int)
+    assert r["status"] == "pass"
+
+    # a column that is half duplicates must still FAIL under approx
+    dup = spark.range(500).selectExpr("CAST(id / 2 AS INT) AS k")
+    (r2,) = run_expectations(dup, [expect_unique("k")], approx=True).collect()
+    assert r2["status"] == "fail"
 
 
 def test_one_pass_plan_shape(spark):
@@ -92,5 +100,8 @@ def test_one_pass_plan_shape(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("LocalRelation") + plan.count("Relation") <= 1
+    # every scan node rendering contains "Relation" exactly once
+    # (LocalRelation, Relation[...]) except LogicalRDD — count both
+    scans = plan.count("Relation") + plan.count("LogicalRDD")
+    assert scans <= 1, plan
     assert "Union" not in plan and "Join" not in plan
