@@ -105,3 +105,17 @@ def test_one_pass_plan_shape(spark):
     scans = plan.count("Relation") + plan.count("LogicalRDD")
     assert scans <= 1, plan
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_widen_if_narrow_is_noop_at_full_parallelism(spark):
+    """The scale contract: when the input already has >= defaultParallelism
+    partitions, widen_if_narrow must NOT insert a shuffle."""
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target)
+    assert widen_if_narrow(wide) is wide
+
+    narrow = spark.range(1000).coalesce(1)
+    widened = widen_if_narrow(narrow)
+    assert widened.rdd.getNumPartitions() == target
