@@ -347,3 +347,60 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SET_ALL_SQL)
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    return f"""
+    r{i} AS (
+      SELECT n.id,
+             CAST(0.25 / 64 AS DOUBLE) + 0.75 * coalesce(c.c, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / 2) AS c
+        FROM edges e JOIN r{i - 1} r ON r.id = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = n.id
+    )"""
+
+
+@declared(
+    "q_graph_pagerank",
+    oracle="""
+    WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 64),
+    edges AS (
+      SELECT id AS src,
+             unnest(ARRAY[(2 * id + 1) % 64, (3 * id + 2) % 64]) AS dst
+      FROM nodes
+    ),
+    r0 AS (SELECT id, CAST(1.0 / 64 AS DOUBLE) AS rank FROM nodes),
+    """
+    + ",".join(_pagerank_iter_sql(i) for i in (1, 2, 3, 4))
+    + """
+    SELECT id, rank FROM r4
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py), HASH-MATCHED down to
+    the float bits: the synthetic graph is 64 nodes with out-degree 2
+    (edges i → (2i+1)%64 and (3i+2)%64) and damping 3/4, so every
+    intermediate — 1/64 start, rank/2 splits, 0.75·x damping, 2⁻⁸
+    teleport — is an exactly representable dyadic rational and float
+    addition is associative over them. Both engines therefore compute
+    IDENTICAL doubles after 4 rounds regardless of aggregation order,
+    turning an iterative float algorithm into a full value-hash
+    verdict (the same trick as q_dedup_clusters for iterative integer
+    reachability). The general operator takes any damping/degrees;
+    only the bit-portability needs the dyadic choice."""
+    from datawarehouse1_spark.operators.graph import pagerank
+
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("id"))
+    )
+    edges = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array((2 * F.col("id") + 1) % 64, (3 * F.col("id") + 2) % 64)
+        ).alias("dst"),
+    )
+    return pagerank(nodes, edges, iterations=4, damping=0.75)

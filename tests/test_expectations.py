@@ -119,3 +119,40 @@ def test_widen_if_narrow_is_noop_at_full_parallelism(spark):
     narrow = spark.range(1000).coalesce(1)
     widened = widen_if_narrow(narrow)
     assert widened.rdd.getNumPartitions() == target
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """operators/graph.py::pagerank vs a dense numpy power iteration on
+    the same synthetic graph: identical update rule, bit-for-bit on the
+    dyadic configuration, and ranks sum to ~1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.operators.graph import pagerank
+
+    N, d, iters = 64, 0.75, 4
+    nodes = spark.range(N).select(F.col("id"))
+    edges = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array((2 * F.col("id") + 1) % N, (3 * F.col("id") + 2) % N)
+        ).alias("dst"),
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, iterations=iters, damping=d).collect()
+    }
+
+    M = np.zeros((N, N))
+    for i in range(N):
+        for dst in ((2 * i + 1) % N, (3 * i + 2) % N):
+            M[dst, i] += 1 / 2  # out-degree 2
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        r = (1 - d) / N + d * (M @ r)
+
+    assert set(got) == set(range(N))
+    np.testing.assert_allclose(
+        np.array([got[i] for i in range(N)]), r, rtol=0, atol=1e-15
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-9
