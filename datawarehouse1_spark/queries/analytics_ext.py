@@ -404,3 +404,62 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     return pagerank(nodes, edges, iterations=4, damping=0.75)
+
+
+@declared(
+    "q_graph_triangles",
+    oracle="""
+    WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 64),
+    raw AS (
+      SELECT id AS src,
+             unnest(ARRAY[(2 * id + 1) % 64, (3 * id + 2) % 64]) AS dst
+      FROM nodes
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges
+    FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the clustering-coefficient building block) on
+    the same synthetic 64-node graph as q_graph_pagerank: canonicalize
+    to undirected a<b edges, then the standard two-join wedge-close
+    (e1.b=e2.a, close with (e1.a, e2.b)) — each triangle counted once
+    because a<b<c. Pure integer output. At scale this is the
+    node-iterator algorithm: edges shuffle on their endpoints only,
+    and the usual high-degree mitigation (orient edges low→high
+    degree) drops in without changing results."""
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("id"))
+    )
+    raw = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array((2 * F.col("id") + 1) % 64, (3 * F.col("id") + 2) % 64)
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges")))
+    ).select("n_triangles", "n_edges")
