@@ -273,15 +273,16 @@ def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = grams.select(
         "doc_id", F.size("bgs").alias("n_bigrams"), F.explode("bgs").alias("bg")
     )
-    vocab = (
-        exploded.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 3)
-        .select("bg")
-    )
-    flagged = exploded.join(vocab.withColumn("_known", F.lit(1)), "bg", "left")
+    # one pass: the corpus frequency of each bigram is a window count
+    # over the exploded rows (single shuffle keyed on bg), so the
+    # explode is computed once instead of feeding both a vocab
+    # aggregate and a join back (2.3 s -> one scan at sf0.1)
+    from pyspark.sql import Window
+
+    freq = F.count(F.lit(1)).over(Window.partitionBy("bg"))
+    flagged = exploded.withColumn("_known", freq >= 3)
     return flagged.groupBy("doc_id", "n_bigrams").agg(
-        F.count(F.when(F.col("_known").isNull(), 1)).alias("n_novel")
+        F.count(F.when(~F.col("_known"), 1)).alias("n_novel")
     ).select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
