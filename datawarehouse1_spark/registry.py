@@ -64,6 +64,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_paragraphs",
     "q_text_pii_redact",
     "q_expectations_orders",
+    "q_bpe_learn_merges",
+    "q_graph_pagerank",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
     "q_warc_extract_text",
@@ -76,8 +78,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_running_sum",
     "q_surrogate_key",
     "q_dedup_business_key",
-    "q_union_incremental",
-    "q_project_enrich",
     "q_join_left_outer",
     "q_join_semi",
     "q_subquery_exists",
@@ -119,6 +119,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # rewritten-query regrades (all hold green verdicts on current
     # testdata) --
     "q_embedding_neardup",
+    "q_union_incremental",
+    "q_project_enrich",
     "q_string_funcs",
     "q_window_range_frame",
     "q_date_parts",
@@ -134,11 +136,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_unpivot_metrics",
     "q_events_anomaly_days",
     "q_text_bigram_novelty",
-    "q_bpe_learn_merges",
     "q_bpe_apply_encode",
     "q_lateral_topn_per_nation",
     "q_set_ops_all",
-    "q_graph_pagerank",
     "q_graph_triangles",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",

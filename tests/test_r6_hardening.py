@@ -130,6 +130,9 @@ def test_registry_window_structure():
         "q_multimodal_video_decode",
         "q_dedup_paragraphs",
         "q_text_pii_redact",
+        "q_expectations_orders",
+        "q_bpe_learn_merges",
+        "q_graph_pagerank",
         "q_multimodal_mp4_demux",
         "q_sketch_log_histogram",
         "q_warc_extract_text",
