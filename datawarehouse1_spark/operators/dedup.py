@@ -485,7 +485,9 @@ def simhash_dedup(
     """Group exact SimHash collisions (hamming distance 0 — the cheap tier;
     banded multi-probe for distance<=k would split the 64 bits into k+1
     blocks and bucket-join each, same shape as MinHash bands)."""
-    fp = df.select(F.col(id_col), simhash(tokens(text_col), seed=seed).alias("simhash"))
+    fp = widen_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash(tokens(text_col), seed=seed).alias("simhash")
+    )
     w = Window.partitionBy("simhash").orderBy(id_col)
     return (
         fp.withColumn("keeper", F.row_number().over(w) == 1)
