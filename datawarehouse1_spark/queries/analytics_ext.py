@@ -463,3 +463,52 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(
         F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges")))
     ).select("n_triangles", "n_edges")
+
+
+_EWMA_LAGS = 20
+
+
+@declared(
+    "q_events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, n_events,
+           """
+    + " + ".join(
+        f"coalesce(lag(n_events, {k}) OVER (ORDER BY day), 0) * {2.0 ** -(k + 1)!r}"
+        for k in range(_EWMA_LAGS)
+    )
+    + """ AS ewma
+    FROM daily
+    """,
+)
+def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of the daily event volume (the ops
+    trendline / naive next-day forecast): a 20-lag TRUNCATED EWMA with
+    dyadic α = 1/2, written as an explicit fixed-order sum of LAG
+    terms. Every term x·2⁻ᵏ is an exactly representable dyadic and
+    every partial sum stays under 2⁵³, so the float result is
+    bit-identical across engines and independent of any accumulation
+    reordering — and unlike the closed-form Σx·2ʲ rewrite, truncation
+    keeps the arithmetic exact for arbitrarily long series (the weight
+    tail beyond 20 lags is < 2⁻²⁰ of mass, below one event for any
+    realistic daily count). One window sort on day; at 100 TB the
+    daily table is already tiny."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day")
+    terms = [
+        F.coalesce(F.lag("n_events", k).over(w), F.lit(0)) * F.lit(2.0 ** -(k + 1))
+        for k in range(_EWMA_LAGS)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return daily.select("day", "n_events", ewma.alias("ewma"))

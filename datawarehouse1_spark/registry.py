@@ -140,6 +140,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_lateral_topn_per_nation",
     "q_set_ops_all",
     "q_graph_triangles",
+    "q_events_ewma_daily",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
