@@ -143,3 +143,30 @@ def run_expectations(
     return row.select(
         F.inline(F.array(*[report_struct(e) for e in expectations]))
     )
+
+
+def run_fk_expectation(
+    df: DataFrame, column: str, dim: DataFrame, dim_column: str
+) -> DataFrame:
+    """REFERENCES constraint (init.sql's FOREIGN KEY analog) — the one
+    contract that inherently needs a second table, so it runs as its
+    own pass and unions into the suite report: n_passed counts rows
+    whose non-null value exists in the dimension (a left-semi join —
+    at scale the dim key set broadcasts or the join shuffles on the
+    key only). NULLs fail, matching expect_in_range's presence rule."""
+    keys = dim.select(F.col(dim_column).alias("__k")).distinct()
+    matched = (
+        df.join(keys, F.col(column) == F.col("__k"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("__matched"))
+    )
+    total_df = df.agg(F.count(F.lit(1)).alias("__n_rows"))
+    return total_df.crossJoin(F.broadcast(matched)).select(
+        F.lit(f"fk_{column}").alias("constraint"),
+        F.lit(column).alias("column"),
+        F.lit("foreign_key").alias("kind"),
+        F.col("__n_rows").alias("n_rows"),
+        F.col("__matched").cast("long").alias("n_passed"),
+        F.when(F.col("__matched") == F.col("__n_rows"), "pass")
+        .otherwise("fail")
+        .alias("status"),
+    )

@@ -242,6 +242,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_rows, p_priority,
            CASE WHEN p_priority = n_rows THEN 'pass' ELSE 'fail' END
     FROM m
+    UNION ALL
+    SELECT 'fk_o_custkey', 'o_custkey', 'foreign_key',
+           n_rows,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IN (SELECT c_custkey FROM customer)),
+           CASE WHEN (SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey IN (SELECT c_custkey FROM customer))
+                     = n_rows
+                THEN 'pass' ELSE 'fail' END
+    FROM m
     """,
 )
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +261,9 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate pass + an inline() unpivot (operators/expectations.py).
     The o_orderpriority pattern check fails BY DESIGN (priorities 4/5
     exist), so the report's fail path is non-vacuous and the driver
-    hash pins both verdict branches."""
+    hash pins both verdict branches. The FOREIGN KEY constraint — the
+    one init.sql contract that needs a second table — runs as its own
+    left-semi pass (run_fk_expectation) and unions into the report."""
     from datawarehouse1_spark.operators.expectations import (
         expect_complete,
         expect_in_range,
@@ -269,4 +281,11 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_in_set("o_orderstatus", ("O", "F", "P")),
         expect_matches("o_orderpriority", "^[1-3]-"),
     ]
-    return run_expectations(table(spark, sf_dir, "orders"), suite)
+    from datawarehouse1_spark.operators.expectations import run_fk_expectation
+
+    orders = table(spark, sf_dir, "orders")
+    report = run_expectations(orders, suite)
+    fk = run_fk_expectation(
+        orders, "o_custkey", table(spark, sf_dir, "customer"), "c_custkey"
+    )
+    return report.unionByName(fk)

@@ -156,3 +156,18 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         np.array([got[i] for i in range(N)]), r, rtol=0, atol=1e-15
     )
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_fk_expectation_verdicts(spark):
+    from datawarehouse1_spark.operators.expectations import run_fk_expectation
+
+    fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    (r,) = run_fk_expectation(fact, "k", dim, "k").collect()
+    # 9 is an orphan and NULL fails the presence rule
+    assert (r["n_rows"], r["n_passed"], r["status"]) == (4, 2, "fail")
+
+    (ok,) = run_fk_expectation(
+        fact.filter("k IS NOT NULL AND k < 3"), "k", dim, "k"
+    ).collect()
+    assert ok["status"] == "pass"
