@@ -1,0 +1,78 @@
+"""Order-independent table checksums for cross-system reconciliation.
+
+This is the project's own use-case turned into an operator: when a
+warehouse migrates engines (the reference's pandas+Postgres → this
+repo's Spark), the receiving side needs a cheap proof that every row
+arrived intact WITHOUT sorting or shuffling whole tables. The standard
+construction: canonicalize each row to a string, hash it, and SUM the
+hashes modulo a prime — addition commutes, so the checksum is
+independent of row order and partitioning, and any single-row change
+moves it with overwhelming probability.
+
+Cross-engine determinism: the row hash is md5 (identical hex in Spark
+and DuckDB); its first 15 hex digits parse to an int64 via an UNROLLED
+positional sum (both engines lack a shared hex→int builtin; 15 digits
+keep 16¹⁵ = 2⁶⁰ inside int64, and the fixed 15-term expression stays
+in whole-stage codegen — no higher-order per-char folds on the hot
+path). Only string/integer columns should feed the canonical form:
+float/timestamp rendering differs between engines (callers cast
+explicitly if they need those covered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD_P = (1 << 61) - 1
+_HEX = "0123456789abcdef"
+
+
+def hex15_to_long(col: Column) -> Column:
+    """First 15 hex chars of a hex string -> int64 (positional sum)."""
+    # the digit must be LONG before the scale multiply: instr returns
+    # int32, and digit * 16^7 already overflows int32 for digits >= 8 —
+    # a data-dependent ANSI overflow that only fires on rows whose md5
+    # has a high digit in the middle positions
+    terms = [
+        (F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - 1).cast("long")
+        * F.lit(16 ** (15 - 1 - i))
+        for i in range(15)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def row_hash(cols: list[str]) -> Column:
+    """Canonical per-row hash: null-tagged, pipe-joined, md5'd. The
+    NULL tag is a control character (\x01) no cast-to-string value can
+    contain, so NULL never collides with a literal string."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\u0001")) for c in cols
+    ]
+    return hex15_to_long(F.md5(F.concat_ws("|", *parts)))
+
+
+def table_checksum(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """One reconciliation row: (table_name, n_rows, checksum). The sum
+    runs in DECIMAL(38,0) (exact; DuckDB's twin uses HUGEINT) and
+    reduces mod 2⁶¹−1 back to int64. Map-side partial aggregation does
+    the heavy lifting — one scan, one 1-row exchange, no sort."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(row_hash(cols).cast("decimal(38,0)")) % MOD_P)
+        .cast("long")
+        .alias("checksum"),
+    ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+
+def hex15_to_long_sql(expr: str) -> str:
+    """The DuckDB twin of hex15_to_long, as SQL text over `expr`."""
+    terms = [
+        f"(strpos('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (15 - 1 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"

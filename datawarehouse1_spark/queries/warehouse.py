@@ -211,3 +211,52 @@ def q_union_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.filter(F.col("o_orderdate") < "1997-01-01").select(*cols)
     late = o.filter(F.col("o_orderdate") >= "1996-01-01").select(*cols)
     return early.unionByName(late).distinct()
+
+
+# --- migration reconciliation: order-independent table checksums ---
+from datawarehouse1_spark.functions.checksum import (  # noqa: E402
+    MOD_P,
+    hex15_to_long_sql,
+    table_checksum,
+)
+
+_CK_TABLES = {
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+}
+
+
+def _ck_oracle_one(tbl: str, cols: list[str]) -> str:
+    canon = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols
+    )
+    h = hex15_to_long_sql(f"md5(concat_ws('|', {canon}))")
+    return f"""
+    SELECT '{tbl}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({h} AS HUGEINT)) % {MOD_P} AS BIGINT) AS checksum
+    FROM {tbl}"""
+
+
+@declared(
+    "q_reconcile_checksums",
+    oracle=" UNION ALL ".join(
+        _ck_oracle_one(t, c) for t, c in _CK_TABLES.items()
+    ),
+)
+def q_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system migration reconciliation — the check THIS project
+    needs when a user switches from the reference warehouse: one
+    order-independent checksum row per table (md5 row hash → int64 →
+    exact modular sum, functions/checksum.py). Row order, partitioning,
+    and engine are all invisible to the result; any single-row
+    corruption moves it. One scan + one single-row exchange per table;
+    the canonical form covers string/integer columns (float/timestamp
+    rendering is engine-specific and excluded by contract)."""
+    out = None
+    for tbl, cols in _CK_TABLES.items():
+        df = table_checksum(table(spark, sf_dir, tbl), cols, tbl)
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -141,6 +141,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_set_ops_all",
     "q_graph_triangles",
     "q_events_ewma_daily",
+    "q_reconcile_checksums",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",

@@ -171,3 +171,30 @@ def test_fk_expectation_verdicts(spark):
         fact.filter("k IS NOT NULL AND k < 3"), "k", dim, "k"
     ).collect()
     assert ok["status"] == "pass"
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from datawarehouse1_spark.functions.checksum import table_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k int, s string")
+    (base,) = table_checksum(df, ["k", "s"], "t").collect()
+    # order/partitioning invariance
+    (shuf,) = table_checksum(
+        spark.createDataFrame(rows[::-1], "k int, s string").repartition(7),
+        ["k", "s"], "t",
+    ).collect()
+    assert (base["n_rows"], base["checksum"]) == (shuf["n_rows"], shuf["checksum"])
+    # single-value sensitivity
+    (mut,) = table_checksum(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "k int, s string"),
+        ["k", "s"], "t",
+    ).collect()
+    assert mut["checksum"] != base["checksum"]
+    # replacing the NULL with a real value must move the checksum (the
+    # NULL tag is a control char no cast-to-string value can contain)
+    (nulled,) = table_checksum(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "x")], "k int, s string"),
+        ["k", "s"], "t",
+    ).collect()
+    assert nulled["checksum"] != base["checksum"]
