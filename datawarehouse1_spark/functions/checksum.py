@@ -46,13 +46,20 @@ def hex15_to_long(col: Column) -> Column:
 
 
 def row_hash(cols: list[str]) -> Column:
-    """Canonical per-row hash: null-tagged, pipe-joined, md5'd. The
-    NULL tag is a control character (\x01) no cast-to-string value can
-    contain, so NULL never collides with a literal string."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\u0001")) for c in cols
-    ]
-    return hex15_to_long(F.md5(F.concat_ws("|", *parts)))
+    """Canonical per-row hash: netstring-framed fields, md5'd. Each
+    value is encoded as 'S<length>:<value>' and NULL as 'N', so the
+    concatenation parses unambiguously — no separator can collide with
+    value content (('a|b','c') vs ('a','b|c') hash differently, unlike
+    naive pipe-joining) and NULL collides with nothing."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("S"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return hex15_to_long(F.md5(F.concat(*parts)))
 
 
 def table_checksum(df: DataFrame, cols: list[str], name: str) -> DataFrame:

@@ -151,16 +151,20 @@ def run_fk_expectation(
     """REFERENCES constraint (init.sql's FOREIGN KEY analog) — the one
     contract that inherently needs a second table, so it runs as its
     own pass and unions into the suite report: n_passed counts rows
-    whose non-null value exists in the dimension (a left-semi join —
-    at scale the dim key set broadcasts or the join shuffles on the
-    key only). NULLs fail, matching expect_in_range's presence rule."""
+    whose non-null value exists in the dimension (a left join against
+    the DISTINCT dim keys — no row multiplication — so total and
+    matched counts come from one scan of the fact side; at scale the
+    key set broadcasts or the join shuffles on the key only). NULLs
+    fail, matching expect_in_range's presence rule."""
     keys = dim.select(F.col(dim_column).alias("__k")).distinct()
-    matched = (
-        df.join(keys, F.col(column) == F.col("__k"), "left_semi")
-        .agg(F.count(F.lit(1)).alias("__matched"))
+    # ONE scan of the fact side: left join against the distinct key set
+    # (no row multiplication) yields total and matched counts together
+    joined = df.join(keys, F.col(column) == F.col("__k"), "left")
+    counted = joined.agg(
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.count("__k").alias("__matched"),
     )
-    total_df = df.agg(F.count(F.lit(1)).alias("__n_rows"))
-    return total_df.crossJoin(F.broadcast(matched)).select(
+    return counted.select(
         F.lit(f"fk_{column}").alias("constraint"),
         F.lit(column).alias("column"),
         F.lit("foreign_key").alias("kind"),

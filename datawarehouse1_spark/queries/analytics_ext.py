@@ -403,7 +403,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((2 * F.col("id") + 1) % 64, (3 * F.col("id") + 2) % 64)
         ).alias("dst"),
     )
-    return pagerank(nodes, edges, iterations=4, damping=0.75)
+    return pagerank(nodes, edges, iterations=4, damping=0.75, n_nodes=64)
 
 
 @declared(

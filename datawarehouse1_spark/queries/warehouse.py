@@ -229,10 +229,13 @@ _CK_TABLES = {
 
 
 def _ck_oracle_one(tbl: str, cols: list[str]) -> str:
-    canon = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols
+    canon = " || ".join(
+        f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'S' || "
+        f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+        f"CAST({c} AS VARCHAR) END"
+        for c in cols
     )
-    h = hex15_to_long_sql(f"md5(concat_ws('|', {canon}))")
+    h = hex15_to_long_sql(f"md5({canon})")
     return f"""
     SELECT '{tbl}' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -126,8 +126,8 @@ EXCHANGE_BUDGET = {
     "q_dedup_paragraphs": 2,  # keeper election agg + per-doc reassembly
     "q_text_pii_redact": 0,  # narrow regex projection, pure codegen
     # one-pass suite (count_distinct 2-level agg = 2) + the FK pass
-    # (distinct dim keys + semi-joined count + 1-row total = 3)
-    "q_expectations_orders": 5,
+    # (distinct dim keys + the single fact-scan join-count = 2)
+    "q_expectations_orders": 4,
     "q_unpivot_metrics": 2,  # custkey join + distinct-count agg; melt is narrow
     # daily agg appears twice statically (stats branch + output branch
     # share the subtree; exchange reuse collapses it) + 1-row stats agg
