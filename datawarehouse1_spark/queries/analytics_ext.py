@@ -512,3 +512,70 @@ def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms[1:]:
         ewma = ewma + t
     return daily.select("day", "n_events", ewma.alias("ewma"))
+
+
+@declared(
+    "q_stats_winsorized",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.05) AS lo,
+             quantile_disc(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN o.o_totalprice < b.lo
+                             OR o.o_totalprice > b.hi THEN 1 END) AS BIGINT)
+             AS n_clipped,
+           CAST(SUM(CAST(
+                 CASE WHEN o.o_totalprice < b.lo THEN b.lo
+                      WHEN o.o_totalprice > b.hi THEN b.hi
+                      ELSE o.o_totalprice END AS DECIMAL(18,2)))
+                AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per priority class — the robust-statistics
+    variant of the plain average (clip to the exact p05/p95 ORDER
+    STATISTICS, then mean). percentile_disc returns an actual data
+    value (no interpolation), so both engines pick the identical
+    bound; the clipped sum goes through the exact-decimal money path.
+    Two passes over orders: a per-group bounds aggregate (broadcast
+    back — group count is tiny) and the clipped aggregate. The
+    quality-filter analog in a curation pipeline: robust corpus stats
+    that one garbage document cannot drag."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("o_totalprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_clipped"),
+            (
+                F.sum(clipped.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+    )

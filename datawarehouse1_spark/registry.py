@@ -151,6 +151,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_graph_triangles",
     "q_events_ewma_daily",
     "q_reconcile_checksums",
+    "q_stats_winsorized",
     "q_text_bpe_token_count",
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
