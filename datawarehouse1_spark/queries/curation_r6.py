@@ -106,7 +106,9 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: paragraphs shuffle once, keyed by their normalized
     form, to elect the keeper (groupBy-min of the (doc_id, para_idx)
-    struct); at 100 TB you'd key by a 128-bit hash of the paragraph so
+    struct — partial aggregation absorbs hot boilerplate keys map-side,
+    and AQE skew-join splits them on the join-back); at 100 TB you'd
+    key by a 128-bit hash of the paragraph so
     only (hash, doc_id, idx) triples shuffle in the election — the
     election join back to occurrences then carries the winner ids, and
     the reassembly groupBy is per-doc (co-partitioned with the explode's
