@@ -148,3 +148,25 @@ def test_registry_window_structure():
     # belongs to a declared query
     assert set(ORACLES) <= set(QUERIES)
     assert all(callable(QUERIES[n]) for n in names)
+
+
+def test_declared_outputs_are_driver_safe_types(spark):
+    """The driver's canonicalization crashes on list cells and
+    hash-mismatches on DECIMAL/struct rendering (CORRECTNESS_r01/r03
+    lessons). The parity harness type-gates ORACLE queries, but
+    rows-only queries were unguarded — pin the whole surface: every
+    declared query's output schema must be scalar, non-decimal."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    bad = []
+    for name, fn in registry.QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, DecimalType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad
