@@ -309,6 +309,9 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                                     (aid // 16) % 3
                                 ],
                                 predictor=bool((aid // 16) % 2),
+                                # every other TIFF is a 16x16 tile grid
+                                # (TIFF 6.0 section 15) instead of strips
+                                tile=16 if (aid // 32) % 2 else None,
                             )
                             mime = "image/tiff"
                         else:

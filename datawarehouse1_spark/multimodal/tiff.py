@@ -3,13 +3,15 @@ scanned-document corpora (OCR training data is full of it).
 
 Implements the published baseline subset a text/image pipeline meets:
 both byte orders, IFD walking with inline/offset values, multi-strip
-images, 8-bit grayscale / RGB / palette photometrics, Compression 1
-(none), 32773 (PackBits) and 5 (TIFF-LZW: MSB-first packing with the
-spec's historical "early change" code-width rule, which differs from
-GIF), and Predictor 2 (horizontal differencing). The encoder writes
+AND tiled images (TIFF 6.0 §15: padded tile grids with per-tile
+predictor reset — the layout large geo/scan rasters use), 8-bit
+grayscale / RGB / palette photometrics, Compression 1 (none), 32773
+(PackBits) and 5 (TIFF-LZW: MSB-first packing with the spec's
+historical "early change" code-width rule, which differs from GIF),
+and Predictor 2 (horizontal differencing). The encoder writes
 little-endian fixtures in every combination so the decoder is
-exercised on genuine container bytes at any SF. Tiled TIFF, 16-bit
-depths, and JPEG-in-TIFF raise loudly by name.
+exercised on genuine container bytes at any SF. 16-bit depths and
+JPEG-in-TIFF raise loudly by name.
 
 Pure bytes+numpy — safe inside Arrow-batched executors.
 """
@@ -24,6 +26,7 @@ import numpy as np
 _WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP, _TILE_WIDTH = 317, 320, 322
+_TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -201,8 +204,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF payload")
     tags = _read_ifd(payload, fmt)
-    if _TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF unsupported (strips only)")
     w = tags[_WIDTH][0]
     h = tags[_LENGTH][0]
     spp = tags.get(_SPP, [1])[0]
@@ -212,33 +213,68 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     compression = tags.get(_COMPRESSION, [1])[0]
     photometric = tags.get(_PHOTOMETRIC, [1])[0]
     predictor = tags.get(_PREDICTOR, [1])[0]
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_COUNTS]
-    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = payload[off : off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("TIFF strip truncated")
-        if compression == 1:
-            raw += strip
-        elif compression == 5:
-            raw += tiff_lzw_decode(strip)
-        elif compression == 32773:
-            raw += packbits_decode(strip)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {compression} unsupported "
-                "(none/LZW/PackBits only; JPEG-in-TIFF needs tag 7 support)"
-            )
-    expected = h * w * spp
-    if len(raw) < expected:
-        raise ValueError(f"TIFF data short: {len(raw)} < {expected}")
-    img = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing: undo by row cumsum
-        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+
+    def decompress(chunk: bytes) -> bytes:
+        if compression == 1:
+            return chunk
+        if compression == 5:
+            return tiff_lzw_decode(chunk)
+        if compression == 32773:
+            return packbits_decode(chunk)
+        raise NotImplementedError(
+            f"TIFF compression {compression} unsupported "
+            "(none/LZW/PackBits only; JPEG-in-TIFF needs tag 7 support)"
+        )
+
+    if _TILE_WIDTH in tags:
+        # TIFF 6.0 §15: the image is a grid of fixed-size tiles, each
+        # compressed independently and padded at the right/bottom edges;
+        # the predictor (horizontal differencing) resets per tile row.
+        tw = tags[_TILE_WIDTH][0]
+        tl = tags[_TILE_LENGTH][0]
+        offsets = tags[_TILE_OFFSETS]
+        counts = tags[_TILE_COUNTS]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile table short")
+        img = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = payload[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF tile truncated")
+            raw = decompress(chunk)
+            if len(raw) < tl * tw * spp:
+                raise ValueError("TIFF tile data short")
+            tile = np.frombuffer(
+                bytes(raw[: tl * tw * spp]), dtype=np.uint8
+            ).reshape(tl, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+            y0 = (ti // across) * tl
+            x0 = (ti % across) * tw
+            ys = min(tl, h - y0)
+            xs = min(tw, w - x0)
+            img[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    else:
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_COUNTS]
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            strip = payload[off : off + cnt]
+            if len(strip) != cnt:
+                raise ValueError("TIFF strip truncated")
+            raw += decompress(strip)
+        expected = h * w * spp
+        if len(raw) < expected:
+            raise ValueError(f"TIFF data short: {len(raw)} < {expected}")
+        img = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(
+            h, w, spp
+        )
+        if predictor == 2:  # horizontal differencing: undo by row cumsum
+            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photometric == 2:  # RGB
         if spp < 3:
             raise ValueError("RGB TIFF with <3 samples per pixel")
@@ -267,27 +303,49 @@ def encode_tiff(
     compression: str = "none",
     predictor: bool = False,
     rows_per_strip: int = 8,
+    tile: int | None = None,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB -> little-endian strip TIFF. compression in
+    """(H, W, 3) uint8 RGB -> little-endian TIFF. compression in
     {'none', 'lzw', 'packbits'}; predictor applies horizontal
-    differencing (only meaningful with LZW, but legal with any)."""
+    differencing (only meaningful with LZW, but legal with any).
+    With `tile` set (a multiple of 16, per TIFF 6.0 §15) the image is
+    written as a padded tile grid instead of strips — the layout large
+    geo/scan rasters use; the predictor then differs per tile row."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_tiff expects (H, W, 3) uint8 RGB")
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     h, w = img.shape[:2]
-    data = img
-    if predictor:
-        diff = img.astype(np.int64)
+
+    def apply_predictor(block: np.ndarray) -> np.ndarray:
+        diff = block.astype(np.int64)
         diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
-        data = (diff & 0xFF).astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        strip = data[y0 : y0 + rows_per_strip].tobytes()
+        return (diff & 0xFF).astype(np.uint8)
+
+    def compress(chunk: bytes) -> bytes:
         if compression == "lzw":
-            strip = tiff_lzw_encode(strip)
-        elif compression == "packbits":
-            strip = packbits_encode(strip)
-        strips.append(strip)
+            return tiff_lzw_encode(chunk)
+        if compression == "packbits":
+            return packbits_encode(chunk)
+        return chunk
+
+    strips = []
+    if tile is not None:
+        if tile % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        padded = np.zeros(
+            (-(-h // tile) * tile, -(-w // tile) * tile, 3), dtype=np.uint8
+        )
+        padded[:h, :w] = img
+        for y0 in range(0, padded.shape[0], tile):
+            for x0 in range(0, padded.shape[1], tile):
+                block = padded[y0 : y0 + tile, x0 : x0 + tile]
+                if predictor:
+                    block = apply_predictor(block)
+                strips.append(compress(block.tobytes()))
+    else:
+        data = apply_predictor(img) if predictor else img
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(compress(data[y0 : y0 + rows_per_strip].tobytes()))
 
     n_strips = len(strips)
     entries = []  # (tag, type, count, value_or_bytes)
@@ -300,10 +358,16 @@ def encode_tiff(
     entry(_BPS, 3, [8, 8, 8])
     entry(_COMPRESSION, 3, [comp_id])
     entry(_PHOTOMETRIC, 3, [2])
-    entry(_STRIP_OFFSETS, 4, ["offsets"])  # patched below
     entry(_SPP, 3, [3])
-    entry(_ROWS_PER_STRIP, 4, [rows_per_strip])
-    entry(_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if tile is not None:
+        entry(_TILE_WIDTH, 4, [tile])
+        entry(_TILE_LENGTH, 4, [tile])
+        entry(_TILE_OFFSETS, 4, ["offsets"])  # patched below
+        entry(_TILE_COUNTS, 4, [len(s) for s in strips])
+    else:
+        entry(_STRIP_OFFSETS, 4, ["offsets"])  # patched below
+        entry(_ROWS_PER_STRIP, 4, [rows_per_strip])
+        entry(_STRIP_COUNTS, 4, [len(s) for s in strips])
     if predictor:
         entry(_PREDICTOR, 3, [2])
 

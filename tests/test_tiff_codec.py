@@ -121,3 +121,32 @@ def test_synthesizer_emits_decodable_tiffs(spark):
     assert len(rows) >= 5
     for r in rows:
         assert decode_tiff(bytes(r.payload)).shape == (16, 16, 3)
+
+
+def test_tiled_tiff_round_trip_all_variants():
+    """TIFF 6.0 §15 tile grids: edge padding, per-tile predictor reset,
+    all three compressions, and non-multiple-of-16 image sizes."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (40, 24), (17, 33)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (False, True):
+                out = decode_tiff(
+                    encode_tiff(img, compression=comp, predictor=pred, tile=16)
+                )
+                np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_tiff_rejects_bad_tile_size():
+    import numpy as np
+    import pytest
+
+    from datawarehouse1_spark.multimodal.tiff import encode_tiff
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile=12)
