@@ -10,8 +10,9 @@ grayscale / RGB / palette photometrics, Compression 1 (none), 32773
 historical "early change" code-width rule, which differs from GIF),
 and Predictor 2 (horizontal differencing). The encoder writes
 little-endian fixtures in every combination so the decoder is
-exercised on genuine container bytes at any SF. 16-bit depths and
-JPEG-in-TIFF raise loudly by name.
+exercised on genuine container bytes at any SF, and 16-bit grayscale
+(scan depth) decodes with a downshift to 8-bit. Remaining gates raise
+loudly by name: JPEG-in-TIFF, 16-bit color/tiled-deep variants.
 
 Pure bytes+numpy — safe inside Arrow-batched executors.
 """
@@ -208,8 +209,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     h = tags[_LENGTH][0]
     spp = tags.get(_SPP, [1])[0]
     bps = tags.get(_BPS, [1])
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"bits-per-sample {bps} unsupported (8 only)")
+    if all(b == 16 for b in bps) and spp == 1:
+        pass  # 16-bit grayscale: handled below (downshifted to 8-bit)
+    elif any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"bits-per-sample {bps} unsupported (8-bit, or 16-bit grayscale)"
+        )
+    deep_gray = all(b == 16 for b in bps) and spp == 1
     compression = tags.get(_COMPRESSION, [1])[0]
     photometric = tags.get(_PHOTOMETRIC, [1])[0]
     predictor = tags.get(_PREDICTOR, [1])[0]
@@ -229,6 +235,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
 
     if _TILE_WIDTH in tags:
+        if deep_gray:
+            raise NotImplementedError("tiled 16-bit TIFF unsupported")
         # TIFF 6.0 §15: the image is a grid of fixed-size tiles, each
         # compressed independently and padded at the right/bottom edges;
         # the predictor (horizontal differencing) resets per tile row.
@@ -267,14 +275,26 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             if len(strip) != cnt:
                 raise ValueError("TIFF strip truncated")
             raw += decompress(strip)
-        expected = h * w * spp
+        expected = h * w * spp * (2 if deep_gray else 1)
         if len(raw) < expected:
             raise ValueError(f"TIFF data short: {len(raw)} < {expected}")
-        img = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(
-            h, w, spp
-        )
-        if predictor == 2:  # horizontal differencing: undo by row cumsum
-            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+        if deep_gray:
+            # 16-bit scan depth: container byte order applies per sample;
+            # predictor (if any) differenced the 16-bit values
+            deep = np.frombuffer(
+                bytes(raw[:expected]), dtype=np.dtype(fmt + "u2")
+            ).reshape(h, w, 1)
+            if predictor == 2:
+                deep = (
+                    np.cumsum(deep.astype(np.int64), axis=1) & 0xFFFF
+                ).astype(np.uint16)
+            img = (deep >> 8).astype(np.uint8)
+        else:
+            img = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(
+                h, w, spp
+            )
+            if predictor == 2:  # horizontal differencing: undo by row cumsum
+                img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photometric == 2:  # RGB
         if spp < 3:
             raise ValueError("RGB TIFF with <3 samples per pixel")
@@ -406,4 +426,40 @@ def encode_tiff(
     for tag, typ, count, val4 in packed_entries:
         out += struct.pack("<HHI", tag, typ, count) + val4
     out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def encode_tiff_gray16(
+    img16: np.ndarray, big_endian: bool = False
+) -> bytes:
+    """(H, W) uint16 grayscale -> single-strip uncompressed TIFF with
+    BitsPerSample 16 — the scanned-document deep-depth fixture (the
+    decoder downshifts to 8-bit RGB). Byte order selectable so both
+    container variants get traffic."""
+    if img16.ndim != 2 or img16.dtype != np.uint16:
+        raise ValueError("encode_tiff_gray16 expects (H, W) uint16")
+    fmt = ">" if big_endian else "<"
+    h, w = img16.shape
+    data = img16.astype(np.dtype(fmt + "u2")).tobytes()
+    entries = [
+        (_WIDTH, 4, [w]),
+        (_LENGTH, 4, [h]),
+        (_BPS, 3, [16]),
+        (_COMPRESSION, 3, [1]),
+        (_PHOTOMETRIC, 3, [1]),
+        (_STRIP_OFFSETS, 4, [8]),
+        (_SPP, 3, [1]),
+        (_ROWS_PER_STRIP, 4, [h]),
+        (_STRIP_COUNTS, 4, [len(data)]),
+    ]
+    ifd_off = 8 + len(data)
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    out = bytearray(magic + struct.pack(fmt + "I", ifd_off))
+    out += data
+    out += struct.pack(fmt + "H", len(entries))
+    for tag, typ, vals in sorted(entries):
+        code = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(fmt + code * len(vals), *vals)
+        out += struct.pack(fmt + "HHI", tag, typ, len(vals)) + raw.ljust(4, b"\x00")
+    out += struct.pack(fmt + "I", 0)
     return bytes(out)

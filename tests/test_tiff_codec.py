@@ -150,3 +150,23 @@ def test_tiled_tiff_rejects_bad_tile_size():
     img = np.zeros((16, 16, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_tiff(img, tile=12)
+
+
+def test_gray16_decode_both_byte_orders():
+    """16-bit grayscale (scan depth): container byte order applies per
+    sample; the decoder downshifts to 8-bit RGB."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.tiff import (
+        decode_tiff,
+        encode_tiff_gray16,
+    )
+
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 65536, size=(12, 9), dtype=np.uint16)
+    expect = (img16 >> 8).astype(np.uint8)
+    for be in (False, True):
+        out = decode_tiff(encode_tiff_gray16(img16, big_endian=be))
+        assert out.shape == (12, 9, 3)
+        for ch in range(3):
+            np.testing.assert_array_equal(out[:, :, ch], expect)
