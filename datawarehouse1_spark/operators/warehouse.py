@@ -155,3 +155,37 @@ def merge_hll_rollup(
     return merged.groupBy(*keys).agg(
         F.hll_union_agg(sketch_col).alias(sketch_col)
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """General MERGE / CDC-apply: fold an ordered change batch
+    (op ∈ {'I','U','D'}, totally ordered per key by `seq_col`) into a
+    snapshot. The reference only needs the control-table upsert
+    (etl/app.py:55-89, no deletes); this is the scale generalization a
+    warehouse ingesting a CDC feed (Debezium-style) runs per batch:
+
+      1. keep only the LATEST change per key (row_number over seq desc —
+         one shuffle of the change batch, never of the snapshot),
+      2. untouched snapshot rows survive via left_anti on changed keys,
+      3. the latest change materializes unless it is a delete.
+
+    `changes` must carry the full snapshot column set plus op/seq;
+    inserts and updates are uniform ("upsert" rows). The snapshot-side
+    join is key-only (the change batch is usually broadcastable; AQE
+    picks that up from its post-dedup size at runtime)."""
+    order = [F.desc(seq_col)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = base.join(latest.select(*keys), on=list(keys), how="left_anti")
+    applied = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    return survivors.unionByName(applied)

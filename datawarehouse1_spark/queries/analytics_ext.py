@@ -579,3 +579,63 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+@declared(
+    "q_stats_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med,
+             abs(o.o_totalprice - m.med) AS abs_dev
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority, quantile_disc(abs_dev, 0.5) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           d.med, a.mad,
+           CAST(COUNT(CASE WHEN d.abs_dev > CAST(3.0 AS DOUBLE) * a.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+    GROUP BY d.o_orderpriority, d.med, a.mad
+    """,
+)
+def q_stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per priority class — the
+    robust companion to q_stats_winsorized (which owns the clipped
+    mean). Both the median and the MAD are exact DISCRETE order
+    statistics (percentile_disc picks an actual data value, so both
+    engines agree bitwise), the deviations are plain double arithmetic
+    on identical inputs, and the 3×MAD gate compares those exact
+    doubles. Two tiny per-group aggregates broadcast back over one
+    orders scan shape — same plan family as the winsorized query."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "abs_dev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(
+                F.when(F.col("abs_dev") > F.lit(3.0) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .select("o_orderpriority", "n_orders", "med", "mad", "n_outliers")
+    )

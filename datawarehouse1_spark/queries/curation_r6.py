@@ -492,3 +492,134 @@ def q_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- Gopher-style document-shape rules (Rae et al. 2021, appendix A1) ---
+# The testdata documents are single-line word salad, so the LINE
+# structure is staged deterministically in both engines (same twin
+# convention as the paragraph dedup above): three lines per doc — a
+# text slice, a slice that doc_id%4 turns into a bullet line ('- ') or
+# an ellipsis line ('...'), and a slice that doc_id%5 turns into an
+# exact duplicate of line one. Fractions are floored integer
+# micro-units and every rule threshold compares integers, so the keep
+# verdict cannot diverge on float rendering.
+_GOPHER_LINES_SQL = """
+      SELECT doc_id,
+             list_filter(ARRAY[
+               substr(text, 1, 50),
+               CASE WHEN doc_id % 4 = 0 THEN '- ' || substr(text, 51, 30)
+                    WHEN doc_id % 4 = 1 THEN substr(text, 51, 30) || '...'
+                    ELSE substr(text, 51, 30) END,
+               CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 50)
+                    ELSE substr(text, 81, 40) END
+             ], l -> trim(l) <> '') AS lines
+      FROM documents
+"""
+
+
+@declared(
+    "q_curation_gopher_rules",
+    oracle=rf"""
+    WITH staged AS ({_GOPHER_LINES_SQL}),
+    feat AS (
+      SELECT doc_id, lines,
+             list_filter(string_split_regex(
+               lower(array_to_string(lines, chr(10))), '\s+'),
+               t -> t <> '') AS toks
+      FROM staged
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(floor(1000000.0 * len(list_filter(lines,
+                    l -> l LIKE '- %' OR l LIKE '* %')) / len(lines))
+                  AS BIGINT) AS bullet_frac_e6,
+             CAST(floor(1000000.0 * len(list_filter(lines,
+                    l -> l LIKE '%...')) / len(lines))
+                  AS BIGINT) AS ellipsis_frac_e6,
+             CAST(floor(1000000.0 * (1.0 -
+                    CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)))
+                  AS BIGINT) AS dup_line_frac_e6,
+             CAST(floor(1000000.0 *
+                    list_sum(list_transform(toks, t -> length(t)))
+                    / len(toks)) AS BIGINT) AS mean_word_len_e6
+      FROM feat
+    )
+    SELECT *,
+           (n_tokens BETWEEN 50 AND 100000)
+             AND (mean_word_len_e6 BETWEEN 3000000 AND 10000000)
+             AND bullet_frac_e6 <= 900000
+             AND ellipsis_frac_e6 <= 300000
+             AND dup_line_frac_e6 <= 300000 AS gopher_keep
+    FROM scored
+    """,
+)
+def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape quality rules (word-count band, mean word
+    length band, bullet-line / ellipsis-line / duplicate-line caps) —
+    the published MassiveText filter battery, per doc. Entirely narrow
+    higher-order array expressions over the staged lines: no shuffle,
+    no explode, no Python. Complements q_text_quality_score (token-level
+    signals) with the LINE-level signals; q_text_repetition_score owns
+    the n-gram repetition family."""
+    d = table(spark, sf_dir, "documents")
+    slice2 = F.substring("text", 51, 30)
+    line2 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("- "), slice2))
+        .when(F.col("doc_id") % 4 == 1, F.concat(slice2, F.lit("...")))
+        .otherwise(slice2)
+    )
+    line3 = F.when(
+        F.col("doc_id") % 5 == 0, F.substring("text", 1, 50)
+    ).otherwise(F.substring("text", 81, 40))
+    lines = F.filter(
+        F.array(F.substring("text", 1, 50), line2, line3),
+        lambda l: F.trim(l) != "",
+    )
+    staged = d.select("doc_id", lines.alias("lines"))
+    toks = F.filter(
+        F.split(F.lower(F.array_join("lines", "\n")), r"\s+"),
+        lambda t: t != "",
+    )
+    feat = staged.withColumn("toks", toks)
+
+    n_lines = F.size("lines")
+
+    def frac_e6(cnt):
+        return F.floor(F.lit(1000000.0) * cnt / n_lines).cast("long")
+
+    bullet = F.size(
+        F.filter(
+            F.col("lines"),
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    )
+    ellipsis = F.size(F.filter(F.col("lines"), lambda l: l.endswith("...")))
+    dup_frac = F.floor(
+        F.lit(1000000.0)
+        * (F.lit(1.0) - F.size(F.array_distinct("lines")).cast("double") / n_lines)
+    ).cast("long")
+    word_len_sum = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.floor(
+        F.lit(1000000.0) * word_len_sum / F.size("toks")
+    ).cast("long")
+    scored = feat.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        frac_e6(bullet).alias("bullet_frac_e6"),
+        frac_e6(ellipsis).alias("ellipsis_frac_e6"),
+        dup_frac.alias("dup_line_frac_e6"),
+        mean_word_len.alias("mean_word_len_e6"),
+    )
+    return scored.withColumn(
+        "gopher_keep",
+        F.col("n_tokens").between(50, 100000)
+        & F.col("mean_word_len_e6").between(3000000, 10000000)
+        & (F.col("bullet_frac_e6") <= 900000)
+        & (F.col("ellipsis_frac_e6") <= 300000)
+        & (F.col("dup_line_frac_e6") <= 300000),
+    )

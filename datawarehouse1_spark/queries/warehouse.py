@@ -263,3 +263,95 @@ def q_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = table_checksum(table(spark, sf_dir, tbl), cols, tbl)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# --- ext: general MERGE / CDC-apply (the scale form of the O9 upsert) ---
+# The change batch is staged deterministically from orders IN BOTH
+# ENGINES (the testdata ships no CDC feed): keys are bucketed by
+# o_orderkey % 7 into  net-delete (U then D), single update, double
+# update (latest wins), and brand-new inserts (key + 100000000).
+_CDC_CHANGES_SQL = """
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op, 2 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(1.10 AS DOUBLE) AS o_totalprice,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(1.20 AS DOUBLE) AS o_totalprice,
+             'U' AS op, 2 AS seq
+      FROM orders WHERE o_orderkey % 7 = 2
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+             o_totalprice, 'I' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 3
+"""
+
+
+@declared(
+    "q_merge_cdc_apply",
+    oracle=f"""
+    WITH changes AS ({_CDC_CHANGES_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, op,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+    FROM orders b
+      ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (insert + update + delete, latest-per-key by
+    sequence) applied to the orders snapshot — operators/warehouse.py::
+    apply_cdc. Only the change batch shuffles (row_number per key); the
+    snapshot contributes one key-only anti join, broadcastable when the
+    batch is small. Net effect at sf: ~1/7 of keys deleted, ~2/7
+    re-priced (one via latest-wins over two updates), ~1/7 new keys."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey") % 7
+    price = F.col("o_totalprice")
+
+    def chg(df: DataFrame, op: str, seq: int, **over) -> DataFrame:
+        cols = [
+            over.get(c, F.col(c)).alias(c)
+            for c in ("o_orderkey", "o_orderstatus", "o_totalprice")
+        ]
+        return df.select(*cols, F.lit(op).alias("op"), F.lit(seq).alias("seq"))
+
+    changes = (
+        chg(base.filter(k == 0), "U", 1, o_totalprice=price * F.lit(1.05))
+        .unionByName(chg(base.filter(k == 0), "D", 2))
+        .unionByName(
+            chg(base.filter(k.isin(1, 2)), "U", 1, o_totalprice=price * F.lit(1.10))
+        )
+        .unionByName(chg(base.filter(k == 2), "U", 2, o_totalprice=price * F.lit(1.20)))
+        .unionByName(
+            chg(
+                base.filter(k == 3),
+                "I",
+                1,
+                o_orderkey=F.col("o_orderkey") + F.lit(100000000),
+                o_orderstatus=F.lit("N"),
+            )
+        )
+    )
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    return apply_cdc(base, changes, keys=("o_orderkey",))

@@ -140,6 +140,15 @@ EXCHANGE_BUDGET = {
     # only locally where the scan has fewer splits than cores)
     "q_multimodal_video_decode": 1,
     "q_multimodal_mp4_demux": 1,
+    # r6 fourth-block audit (sf0.001, local[8]):
+    "q_curation_gopher_rules": 0,  # pure higher-order exprs, narrow
+    # change-batch keep-latest window + snapshot anti join; the
+    # snapshot never re-partitions more than once
+    "q_merge_cdc_apply": 2,
+    # med pre-agg subtree appears in both the mad branch and the final
+    # agg branch statically (exchange reuse collapses it at runtime)
+    # + mad agg + final agg
+    "q_stats_mad_outliers": 4,
 }
 
 

@@ -114,3 +114,43 @@ def test_upsert_small_table(spark):
     out = {r.filename: r for r in upsert_small_table(old, new, ["filename"], ["version"]).collect()}
     assert len(out) == 3
     assert out["b.xlsx"].version == 2 and out["b.xlsx"].status == "success"
+
+
+def test_apply_cdc_insert_update_delete_latest_wins(spark):
+    """Full MERGE semantics: untouched rows survive, the LATEST change
+    per key wins (update-then-delete nets to delete; update-then-update
+    nets to the second update), inserts add new keys."""
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "U", 1),   # plain update
+            (3, "c1", "U", 1),   # update...
+            (3, "c1", "D", 2),   # ...then delete => gone
+            (4, "d1", "U", 1),   # update...
+            (4, "d2", "U", 2),   # ...then update => d2 wins
+            (5, "e", "I", 1),    # brand-new key
+        ],
+        "k int, v string, op string, seq int",
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_cdc(base, changes, keys=("k",)).collect()
+    }
+    assert got == {(1, "a"), (2, "b1"), (4, "d2"), (5, "e")}
+
+
+def test_apply_cdc_delete_only_key_absent_everywhere(spark):
+    """A delete for a key never seen in the snapshot must not resurrect
+    anything; a delete as the ONLY change removes the base row."""
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(2, None, "D", 1), (9, None, "D", 1)], "k int, v string, op string, seq int"
+    )
+    got = {(r.k, r.v) for r in apply_cdc(base, changes, keys=("k",)).collect()}
+    assert got == {(1, "a")}
