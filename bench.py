@@ -115,6 +115,7 @@ def main() -> None:
         "q_sample_hash_mixture",
         "q_text_bigram_novelty",
         "q_bpe_learn_merges",
+        "q_curation_gopher_rules",
     )
     llm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":

@@ -1,0 +1,83 @@
+"""Continuously-maintained snapshot from a CDC change stream: a
+streaming foreachBatch that folds each micro-batch of changes
+(op ∈ {'I','U','D'}, per-key order by a sequence column) into a
+persistent snapshot table via operators/warehouse.py::apply_cdc.
+
+This is the streaming generalization of the reference's control-table
+upsert (etl/app.py:55-89, which rewrites one small metadata table per
+ingested file): a Debezium-style feed materialized as an always-current
+table. Batches apply in arrival order (foreachBatch is sequential), the
+sequence column orders ops WITHIN a batch, and a redelivered batch is a
+no-op by construction — apply_cdc is idempotent for a fixed change set
+(re-updating to the same values, re-deleting an absent key, and
+re-inserting a row that anti-joins away its own prior copy all converge)
+— which is what makes the sink exactly-once under checkpoint replay.
+
+Same durability discipline as rollup_maintenance: the snapshot rewrite
+per batch is O(snapshot), documented as the Parquet small-table
+trade-off (a real deployment points this at a format with row-level
+merge; the OPERATOR is the engine-portable part).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+
+def make_cdc_sink(
+    spark: SparkSession,
+    snapshot_path: str,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: fold the micro-batch of changes into the
+    persistent snapshot, atomically swap (write staging, then overwrite).
+    A cold start (no snapshot yet) applies against an empty base, so a
+    stream can bootstrap a table from an insert-only prefix."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        base_schema = batch.drop(op_col, seq_col)
+        if os.path.exists(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+        else:
+            base = base_schema.limit(0)
+        merged = apply_cdc(base, batch, keys, seq_col=seq_col, op_col=op_col)
+        tmp = f"{snapshot_path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        # re-read from staging then overwrite the serving location; the
+        # staged copy breaks the read-what-you-overwrite cycle
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshot_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return sink
+
+
+def stream_apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """Attach the CDC-apply sink to any streaming DataFrame of changes."""
+    return (
+        changes.writeStream.foreachBatch(
+            make_cdc_sink(spark, snapshot_path, keys, seq_col=seq_col, op_col=op_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -13,6 +13,12 @@ and order-independent); serving casts to double. The table rewrite per
 batch is a small-table overwrite (summary cardinality = number of
 groups, not rows) — same pattern as upsert_small_table, documented as
 the Parquet trade-off.
+
+Exactly-once: foreachBatch is at-least-once, and adding a delta is not
+idempotent, so the table carries a `_last_batch` metadata column (the
+max batch_id already folded in). The guard lives in the same files as
+the data — one atomic staging swap covers both — and a replayed batch
+is skipped instead of double-counted.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from datawarehouse1_spark.operators.warehouse import merge_rollup
@@ -46,7 +53,21 @@ def make_rollup_sink(
             if os.path.exists(rollup_path)
             else None
         )
-        merged = merge_rollup(old, delta, keys, additive_cols)
+        # Replay guard: foreachBatch is at-least-once, and ADDING a
+        # delta is not idempotent — a checkpoint replay of an
+        # already-applied batch would double-count. The last applied
+        # batch_id rides INSIDE the rollup table, so guard and data
+        # move through the same atomic staging swap and can never
+        # disagree. (Pre-guard rollups without the column are
+        # grandfathered: first merge stamps them.)
+        if old is not None and "_last_batch" in old.columns:
+            applied = old.agg({"_last_batch": "max"}).first()[0]
+            if applied is not None and applied >= batch_id:
+                return
+            old = old.drop("_last_batch")
+        merged = merge_rollup(old, delta, keys, additive_cols).withColumn(
+            "_last_batch", F.lit(batch_id).cast("long")
+        )
         tmp = f"{rollup_path}__staging_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         # re-read from staging then overwrite the serving location; the

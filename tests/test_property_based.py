@@ -390,3 +390,63 @@ def test_word_ngrams_matches_naive_reference(spark, toks, n):
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ]
     assert list(got.g) == expected
+
+
+# --- apply_cdc vs a sequential dict-replay oracle ---
+@st.composite
+def cdc_case(draw):
+    base = draw(
+        st.lists(
+            st.tuples(KEYS, st.integers(0, 9)),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    # changes: (key, value, op, seq) — seq unique per key is the
+    # operator's documented contract (a total order within each key)
+    raw = draw(
+        st.lists(
+            st.tuples(
+                KEYS,
+                st.integers(0, 9),
+                st.sampled_from(["I", "U", "D"]),
+                st.integers(0, 20),
+            ),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda t: (t[0], t[3]),
+        )
+    )
+    return base, raw
+
+
+@given(cdc_case())
+@SETTINGS
+def test_apply_cdc_matches_dict_replay(spark, case):
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    base, changes = case
+    expected = dict(base)
+    # replay: latest op per key wins (ordered by seq), D removes,
+    # I/U upsert — exactly the MERGE contract
+    latest = {}
+    for k, v, op, seq in changes:
+        if k not in latest or seq > latest[k][1]:
+            latest[k] = ((k, v, op), seq)
+    for (k, v, op), _ in latest.values():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    base_df = spark.createDataFrame(
+        base, "k int, v int"
+    ) if base else spark.createDataFrame([], "k int, v int")
+    chg_df = spark.createDataFrame(
+        changes, "k int, v int, op string, seq int"
+    ) if changes else spark.createDataFrame([], "k int, v int, op string, seq int")
+    got = {
+        r.k: r.v for r in apply_cdc(base_df, chg_df, keys=("k",)).collect()
+    }
+    assert got == expected

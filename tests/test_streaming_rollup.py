@@ -94,3 +94,36 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
     # long-running stream must not leak one per micro-batch
     residue = [p.name for p in tmp_path.iterdir() if "__staging_" in p.name]
     assert residue == [], f"leaked staging dirs: {residue}"
+
+
+def test_rollup_sink_replay_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between checkpoint commit
+    points replays the last batch. Adding a delta is NOT idempotent, so
+    the sink's `_last_batch` in-table guard must turn the replay into a
+    no-op instead of double-counting."""
+    from datawarehouse1_spark.streaming.rollup_maintenance import make_rollup_sink
+
+    rollup = str(tmp_path / "rollup")
+    sink = make_rollup_sink(spark, rollup, _agg, ["month"], ["n_orders", "total"])
+
+    from datetime import datetime
+
+    def batch(rows):
+        data = [(oid, datetime.fromisoformat(ts), amt) for oid, ts, amt in rows]
+        return spark.createDataFrame(data, SCHEMA)
+
+    sink(batch([("O1", "2025-01-05T10:00:00", 10.5)]), 0)
+    sink(batch([("O2", "2025-01-20T11:00:00", 4.5)]), 1)
+    once = {
+        str(r.month): (r.n_orders, str(r.total))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert once == {"2025-01-01": (2, "15.00")}
+
+    # replay of the already-applied batch id: must be a no-op
+    sink(batch([("O2", "2025-01-20T11:00:00", 4.5)]), 1)
+    again = {
+        str(r.month): (r.n_orders, str(r.total))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert again == once
