@@ -178,13 +178,43 @@ def apply_cdc(
     `changes` must carry the full snapshot column set plus op/seq;
     inserts and updates are uniform ("upsert" rows). The snapshot-side
     join is key-only (the change batch is usually broadcastable; AQE
-    picks that up from its post-dedup size at runtime)."""
+    picks that up from its post-dedup size at runtime).
+
+    Total-order contract, ENFORCED: `seq_col` must be unique per key
+    wherever it decides the outcome. A feed that delivers two changes
+    with the same (key, seq) at the top of a key's history (e.g.
+    interleaved redelivery with reused sequence numbers) has no defined
+    winner — instead of silently picking one, the fold raises at
+    execution time. The check rides the SAME window as the ranking
+    (lead over seq desc: a winner is tied iff the runner-up carries an
+    equal seq), so it costs no extra shuffle; ties below the winner
+    don't affect the result and pass. The guard is folded into the kept
+    `op` column so column pruning cannot optimize it away."""
     order = [F.desc(seq_col)]
     w = Window.partitionBy(*keys).orderBy(*order)
+    tied = F.col("_next_seq").isNotNull() & (
+        F.col("_next_seq") == F.col(seq_col)
+    )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_next_seq", F.lead(seq_col).over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn(
+            op_col,
+            F.when(
+                tied,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "apply_cdc: duplicate (key, seq) — no defined "
+                            f"winner for {seq_col}="
+                        ),
+                        F.col(seq_col).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col(op_col)),
+        )
+        .drop("_rn", "_next_seq")
     )
     survivors = base.join(latest.select(*keys), on=list(keys), how="left_anti")
     applied = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)

@@ -523,8 +523,11 @@ _GOPHER_LINES_SQL = """
     WITH staged AS ({_GOPHER_LINES_SQL}),
     feat AS (
       SELECT doc_id, lines,
+             -- coalesce: duckdb array_to_string([]) is NULL where spark
+             -- array_join([]) is '' — a zero-line doc must get 0 tokens
+             -- (not NULL) in both engines
              list_filter(string_split_regex(
-               lower(array_to_string(lines, chr(10))), '\s+'),
+               coalesce(lower(array_to_string(lines, chr(10))), ''), '\s+'),
                t -> t <> '') AS toks
       FROM staged
     ),
@@ -533,17 +536,18 @@ _GOPHER_LINES_SQL = """
              CAST(len(lines) AS BIGINT) AS n_lines,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(floor(1000000.0 * len(list_filter(lines,
-                    l -> l LIKE '- %' OR l LIKE '* %')) / len(lines))
+                    l -> l LIKE '- %' OR l LIKE '* %')) / nullif(len(lines), 0))
                   AS BIGINT) AS bullet_frac_e6,
              CAST(floor(1000000.0 * len(list_filter(lines,
-                    l -> l LIKE '%...')) / len(lines))
+                    l -> l LIKE '%...')) / nullif(len(lines), 0))
                   AS BIGINT) AS ellipsis_frac_e6,
              CAST(floor(1000000.0 * (1.0 -
-                    CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)))
+                    CAST(len(list_distinct(lines)) AS DOUBLE)
+                    / nullif(len(lines), 0)))
                   AS BIGINT) AS dup_line_frac_e6,
              CAST(floor(1000000.0 *
                     list_sum(list_transform(toks, t -> length(t)))
-                    / len(toks)) AS BIGINT) AS mean_word_len_e6
+                    / nullif(len(toks), 0)) AS BIGINT) AS mean_word_len_e6
       FROM feat
     )
     SELECT *,
@@ -586,8 +590,14 @@ def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_lines = F.size("lines")
 
+    # Degenerate-doc guard (r6 ADVICE): an empty/whitespace-only doc has
+    # zero lines/tokens, and 0.0/0 diverges across engines (Spark NULL
+    # or ANSI error vs DuckDB ieee inf) — both sides agree on NULL via
+    # an explicit emptiness gate here and nullif() in the oracle.
     def frac_e6(cnt):
-        return F.floor(F.lit(1000000.0) * cnt / n_lines).cast("long")
+        return F.when(
+            n_lines > 0, F.floor(F.lit(1000000.0) * cnt / n_lines)
+        ).cast("long")
 
     bullet = F.size(
         F.filter(
@@ -596,15 +606,22 @@ def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ellipsis = F.size(F.filter(F.col("lines"), lambda l: l.endswith("...")))
-    dup_frac = F.floor(
-        F.lit(1000000.0)
-        * (F.lit(1.0) - F.size(F.array_distinct("lines")).cast("double") / n_lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(1.0)
+                - F.size(F.array_distinct("lines")).cast("double") / n_lines
+            )
+        ),
     ).cast("long")
     word_len_sum = F.aggregate(
         F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    mean_word_len = F.floor(
-        F.lit(1000000.0) * word_len_sum / F.size("toks")
+    mean_word_len = F.when(
+        F.size("toks") > 0,
+        F.floor(F.lit(1000000.0) * word_len_sum / F.size("toks")),
     ).cast("long")
     scored = feat.select(
         "doc_id",

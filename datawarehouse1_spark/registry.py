@@ -41,33 +41,97 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r05
-# each contain exactly queries()[:50] in dict order). Round-6 window
-# (VERDICT r5 "Next round" #1: verdict-freshness, amended through the
-# third r6 work block): section (a) fronts 11 NEW never-graded
-# hash-matched r6 queries (semantic dedup, MJPEG video decode,
-# paragraph dedup, PII redaction, expectations suite, BPE training,
-# PageRank, MP4 demux, the two sketches, WARC); (b) r2-vintage
-# refreshes (minus seven trivial ones displaced behind the window to
-# make room for (a) — q_string_funcs, q_date_parts,
-# q_topk_orderby_limit, q_window_range_frame, q_union_incremental,
-# q_project_enrich, each continuously pytest-parity-verified and
-# holding a green driver verdict on current testdata); (c) r3-vintage
-# refreshes incl. the rows-only ANN/LSH slots; (d) the queries
-# REWRITTEN in r6 (flagship pre-agg, Q5 filter-first, Q21 single-scan,
-# multi-star, the multimodal asset rotation). Everything behind the
-# window holds a green driver verdict on the CURRENT testdata
-# (CORRECTNESS_r04/r05) or, for never-graded r6 tail entries, a pytest
-# parity verdict every run — those front the r7 window. Vintages were
-# computed from the CORRECTNESS_r0{1..5}.json artifacts. The window's
-# structure is pinned by tests/test_r6_hardening.py::
-# test_registry_window_structure.
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r06
+# each contain exactly queries()[:50] in dict order). Round-7 window
+# (VERDICT r6 "Next round" #1+#2: verdict-freshness): section (a)
+# fronts the 15 r6-tail queries that have NEVER held a driver verdict
+# (declared after the r6 window was set; each pytest-parity hash-green
+# vs its DuckDB oracle every run); (b) any queries NEW in r7; (c) the
+# nine r2-vintage verdicts displaced in r6 (q_join_semi,
+# q_subquery_exists, q_subquery_scalar_agg, q_union_incremental,
+# q_project_enrich, q_string_funcs, q_window_range_frame, q_date_parts,
+# q_topk_orderby_limit — oldest verdicts in the registry); (d)
+# r4-vintage re-grades, TPC-H battery first (their plans are the ones
+# the new BENCH sections time, so a fresh verdict pins the perf numbers
+# to hash-green results). The 12 r4-vintage queries that do not fit
+# (multimodal_frame_sample/metadata, grouping_sets, percentile,
+# set_intersect/except, pivot, range_bands, salted_skew,
+# builtin_charge, udtf_bigrams, upsert_partition_rollup) front the r8
+# window; every r5/r6-graded green sits behind them. Vintages computed
+# from CORRECTNESS_r0{1..6}.json. Window structure pinned by
+# tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) new in r6: composed SemDeDup-style pipeline, the REAL
-    # MJPEG video-decode chain, + the oracle-matched MP4 demux (these
-    # displace the q_agg_cube/q_profile_columns/q_string_funcs
-    # re-checks, all r4-or-fresher-green on current testdata and
-    # re-verified by the pytest parity suite every run) --
+    # -- (a) r6-tail, never driver-graded: grade these first --
+    "q_hierarchy_sql_recursive",
+    "q_unpivot_metrics",
+    "q_events_anomaly_days",
+    "q_text_bigram_novelty",
+    "q_bpe_apply_encode",
+    "q_lateral_topn_per_nation",
+    "q_set_ops_all",
+    "q_graph_triangles",
+    "q_events_ewma_daily",
+    "q_reconcile_checksums",
+    "q_stats_winsorized",
+    "q_text_bpe_token_count",
+    "q_wds_extract_samples",
+    "q_multimodal_mp3_scan",
+    "q_compressed_blob_extract",
+    # -- (b) new in r7 (composed curation verdict per VERDICT r6 #7) --
+    # (inserted as they land; see section comment above)
+    # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
+    "q_join_semi",
+    "q_subquery_exists",
+    "q_subquery_scalar_agg",
+    "q_union_incremental",
+    "q_project_enrich",
+    "q_string_funcs",
+    "q_window_range_frame",
+    "q_date_parts",
+    "q_topk_orderby_limit",
+    # -- (d) r4-vintage re-grades: TPC-H battery + misc, 26 of 38;
+    # the remaining 12 front the r8 window --
+    "q_tpch_q1_pricing_summary",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_type_profit",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_shipping_priority_class",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_parts_supplier",
+    "q_tpch_q17_small_quantity_revenue",
+    "q_tpch_q18_large_volume_customer",
+    "q_tpch_q19_discounted_revenue",
+    "q_tpch_q20_part_promotion",
+    "q_tpch_q22_global_sales_opportunity",
+    "q_embedding_neardup",
+    "q_agg_cube",
+    "q_profile_columns",
+    "q_pandas_udf_scalar",
+    "q_array_agg_sorted",
+    "q_multimodal_features",
+    # ---- graded window ends here (first 50) ----
+    # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_multimodal_frame_sample",
+    "q_multimodal_metadata",
+    "q_agg_grouping_sets",
+    "q_agg_percentile",
+    "q_set_intersect",
+    "q_set_except",
+    "q_pivot_status_by_priority",
+    "q_join_range_bands",
+    "q_join_salted_skew",
+    "q_builtin_charge",
+    "q_udtf_bigrams",
+    "q_upsert_partition_rollup",
+    # -- r6-graded (CORRECTNESS_r06, all green) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
@@ -79,15 +143,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_sketch_log_histogram",
     "q_warc_extract_text",
     "q_sketch_count_min",
-    # -- (a2) fourth-block additions, never graded: full MERGE/CDC
-    # apply, Gopher line-rule curation battery, MAD robust outliers.
-    # They displace q_subquery_exists / q_subquery_scalar_agg /
-    # q_join_semi — three r2-vintage, unchanged-since-r2 slots that the
-    # pytest parity suite hash-verifies every run --
     "q_merge_cdc_apply",
     "q_curation_gopher_rules",
     "q_stats_mad_outliers",
-    # -- (b) r2-vintage verdicts: relational/agg/window/warehouse core --
     "q_agg_group_sum",
     "q_agg_rollup",
     "q_date_trunc_month",
@@ -108,7 +166,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_quality_score",
     "q_text_lang_score",
     "q_text_fingerprint",
-    # -- (c) r3-vintage verdicts: scans/joins/similarity + rows-only ANN --
     "q_dedup_exact_hash",
     "q_join_multi_star",
     "q_similarity_cosine_topk",
@@ -121,52 +178,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
-    # -- (d) queries REWRITTEN or behavior-touched in r6 (flagship
-    # pre-agg, q5 filter-first, q21 first-block rewrite, the multimodal
-    # asset rotation) + pipeline-adjacent re-checks --
     "q_flagship_monthly_revenue",
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",
-    # ---- graded window ends here (first 50) ----
-    # -- r2-graded re-checks displaced by the fourth-block additions
-    # (all hold green verdicts on current testdata and are
-    # hash-verified by the pytest parity suite every run) --
-    "q_join_semi",
-    "q_subquery_exists",
-    "q_subquery_scalar_agg",
-    # -- r4-graded re-checks displaced by the new r6 queries and the
-    # rewritten-query regrades (all hold green verdicts on current
-    # testdata) --
-    "q_embedding_neardup",
-    "q_union_incremental",
-    "q_project_enrich",
-    "q_string_funcs",
-    "q_window_range_frame",
-    "q_date_parts",
-    "q_topk_orderby_limit",
-    "q_tpch_q1_pricing_summary",
-    "q_tpch_q8_market_share",
-    "q_agg_cube",
-    "q_profile_columns",
-    "q_pandas_udf_scalar",
-    # -- new in r6 behind the window (hash-checked by the pytest parity
-    # suite every run; fronts the r7 graded window) --
-    "q_hierarchy_sql_recursive",
-    "q_unpivot_metrics",
-    "q_events_anomaly_days",
-    "q_text_bigram_novelty",
-    "q_bpe_apply_encode",
-    "q_lateral_topn_per_nation",
-    "q_set_ops_all",
-    "q_graph_triangles",
-    "q_events_ewma_daily",
-    "q_reconcile_checksums",
-    "q_stats_winsorized",
-    "q_text_bpe_token_count",
-    "q_wds_extract_samples",
-    "q_multimodal_mp3_scan",
-    "q_compressed_blob_extract",
     # -- r5-graded (CORRECTNESS_r05, all green) --
     "q_events_sessionize",
     "q_events_tumbling_window",
@@ -217,39 +232,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_sample_hash_mixture",
     "q_dedup_ngram_jaccard",
-    # -- r4-graded, unchanged --
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q4_order_priority",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q9_product_type_profit",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q12_shipping_priority_class",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_parts_supplier",
-    "q_tpch_q17_small_quantity_revenue",
-    "q_tpch_q18_large_volume_customer",
-    "q_tpch_q19_discounted_revenue",
-    "q_tpch_q20_part_promotion",
-    "q_tpch_q22_global_sales_opportunity",
-    "q_array_agg_sorted",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_metadata",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_set_intersect",
-    "q_set_except",
-    "q_pivot_status_by_priority",
-    "q_join_range_bands",
-    "q_join_salted_skew",
-    "q_builtin_charge",
-    "q_udtf_bigrams",
-    "q_upsert_partition_rollup",
 )
 
 

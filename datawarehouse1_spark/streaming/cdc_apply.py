@@ -13,22 +13,29 @@ no-op by construction — apply_cdc is idempotent for a fixed change set
 re-inserting a row that anti-joins away its own prior copy all converge)
 — which is what makes the sink exactly-once under checkpoint replay.
 
-Same durability discipline as rollup_maintenance: the snapshot rewrite
-per batch is O(snapshot), documented as the Parquet small-table
+Durability: each batch publishes through streaming/snapshot_store.py —
+write a fresh immutable version directory, then atomically repoint the
+serving path (POSIX rename of a symlink). A crash at ANY point leaves a
+complete snapshot readable (old or new, never partial), which is what
+the pre-r7 delete-then-overwrite swap could not guarantee. The rewrite
+per batch is still O(snapshot), documented as the Parquet small-table
 trade-off (a real deployment points this at a format with row-level
 merge; the OPERATOR is the engine-portable part).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from datawarehouse1_spark.operators.warehouse import apply_cdc
+from datawarehouse1_spark.streaming.snapshot_store import (
+    latest_version,
+    publish_snapshot,
+    read_snapshot,
+)
 
 
 def make_cdc_sink(
@@ -39,25 +46,26 @@ def make_cdc_sink(
     op_col: str = "op",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: fold the micro-batch of changes into the
-    persistent snapshot, atomically swap (write staging, then overwrite).
-    A cold start (no snapshot yet) applies against an empty base, so a
-    stream can bootstrap a table from an insert-only prefix."""
+    persistent snapshot and publish it atomically (versioned dir +
+    pointer swap). A cold start (no snapshot yet) applies against an
+    empty base, so a stream can bootstrap from an insert-only prefix.
+
+    apply_cdc is idempotent for a fixed change set, so a replayed batch
+    converges even without a guard; the version check below still skips
+    it outright (the published version IS the last-applied batch id),
+    saving the redundant rewrite."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        base_schema = batch.drop(op_col, seq_col)
-        if os.path.exists(snapshot_path):
-            base = spark.read.parquet(snapshot_path)
-        else:
-            base = base_schema.limit(0)
+        applied = latest_version(snapshot_path)
+        if applied is not None and applied >= batch_id:
+            return  # checkpoint replay of an already-published batch
+        base = read_snapshot(spark, snapshot_path)
+        if base is None:
+            base = batch.drop(op_col, seq_col).limit(0)
         merged = apply_cdc(base, batch, keys, seq_col=seq_col, op_col=op_col)
-        tmp = f"{snapshot_path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # re-read from staging then overwrite the serving location; the
-        # staged copy breaks the read-what-you-overwrite cycle
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshot_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        publish_snapshot(merged, snapshot_path, version=batch_id)
 
     return sink
 

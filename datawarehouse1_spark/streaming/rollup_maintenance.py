@@ -15,23 +15,28 @@ groups, not rows) — same pattern as upsert_small_table, documented as
 the Parquet trade-off.
 
 Exactly-once: foreachBatch is at-least-once, and adding a delta is not
-idempotent, so the table carries a `_last_batch` metadata column (the
-max batch_id already folded in). The guard lives in the same files as
-the data — one atomic staging swap covers both — and a replayed batch
-is skipped instead of double-counted.
+idempotent, so each publish carries the producing batch_id as its
+snapshot VERSION (streaming/snapshot_store.py): guard and data move in
+one atomic pointer swap and can never disagree, the serving schema
+stays pure (no metadata column for SELECT * consumers — the pre-r7
+`_last_batch` column is gone), and the guard check is a filesystem
+stat, not a Spark job. Replayed batches are skipped, not
+double-counted.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from datawarehouse1_spark.operators.warehouse import merge_rollup
+from datawarehouse1_spark.streaming.snapshot_store import (
+    latest_version,
+    publish_snapshot,
+    read_snapshot,
+)
 
 
 def make_rollup_sink(
@@ -42,40 +47,22 @@ def make_rollup_sink(
     additive_cols: Sequence[str],
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: aggregate ONLY the micro-batch, merge into the
-    persistent rollup, atomically swap (write tmp, then overwrite)."""
+    persistent rollup, publish atomically (versioned dir + pointer
+    swap; the version doubles as the replay guard)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        applied = latest_version(rollup_path)
+        if applied is not None and applied >= batch_id:
+            return  # checkpoint replay — already folded in, skip
         delta = batch_agg(batch)
-        old = (
-            spark.read.parquet(rollup_path)
-            if os.path.exists(rollup_path)
-            else None
-        )
-        # Replay guard: foreachBatch is at-least-once, and ADDING a
-        # delta is not idempotent — a checkpoint replay of an
-        # already-applied batch would double-count. The last applied
-        # batch_id rides INSIDE the rollup table, so guard and data
-        # move through the same atomic staging swap and can never
-        # disagree. (Pre-guard rollups without the column are
-        # grandfathered: first merge stamps them.)
+        old = read_snapshot(spark, rollup_path)
         if old is not None and "_last_batch" in old.columns:
-            applied = old.agg({"_last_batch": "max"}).first()[0]
-            if applied is not None and applied >= batch_id:
-                return
+            # grandfather pre-r7 rollups that carried the guard column
             old = old.drop("_last_batch")
-        merged = merge_rollup(old, delta, keys, additive_cols).withColumn(
-            "_last_batch", F.lit(batch_id).cast("long")
-        )
-        tmp = f"{rollup_path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # re-read from staging then overwrite the serving location; the
-        # staged copy breaks the read-what-you-overwrite cycle
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
-        # the serving copy is durable now — drop the staging dir, or a
-        # long-running stream leaks one dir per micro-batch
-        shutil.rmtree(tmp, ignore_errors=True)
+        merged = merge_rollup(old, delta, keys, additive_cols)
+        publish_snapshot(merged, rollup_path, version=batch_id)
 
     return sink
 

@@ -1,0 +1,85 @@
+"""Round-7 hardening regressions (r6 ADVICE closures).
+
+Each test pins an ADVICE item:
+  * degenerate-document guards in the Gopher rule battery — empty and
+    whitespace-only docs must produce the SAME (NULL-bearing) row from
+    Spark and DuckDB instead of diverging on 0/0 semantics;
+  * (atomic snapshot publish and apply_cdc duplicate-seq enforcement
+    are pinned in test_snapshot_store.py / test_warehouse_ops.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import compare_query
+
+
+@pytest.fixture()
+def degenerate_docs_dir(spark, tmp_path):
+    """A documents table whose rows exercise the 0-line / 0-token edge:
+    empty text, whitespace-only text, and one normal doc (doc_id chosen
+    per residue class so bullet/ellipsis/dup staging branches all run)."""
+    rows = [
+        # doc_id%4∈{0,1} fabricates a '- '/'...' line even from empty
+        # text, so the truly-zero-lines docs use residues 2 and 3
+        (2, "", "en", "synthetic", 0),
+        # trim() strips ONLY spaces in both engines: a doc of pure
+        # spaces has zero lines; one with \n/\t keeps a line but still
+        # tokenizes to zero words (split on \s+) — cover both
+        (3, "        ", "en", "synthetic", 8),
+        (7, "   \n  \t ", "en", "synthetic", 8),
+        (0, "word " * 40, "en", "synthetic", 200),  # bullet+dup branches
+        (1, "tiny", "en", "synthetic", 4),  # ellipsis branch, short text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_gopher_rules_degenerate_docs_match_oracle(spark, degenerate_docs_dir):
+    """0-line and 0-token docs: frac_e6 / dup_line_frac_e6 /
+    mean_word_len_e6 must be NULL (not an error, not inf) in BOTH
+    engines, and gopher_keep must come out identical."""
+    from datawarehouse1_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{degenerate_docs_dir}/documents.parquet/*.parquet')"
+    )
+    compare_query(
+        spark,
+        con,
+        QUERIES["q_curation_gopher_rules"],
+        ORACLES["q_curation_gopher_rules"],
+        sf_dir=degenerate_docs_dir,
+    )
+
+
+def test_gopher_rules_degenerate_docs_null_not_error(spark, degenerate_docs_dir):
+    """The empty doc's derived metrics are NULL and its verdict is a
+    plain False (n_tokens=0 fails the band) — no ANSI divide/cast error
+    surfaces at execution time."""
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q_curation_gopher_rules"](
+            spark, degenerate_docs_dir
+        ).collect()
+    }
+    for doc_id in (2, 3):  # empty text / whitespace-only text
+        empty = out[doc_id]
+        assert empty.n_lines == 0 and empty.n_tokens == 0
+        assert empty.bullet_frac_e6 is None
+        assert empty.ellipsis_frac_e6 is None
+        assert empty.dup_line_frac_e6 is None
+        assert empty.mean_word_len_e6 is None
+        assert empty.gopher_keep is False
+    assert out[0].gopher_keep is not None  # normal doc still scored

@@ -99,8 +99,9 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
 def test_rollup_sink_replay_does_not_double_count(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between checkpoint commit
     points replays the last batch. Adding a delta is NOT idempotent, so
-    the sink's `_last_batch` in-table guard must turn the replay into a
-    no-op instead of double-counting."""
+    the sink's snapshot-version replay guard (the published version IS
+    the producing batch id) must turn the replay into a no-op instead
+    of double-counting."""
     from datawarehouse1_spark.streaming.rollup_maintenance import make_rollup_sink
 
     rollup = str(tmp_path / "rollup")

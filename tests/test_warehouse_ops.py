@@ -154,3 +154,34 @@ def test_apply_cdc_delete_only_key_absent_everywhere(spark):
     )
     got = {(r.k, r.v) for r in apply_cdc(base, changes, keys=("k",)).collect()}
     assert got == {(1, "a")}
+
+
+def test_apply_cdc_duplicate_winner_seq_fails_loudly(spark):
+    """Total-order contract enforcement (r6 ADVICE): two changes with
+    the same (key, seq) at the TOP of a key's history have no defined
+    winner — the fold must raise at execution time, not silently pick
+    one (nondeterministic snapshots break replay/exactly-once)."""
+    import pytest
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "U", 7), (1, "y", "U", 7)],
+        "k int, v string, op string, seq int",
+    )
+    with pytest.raises(Exception, match="duplicate \\(key, seq\\)"):
+        apply_cdc(base, changes, keys=("k",)).collect()
+
+
+def test_apply_cdc_tie_below_winner_is_fine(spark):
+    """Ties BELOW the winner don't affect the outcome and must pass:
+    the guard enforces determinism of the result, not feed hygiene."""
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "U", 1), (1, "y", "U", 1), (1, "z", "U", 2)],
+        "k int, v string, op string, seq int",
+    )
+    got = {(r.k, r.v) for r in apply_cdc(base, changes, keys=("k",)).collect()}
+    assert got == {(1, "z")}
