@@ -26,6 +26,7 @@ _MODULES = (
     "warc_ext",
     "wds_ext",
     "curation_r6",
+    "curation_r7",
 )
 
 

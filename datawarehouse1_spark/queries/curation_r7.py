@@ -1,0 +1,237 @@
+"""Round-7 curation: the composed keep/drop verdict.
+
+A real curation run doesn't ship one heuristic — it ships a FILTER
+STACK: every rule scored per document, one calibrated verdict, and
+per-rule attribution so corpus engineers can see exactly why mass was
+dropped (the published pipelines — C4, Gopher/MassiveText, RefinedWeb —
+all report per-rule removal rates). The individual signals exist as
+standalone queries (q_text_quality_score, q_text_lang_score,
+q_text_repetition_score, q_text_bigram_novelty); this composes them
+into one verdict without re-reading the corpus once per rule.
+
+Scale shape: ONE narrow pass computes every per-document signal
+(token/char shape, stopword language score, within-doc repetition) as
+higher-order array expressions — no shuffle, no Python. The only
+corpus-level signal (bigram novelty) adds the same two exchanges the
+standalone query pays (bigram-frequency window + doc_id join-back);
+document bodies never shuffle. At 100 TB the verdict costs one corpus
+scan per branch + (doc_id, bigram) pairs — not five scans for five
+rules.
+
+All fractions are floored integer micro-units and every threshold is
+an integer compare, so the keep verdict cannot diverge on float
+rendering between engines. Thresholds are calibrated against the
+testdata signal distributions (probed at sf0.01: stopword-score p10
+~15k µ, dup-token median ~538k µ / p90 ~679k µ, dup-bigram p90 ~65k µ,
+novelty median 0) so every rule has real discriminating power — each
+fires on some documents and passes others.
+
+Reference parity: the reference ETL (etl/app.py) has no curation
+surface; SURVEY.md §2D extension inventory (LLM-pipeline tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import word_ngrams
+from datawarehouse1_spark.queries.text import STOPWORDS
+from datawarehouse1_spark.registry import declared
+
+# (rule, failure label) in attribution order. Labels are data: they
+# appear verbatim in fail_reasons on both engines.
+_RULES = (
+    ("rule_tokens", "tokens"),
+    ("rule_word_shape", "word_shape"),
+    ("rule_lang", "lang"),
+    ("rule_repetition", "repetition"),
+    ("rule_novelty", "novelty"),
+)
+
+_VERDICT_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+               AS t
+      FROM documents
+    ),
+    narrow AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(floor(1000000.0 * n_chars / nullif(len(t), 0)) AS BIGINT)
+               AS chars_per_token_e6,
+             CAST(floor(1000000.0 * len(list_filter(t,
+                    x -> list_contains({list(STOPWORDS)!r}, x)))
+                  / nullif(len(t), 0)) AS BIGINT) AS stop_score_e6,
+             CAST(floor(1000000.0 * (1.0 -
+                    CAST(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0)))
+                  AS BIGINT) AS dup_token_frac_e6,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                            i -> concat_ws(' ', t[i], t[i+1])) AS bgs
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, len(bgs) AS nb, unnest(bgs) AS bg
+      FROM narrow WHERE len(bgs) >= 1
+    ),
+    vocab AS (SELECT bg FROM exploded GROUP BY bg HAVING COUNT(*) >= 3),
+    nov AS (
+      SELECT e.doc_id,
+             CAST(floor(1000000.0 * (1.0 -
+                    CAST(len(list_distinct(list(e.bg))) AS DOUBLE) / e.nb))
+                  AS BIGINT) AS dup_bigram_frac_e6,
+             CAST(floor(count(*) FILTER (WHERE v.bg IS NULL)
+                    * 1000000.0 / e.nb) AS BIGINT) AS novelty_e6
+      FROM exploded e LEFT JOIN vocab v ON e.bg = v.bg
+      GROUP BY e.doc_id, e.nb
+    ),
+    scored AS (
+      SELECT n.doc_id, n.n_tokens, n.chars_per_token_e6, n.stop_score_e6,
+             n.dup_token_frac_e6, v.dup_bigram_frac_e6, v.novelty_e6,
+             coalesce(n.n_tokens BETWEEN 10 AND 100000, FALSE) AS rule_tokens,
+             coalesce(n.chars_per_token_e6 BETWEEN 3000000 AND 10000000, FALSE)
+               AS rule_word_shape,
+             coalesce(n.stop_score_e6 >= 30000, FALSE) AS rule_lang,
+             coalesce(n.dup_token_frac_e6 <= 600000, FALSE)
+               AND coalesce(v.dup_bigram_frac_e6 <= 150000, TRUE)
+               AS rule_repetition,
+             coalesce(v.novelty_e6 <= 100000, TRUE) AS rule_novelty
+      FROM narrow n LEFT JOIN nov v ON n.doc_id = v.doc_id
+    )
+    SELECT *,
+           CAST(5 - (CAST(rule_tokens AS INT) + CAST(rule_word_shape AS INT)
+               + CAST(rule_lang AS INT) + CAST(rule_repetition AS INT)
+               + CAST(rule_novelty AS INT)) AS BIGINT) AS n_rules_failed,
+           concat_ws(',',
+             CASE WHEN NOT rule_tokens THEN 'tokens' END,
+             CASE WHEN NOT rule_word_shape THEN 'word_shape' END,
+             CASE WHEN NOT rule_lang THEN 'lang' END,
+             CASE WHEN NOT rule_repetition THEN 'repetition' END,
+             CASE WHEN NOT rule_novelty THEN 'novelty' END) AS fail_reasons,
+           rule_tokens AND rule_word_shape AND rule_lang
+             AND rule_repetition AND rule_novelty AS keep
+    FROM scored
+"""
+
+
+@declared("q_curation_quality_verdict", oracle=_VERDICT_ORACLE)
+def q_curation_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed filter stack: five calibrated rules, one verdict,
+    per-rule attribution. Missing-evidence semantics, applied uniformly
+    in both engines:
+
+      * a doc too degenerate to measure a PER-DOC signal (0 tokens)
+        FAILS the rules that need it — there is nothing to keep;
+      * a doc too short to measure a CORPUS-RELATIVE signal (<2 tokens,
+        so no bigrams) PASSES repetition/novelty — insufficient
+        evidence is not evidence of badness, and the token-band rule
+        already owns the too-short case."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+    n_tokens = F.size("t")
+
+    def per_tok_e6(expr):
+        return F.when(n_tokens > 0, F.floor(expr)).cast("long")
+
+    narrow = d.select(
+        "doc_id", F.length("text").alias("n_chars"), toks.alias("t")
+    ).select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        per_tok_e6(F.lit(1000000.0) * F.col("n_chars") / n_tokens).alias(
+            "chars_per_token_e6"
+        ),
+        per_tok_e6(
+            F.lit(1000000.0)
+            * F.size(F.filter("t", lambda x: F.array_contains(stop, x)))
+            / n_tokens
+        ).alias("stop_score_e6"),
+        per_tok_e6(
+            F.lit(1000000.0)
+            * (
+                F.lit(1.0)
+                - F.size(F.array_distinct("t")).cast("double") / n_tokens
+            )
+        ).alias("dup_token_frac_e6"),
+        word_ngrams(F.col("t"), 2).alias("bgs"),
+    )
+
+    # corpus-relative branch: bigram frequency via a window over the
+    # exploded pairs (single shuffle keyed on bg — same shape as
+    # q_text_bigram_novelty), folded back per doc
+    exploded = narrow.filter(F.size("bgs") >= 1).select(
+        "doc_id", F.size("bgs").alias("nb"), F.explode("bgs").alias("bg")
+    )
+    freq = F.count(F.lit(1)).over(Window.partitionBy("bg"))
+    nov = (
+        exploded.withColumn("_known", freq >= 3)
+        .groupBy("doc_id", "nb")
+        .agg(
+            F.count_distinct("bg").alias("_n_distinct"),
+            F.count(F.when(~F.col("_known"), 1)).alias("_n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.lit(1.0)
+                    - F.col("_n_distinct").cast("double") / F.col("nb")
+                )
+            )
+            .cast("long")
+            .alias("dup_bigram_frac_e6"),
+            F.floor(F.col("_n_novel") * F.lit(1000000.0) / F.col("nb"))
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+    scored = (
+        narrow.drop("bgs")
+        .join(nov, on="doc_id", how="left")
+        .withColumn(
+            "rule_tokens",
+            F.coalesce(F.col("n_tokens").between(10, 100000), F.lit(False)),
+        )
+        .withColumn(
+            "rule_word_shape",
+            F.coalesce(
+                F.col("chars_per_token_e6").between(3000000, 10000000),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "rule_lang",
+            F.coalesce(F.col("stop_score_e6") >= 30000, F.lit(False)),
+        )
+        .withColumn(
+            "rule_repetition",
+            F.coalesce(F.col("dup_token_frac_e6") <= 600000, F.lit(False))
+            & F.coalesce(F.col("dup_bigram_frac_e6") <= 150000, F.lit(True)),
+        )
+        .withColumn(
+            "rule_novelty",
+            F.coalesce(F.col("novelty_e6") <= 100000, F.lit(True)),
+        )
+    )
+    flags = [F.col(rule) for rule, _ in _RULES]
+    n_failed = F.lit(len(_RULES)) - sum(
+        flag.cast("int") for flag in flags
+    )
+    reasons = F.concat_ws(
+        ",", *[F.when(~F.col(rule), F.lit(label)) for rule, label in _RULES]
+    )
+    keep = flags[0]
+    for flag in flags[1:]:
+        keep = keep & flag
+    return scored.select(
+        "*",
+        n_failed.cast("long").alias("n_rules_failed"),
+        reasons.alias("fail_reasons"),
+        keep.alias("keep"),
+    )

@@ -78,7 +78,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_mp3_scan",
     "q_compressed_blob_extract",
     # -- (b) new in r7 (composed curation verdict per VERDICT r6 #7) --
-    # (inserted as they land; see section comment above)
+    "q_curation_quality_verdict",
     # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
     "q_join_semi",
     "q_subquery_exists",
@@ -116,9 +116,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_profile_columns",
     "q_pandas_udf_scalar",
     "q_array_agg_sorted",
-    "q_multimodal_features",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_multimodal_metadata",
     "q_agg_grouping_sets",

@@ -149,6 +149,11 @@ EXCHANGE_BUDGET = {
     # agg branch statically (exchange reuse collapses it at runtime)
     # + mad agg + final agg
     "q_stats_mad_outliers": 4,
+    # r7 audit (sf0.001, local[8]): bigram-frequency window + per-doc
+    # fold; the attribution join-back broadcasts the (small) novelty
+    # side locally — at scale it degrades to one more doc_id exchange,
+    # never to a corpus rescan per rule
+    "q_curation_quality_verdict": 2,
 }
 
 
