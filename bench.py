@@ -41,15 +41,19 @@ HEADLINE = (
 )
 
 
-def run_one(spark, fn, sf_dir: str, timed_runs: int = 2) -> float:
+def run_one(spark, fn, sf_dir: str, timed_runs: int = 2) -> tuple[float, float]:
+    """Returns (min, max-min spread) over the timed runs. min-of-N damps
+    GC/scheduler noise; the recorded spread distinguishes a real plan
+    regression from a shared-box swing without a manual re-run (r6
+    triaged three sub-second 'regressions' by hand — all noise)."""
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warmup (untimed)
-    best = float("inf")
-    for _ in range(timed_runs):  # min-of-N damps GC/scheduler noise
+    times = []
+    for _ in range(timed_runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), max(times) - min(times)
 
 
 def main() -> None:
@@ -70,10 +74,15 @@ def main() -> None:
     # trace with no number). Failures are recorded by name and the JSON
     # line is ALWAYS printed.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            timings[name] = round(run_one(spark, registry.QUERIES[name], SF_DIR), 4)
+            best, spread = run_one(
+                spark, registry.QUERIES[name], SF_DIR, timed_runs=3
+            )
+            timings[name] = round(best, 4)
+            spreads[name] = round(spread, 4)
         except Exception as ex:  # noqa: BLE001 - record and keep benching
             errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
             print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
@@ -89,7 +98,8 @@ def main() -> None:
         for name in sorted(n for n in registry.QUERIES if n.startswith("q_tpch_")):
             try:
                 tpch[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1), 4
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1)[0],
+                    4,
                 )
             except Exception as ex:  # noqa: BLE001 - record and keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
@@ -116,13 +126,15 @@ def main() -> None:
         "q_text_bigram_novelty",
         "q_bpe_learn_merges",
         "q_curation_gopher_rules",
+        "q_curation_quality_verdict",
     )
     llm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":
         for name in LLM:
             try:
                 llm[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1), 4
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1)[0],
+                    4,
                 )
             except Exception as ex:  # noqa: BLE001 - record and keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
@@ -134,6 +146,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # max-min over the 3 timed runs per headline query: a "regression"
+        # smaller than its spread is shared-box noise, not a plan change
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
     }
     if tpch:

@@ -219,3 +219,66 @@ def apply_cdc(
     survivors = base.join(latest.select(*keys), on=list(keys), how="left_anti")
     applied = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
     return survivors.unionByName(applied)
+
+
+def extract_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Snapshot diff — the INVERSE of apply_cdc: given two versions of a
+    table, emit the minimal change feed (op ∈ {'I','U','D'}) that folds
+    the old snapshot into the new one. The pair forms a round-trip law
+    (pinned in tests):
+
+        apply_cdc(old, extract_changes(old, new) + any seq) == new
+
+    This is CDC *generation* for systems that only expose snapshots
+    (nightly dumps, full-refresh APIs, the reference's re-ingested Excel
+    files): diff against yesterday's snapshot and ship deltas downstream
+    instead of the full table.
+
+    Shape: ONE null-safe full outer join on the keys decides everything —
+    I where the key is new, D where it vanished, U where any non-key
+    column differs (struct equality, null-safe via <=>); unchanged rows
+    are dropped, so downstream cost scales with churn, not table size.
+    Non-key values come from `new` (for D rows they are the old values,
+    informational only — apply_cdc ignores them). At 100 TB both sides
+    shuffle once on the key; co-partitioned/bucketed snapshots make it
+    exchange-free."""
+    keys = list(keys)
+    vals = [c for c in new.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: old={sorted(old.columns)} "
+            f"new={sorted(new.columns)}"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        F.struct(*[F.col(c).alias(c) for c in vals]).alias("_oval"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.struct(*[F.col(c).alias(c) for c in vals]).alias("_nval"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    old_absent = F.col(f"_ok_{keys[0]}").isNull() & F.col("_oval").isNull()
+    new_absent = F.col(f"_nk_{keys[0]}").isNull() & F.col("_nval").isNull()
+    op = (
+        F.when(old_absent, F.lit("I"))
+        .when(new_absent, F.lit("D"))
+        .when(~F.col("_oval").eqNullSafe(F.col("_nval")), F.lit("U"))
+    )
+    changed = joined.withColumn(op_col, op).filter(F.col(op_col).isNotNull())
+    out_key = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    out_val = [
+        F.coalesce(F.col("_nval"), F.col("_oval"))[c].alias(c) for c in vals
+    ]
+    return changed.select(*out_key, *out_val, F.col(op_col))

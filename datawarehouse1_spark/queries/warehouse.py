@@ -355,3 +355,69 @@ def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehouse1_spark.operators.warehouse import apply_cdc
 
     return apply_cdc(base, changes, keys=("o_orderkey",))
+
+
+_CDC_NEW_SNAPSHOT_SQL = """
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 IN (1, 2)
+                  THEN o_totalprice * CAST(1.10 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 3
+"""
+
+
+@declared(
+    "q_cdc_extract_changes",
+    oracle=f"""
+    WITH new AS ({_CDC_NEW_SNAPSHOT_SQL})
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           coalesce(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def q_cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC GENERATION — the inverse of q_merge_cdc_apply: diff two
+    snapshot versions of orders into the minimal I/U/D change feed
+    (operators/warehouse.py::extract_changes). The snapshots-only
+    integration pattern: nightly dumps (or the reference's re-ingested
+    Excel files, etl/app.py:36-52 which detects changed FILES but then
+    re-loads whole tables) become row-level deltas for downstream
+    consumers. Staged new snapshot: ~1/7 of keys deleted, ~2/7
+    re-priced, ~1/7 inserted, the rest unchanged and NOT emitted — the
+    feed scales with churn, not table size. One null-safe full outer
+    join on the key; round-trip law apply_cdc(old, extract(old,new)) ==
+    new is pinned in tests/test_warehouse_ops.py."""
+    from datawarehouse1_spark.operators.warehouse import extract_changes
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey") % 7
+    new = (
+        base.filter(k != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                k.isin(1, 2), F.col("o_totalprice") * F.lit(1.10)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.filter(k == 3).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return extract_changes(base, new, keys=("o_orderkey",))

@@ -77,8 +77,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
     "q_compressed_blob_extract",
-    # -- (b) new in r7 (composed curation verdict per VERDICT r6 #7) --
+    # -- (b) new in r7: composed curation verdict (VERDICT r6 #7) +
+    # snapshot-diff CDC generation (inverse of apply_cdc) --
     "q_curation_quality_verdict",
+    "q_cdc_extract_changes",
     # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
     "q_join_semi",
     "q_subquery_exists",
@@ -115,9 +117,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_cube",
     "q_profile_columns",
     "q_pandas_udf_scalar",
-    "q_array_agg_sorted",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_array_agg_sorted",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_multimodal_metadata",

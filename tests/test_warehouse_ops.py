@@ -185,3 +185,44 @@ def test_apply_cdc_tie_below_winner_is_fine(spark):
     )
     got = {(r.k, r.v) for r in apply_cdc(base, changes, keys=("k",)).collect()}
     assert got == {(1, "z")}
+
+
+def test_extract_changes_roundtrip_law(spark):
+    """apply_cdc(old, extract_changes(old, new)) == new — the pair of
+    operators must be exact inverses, including null values, null-only
+    diffs, inserts of null-bearing rows, and deletes."""
+    from datawarehouse1_spark.operators.warehouse import apply_cdc, extract_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", None), (4, "d", 40), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),       # unchanged: no change row emitted
+            (2, "b2", 20),      # null -> value
+            (3, "c", 30),       # value -> value (was null)
+            (5, None, None),    # value -> null (update to nulls)
+            (6, None, 60),      # insert with a null field
+        ],                      # k=4 deleted
+        "k int, s string, v int",
+    )
+    changes = extract_changes(old, new, keys=("k",))
+    got_ops = {(r.k, r.op) for r in changes.collect()}
+    assert got_ops == {(2, "U"), (3, "U"), (5, "U"), (6, "I"), (4, "D")}
+
+    replayed = apply_cdc(
+        old, changes.withColumn("seq", F.lit(1)), keys=("k",)
+    )
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
+def test_extract_changes_schema_mismatch_raises(spark):
+    from datawarehouse1_spark.operators.warehouse import extract_changes
+
+    old = spark.createDataFrame([(1, "a")], "k int, s string")
+    new = spark.createDataFrame([(1, "a", 2)], "k int, s string, extra int")
+    with pytest.raises(ValueError, match="schemas differ"):
+        extract_changes(old, new, keys=("k",))
