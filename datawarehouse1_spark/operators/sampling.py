@@ -1,0 +1,86 @@
+"""Deterministic sampling operators.
+
+Reproducibility discipline (SCALE.md #10): never `rand()` — ranks come
+from md5 over a stable key, so reruns, retried tasks, and different
+engines draw the SAME sample. Complements the hash-threshold mixture
+filter (dedup_ext.py::q_sample_hash_mixture), which draws a FRACTION
+per stratum; this draws an exact per-stratum COUNT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_col(key: str):
+    return F.md5(F.col(key).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    key: str,
+    k: int,
+    oversample: int = 0,
+) -> DataFrame:
+    """Exactly k rows per stratum (all rows where the stratum is
+    smaller), chosen as the k smallest md5(key) — deterministic across
+    runs, partitionings, and engines. Adds `sample_rank` (1..k).
+
+    Naive shape: one window per stratum = the whole stratum sorts in
+    one task — fine for dimension-sized strata, a straggler at 100 TB.
+    `oversample > 0` enables the scale path: a narrow PRE-FILTER keeps
+    only rows whose md5 falls in the smallest `oversample * k / |s|`
+    fraction of the hash space (per-stratum counts from one cheap
+    aggregate, broadcast back), so the window sorts ~oversample*k
+    candidate rows per stratum instead of the full stratum. The
+    k-smallest survive any prefilter that keeps >= k rows; the operator
+    VERIFIES that per stratum and raises on shortfall (a stratum
+    smaller than k passes whole, un-filtered), so the scale path is
+    exact-or-loud, never silently approximate. Equivalence of the two
+    paths is pytest-pinned."""
+    strata = list(strata)
+    rank = _rank_col(key)
+    cand = df
+    if oversample > 0:
+        counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+        # md5 is uniform in [0, 16^8) on the first 8 hex digits; keep
+        # frac = min(1, oversample*k/n) of the hash space
+        frac = F.least(
+            F.lit(1.0), F.lit(float(oversample * k)) / F.col("_n")
+        )
+        cut = (frac * F.lit(float(16**8))).cast("long")
+        cand = df.join(F.broadcast(counts.withColumn("_cut", cut)), strata)
+        passes = F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") < F.col(
+            "_cut"
+        )
+        cand = cand.filter(passes | (F.col("_n") <= F.lit(k))).drop("_n", "_cut")
+    w = Window.partitionBy(*strata).orderBy(rank, F.col(key))
+    out = (
+        cand.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        # the prefilter join moves the strata columns first; restore the
+        # caller's column order so both paths return identical schemas
+        .select(*df.columns, "sample_rank")
+    )
+    if oversample > 0:
+        # exact-or-loud: if the prefilter starved a stratum that had
+        # >= k rows, the sample would silently shrink — forbid it
+        got = out.groupBy(*strata).agg(F.count(F.lit(1)).alias("_got"))
+        short = (
+            got.join(
+                df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n")), strata
+            )
+            .filter((F.col("_got") < F.lit(k)) & (F.col("_n") >= F.lit(k)))
+            .limit(1)
+            .collect()
+        )
+        if short:
+            raise RuntimeError(
+                f"stratified_sample prefilter shortfall at {short[0]}; "
+                f"raise `oversample` (was {oversample})"
+            )
+    return out

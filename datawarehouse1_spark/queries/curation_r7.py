@@ -162,26 +162,27 @@ def q_curation_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # corpus-relative branch: bigram frequency via a window over the
     # exploded pairs (single shuffle keyed on bg — same shape as
-    # q_text_bigram_novelty), folded back per doc
+    # q_text_bigram_novelty), folded back per doc. The per-doc DISTINCT
+    # bigram count is computed narrowly from the array BEFORE the
+    # explode (array_distinct), not as a count_distinct aggregate —
+    # distinct-per-doc is a per-row fact here, so paying the two-level
+    # distinct-agg expansion for it would be pure waste
     exploded = narrow.filter(F.size("bgs") >= 1).select(
-        "doc_id", F.size("bgs").alias("nb"), F.explode("bgs").alias("bg")
+        "doc_id",
+        F.size("bgs").alias("nb"),
+        F.size(F.array_distinct("bgs")).alias("ndbg"),
+        F.explode("bgs").alias("bg"),
     )
     freq = F.count(F.lit(1)).over(Window.partitionBy("bg"))
     nov = (
         exploded.withColumn("_known", freq >= 3)
-        .groupBy("doc_id", "nb")
-        .agg(
-            F.count_distinct("bg").alias("_n_distinct"),
-            F.count(F.when(~F.col("_known"), 1)).alias("_n_novel"),
-        )
+        .groupBy("doc_id", "nb", "ndbg")
+        .agg(F.count(F.when(~F.col("_known"), 1)).alias("_n_novel"))
         .select(
             "doc_id",
             F.floor(
                 F.lit(1000000.0)
-                * (
-                    F.lit(1.0)
-                    - F.col("_n_distinct").cast("double") / F.col("nb")
-                )
+                * (F.lit(1.0) - F.col("ndbg").cast("double") / F.col("nb"))
             )
             .cast("long")
             .alias("dup_bigram_frac_e6"),
@@ -234,4 +235,125 @@ def q_curation_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.cast("long").alias("n_rules_failed"),
         reasons.alias("fail_reasons"),
         keep.alias("keep"),
+    )
+
+
+@declared(
+    "q_sample_stratified_exact",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+)
+def q_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly 20 docs per language, chosen
+    as the k smallest md5(doc_id) — deterministic across runs,
+    partitionings, and engines (no rand()), the eval-set / human-review
+    draw a curation run needs to be reproducible. Declared path is the
+    plain per-stratum window (operators/sampling.py::stratified_sample,
+    oversample=0); the exact-or-loud prefilter scale path (sorts
+    ~oversample*k candidates per stratum instead of the whole stratum)
+    is the same operator with oversample>0 — path equivalence is
+    pytest-pinned."""
+    from datawarehouse1_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, strata=("lang",), key="doc_id", k=20).select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+# Target mixture for the token-budget plan: micro-unit weights, sum 1e6.
+# Static data shared verbatim with the oracle below.
+_MIX_W_E6 = {"en": 400000, "zh": 200000, "de": 150000, "fr": 150000, "es": 100000}
+
+_MIX_WEIGHTS_SQL = "(VALUES " + ", ".join(
+    f"('{lang}', {w})" for lang, w in sorted(_MIX_W_E6.items())
+) + ") AS w(lang, w_e6)"
+
+
+@declared(
+    "q_mixture_token_budget",
+    oracle=f"""
+    WITH avail AS (
+      SELECT d.lang, w.w_e6,
+             CAST(SUM(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                      t -> t <> ''))) AS BIGINT) AS avail_tokens
+      FROM documents d JOIN {_MIX_WEIGHTS_SQL} ON d.lang = w.lang
+      GROUP BY d.lang, w.w_e6
+    ),
+    capped AS (
+      SELECT *,
+             CAST(floor(avail_tokens * CAST(1000000 AS DECIMAL(38,0)) / w_e6)
+                  AS BIGINT) AS budget_cap
+      FROM avail
+    ),
+    solved AS (
+      SELECT *, MIN(budget_cap) OVER () AS t_max FROM capped
+    )
+    SELECT lang, w_e6, avail_tokens, budget_cap,
+           CAST(floor(CAST(w_e6 AS DECIMAL(38,0)) * t_max / 1000000) AS BIGINT)
+             AS allotted_tokens,
+           CAST(floor(CAST(floor(CAST(w_e6 AS DECIMAL(38,0)) * t_max / 1000000)
+                           AS DECIMAL(38,0))
+                * 1000000 / avail_tokens) AS BIGINT) AS sample_rate_e6,
+           budget_cap = t_max AS binding
+    FROM solved
+    """,
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING — the arithmetic a training run does before
+    sampling: given target mixture weights per language and the tokens
+    actually available, the largest total budget T the mixture can
+    support is min over strata of avail/weight; each stratum is then
+    allotted weight*T tokens, giving its sampling rate, and `binding`
+    marks the stratum that limits the whole mixture (what you must
+    source more of to scale the run). One token-count aggregate (the
+    only shuffle) + a 5-row window; all ratios in integer micro-units
+    through DECIMAL(38,0) intermediates so no engine can diverge on
+    float rounding or int64 overflow."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(_MIX_W_E6.items()), "lang string, w_e6 long"
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    avail = (
+        d.join(F.broadcast(w), "lang")
+        .groupBy("lang", "w_e6")
+        .agg(F.sum(F.size(toks)).cast("long").alias("avail_tokens"))
+    )
+    dec = "decimal(38,0)"
+    capped = avail.withColumn(
+        "budget_cap",
+        F.floor(
+            F.col("avail_tokens").cast(dec)
+            * F.lit(1000000).cast(dec)
+            / F.col("w_e6")
+        ).cast("long"),
+    )
+    solved = capped.withColumn(
+        "t_max", F.min("budget_cap").over(Window.partitionBy())
+    )
+    # floor() explicitly before every decimal->long cast: Spark's cast
+    # TRUNCATES a fractional decimal while DuckDB's cast ROUNDS — floor
+    # is the only semantics both engines share
+    allotted = F.floor(
+        F.col("w_e6").cast(dec) * F.col("t_max") / F.lit(1000000)
+    ).cast("long")
+    return solved.select(
+        "lang",
+        "w_e6",
+        "avail_tokens",
+        "budget_cap",
+        allotted.alias("allotted_tokens"),
+        F.floor(allotted.cast(dec) * F.lit(1000000) / F.col("avail_tokens"))
+        .cast("long")
+        .alias("sample_rate_e6"),
+        (F.col("budget_cap") == F.col("t_max")).alias("binding"),
     )

@@ -77,10 +77,13 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_wds_extract_samples",
     "q_multimodal_mp3_scan",
     "q_compressed_blob_extract",
-    # -- (b) new in r7: composed curation verdict (VERDICT r6 #7) +
-    # snapshot-diff CDC generation (inverse of apply_cdc) --
+    # -- (b) new in r7: composed curation verdict (VERDICT r6 #7),
+    # snapshot-diff CDC generation (inverse of apply_cdc), exact
+    # stratified sampling, mixture token-budget planning --
     "q_curation_quality_verdict",
     "q_cdc_extract_changes",
+    "q_sample_stratified_exact",
+    "q_mixture_token_budget",
     # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
     "q_join_semi",
     "q_subquery_exists",
@@ -115,10 +118,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q22_global_sales_opportunity",
     "q_embedding_neardup",
     "q_agg_cube",
-    "q_profile_columns",
-    "q_pandas_udf_scalar",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_profile_columns",
+    "q_pandas_udf_scalar",
     "q_array_agg_sorted",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
