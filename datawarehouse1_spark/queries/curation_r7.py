@@ -162,27 +162,31 @@ def q_curation_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # corpus-relative branch: bigram frequency via a window over the
     # exploded pairs (single shuffle keyed on bg — same shape as
-    # q_text_bigram_novelty), folded back per doc. The per-doc DISTINCT
-    # bigram count is computed narrowly from the array BEFORE the
-    # explode (array_distinct), not as a count_distinct aggregate —
-    # distinct-per-doc is a per-row fact here, so paying the two-level
-    # distinct-agg expansion for it would be pure waste
+    # q_text_bigram_novelty), folded back per doc. The per-doc distinct
+    # bigram count stays a count_distinct AGGREGATE on purpose: the
+    # tempting "narrow" alternative — size(array_distinct(bgs)) in the
+    # same projection as the explode — gets collapsed into the Generate
+    # by Catalyst and recomputed per EXPLODED row, O(tokens²) per doc
+    # (measured 3.10 s vs 1.20 s at sf0.1 — keep the aggregate)
     exploded = narrow.filter(F.size("bgs") >= 1).select(
-        "doc_id",
-        F.size("bgs").alias("nb"),
-        F.size(F.array_distinct("bgs")).alias("ndbg"),
-        F.explode("bgs").alias("bg"),
+        "doc_id", F.size("bgs").alias("nb"), F.explode("bgs").alias("bg")
     )
     freq = F.count(F.lit(1)).over(Window.partitionBy("bg"))
     nov = (
         exploded.withColumn("_known", freq >= 3)
-        .groupBy("doc_id", "nb", "ndbg")
-        .agg(F.count(F.when(~F.col("_known"), 1)).alias("_n_novel"))
+        .groupBy("doc_id", "nb")
+        .agg(
+            F.count_distinct("bg").alias("_n_distinct"),
+            F.count(F.when(~F.col("_known"), 1)).alias("_n_novel"),
+        )
         .select(
             "doc_id",
             F.floor(
                 F.lit(1000000.0)
-                * (F.lit(1.0) - F.col("ndbg").cast("double") / F.col("nb"))
+                * (
+                    F.lit(1.0)
+                    - F.col("_n_distinct").cast("double") / F.col("nb")
+                )
             )
             .cast("long")
             .alias("dup_bigram_frac_e6"),
