@@ -450,3 +450,62 @@ def test_apply_cdc_matches_dict_replay(spark, case):
         r.k: r.v for r in apply_cdc(base_df, chg_df, keys=("k",)).collect()
     }
     assert got == expected
+
+
+# --- extract_changes ∘ apply_cdc round-trip law ---
+@st.composite
+def snapshot_pair(draw):
+    """Two arbitrary snapshots over the same key space, nullable values
+    included — the operator pair must transport ANY old to ANY new."""
+    vals = st.one_of(st.none(), st.integers(0, 9))
+    old = draw(
+        st.lists(
+            st.tuples(KEYS, vals, vals),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda t: t[0],
+        )
+    )
+    new = draw(
+        st.lists(
+            st.tuples(KEYS, vals, vals),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda t: t[0],
+        )
+    )
+    return old, new
+
+
+@given(snapshot_pair())
+@SETTINGS
+def test_extract_changes_roundtrip_property(spark, case):
+    """apply_cdc(old, extract_changes(old, new)) == new for ARBITRARY
+    snapshot pairs, including null-bearing and null-only-diff rows, and
+    the feed is MINIMAL (no change row for an identical (key, values))."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.operators.warehouse import apply_cdc, extract_changes
+
+    old, new = case
+    schema = "k int, a int, b int"
+
+    def df(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    changes = extract_changes(df(old), df(new), keys=("k",))
+    rows = changes.collect()
+
+    # minimality: a key whose full row is identical in both snapshots
+    # must emit no change row
+    unchanged = {t[0] for t in set(old) & set(new)}
+    emitted = {r.k for r in rows}
+    assert not (unchanged & emitted)
+
+    replayed = apply_cdc(df(old), changes.withColumn("seq", F.lit(1)), keys=("k",))
+    got = {(r.k, r.a, r.b) for r in replayed.collect()}
+    assert got == set(new)
