@@ -127,6 +127,7 @@ def main() -> None:
         "q_bpe_learn_merges",
         "q_curation_gopher_rules",
         "q_curation_quality_verdict",
+        "q_dedup_minhash_incremental",
     )
     llm: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":

@@ -171,6 +171,149 @@ def lsh_optimal_params(
     return best[1], best[2]
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """The persistable LSH index projection: (_id, _sh shingle-hash
+    array, _bands [(band_idx, band_hash)]). This is what a pipeline
+    WRITES after ingesting a batch so later batches can near-dup
+    against history without touching the documents again — signatures
+    and band keys only, never bodies. Same projection
+    minhash_lsh_pairs checkpoints internally; parameters must match
+    between index build and every later use (the incremental-equals-
+    full law is pinned in tests on exactly that premise)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "otherwise trailing signature slots would be silently unused"
+        )
+    r = num_hashes // bands
+    # widen BEFORE the shingle/signature compute: the fold is the CPU
+    # bottleneck, and a narrow scan (few row groups) would serialize it
+    docs = widen_if_narrow(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id",
+        hashed_shingles(shingles(tokens(text_col), shingle_n)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    signed = docs.withColumn(
+        "_sig", minhash_signature("_sh", num_hashes, seed, pre_hashed=True)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("_sig")[i].cast("string")
+                            for i in range(b * r, (b + 1) * r)
+                        ],
+                    )
+                ).alias("_band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signed.select("_id", "_sh", band_structs.alias("_bands"))
+
+
+def _explode_bands(compact: DataFrame) -> DataFrame:
+    return compact.select("_id", F.explode("_bands").alias("_b")).select(
+        "_id",
+        F.col("_b._band_idx").alias("_band_idx"),
+        F.col("_b._band_hash").alias("_band_hash"),
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verify of candidate (id_a, id_b) pairs;
+    `sh` maps _id -> _sh. Joins back ONCE per side, onto the (small)
+    candidate set — not once per band."""
+    verified = cand.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    return verified.select(
+        "id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard")
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def minhash_lsh_incremental_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = DEFAULT_SEED,
+    jaccard_threshold: float = 0.5,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-dup the ARRIVING batch against an indexed history without
+    re-pairing history: candidates are (new × history) band-bucket
+    collisions plus (optionally) (new × new) — the history × history
+    quadrant, by far the largest at steady state, is never generated
+    because those pairs were already emitted when their batches
+    arrived. This is the shape a continuously-ingesting 100 TB corpus
+    actually runs: per batch, cost scales with |batch| × collision
+    rate, not |corpus|².
+
+    `index` comes from build_minhash_index (same parameters!); ids must
+    be disjoint between index and batch. Output: id_a = the NEW doc,
+    id_b = its match (history or, for new-new pairs, the larger new
+    id). Union with history's own pairs reproduces EXACTLY the full
+    minhash_lsh_pairs run over history ∪ batch — pinned as a law in
+    tests/test_r7_hardening.py."""
+    new_compact = build_minhash_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).localCheckpoint(eager=True)
+    banded_new = _explode_bands(new_compact)
+    banded_hist = _explode_bands(index)
+
+    cross = (
+        banded_new.select(F.col("_id").alias("id_a"), "_band_idx", "_band_hash")
+        .join(
+            banded_hist.select(
+                F.col("_id").alias("id_b"), "_band_idx", "_band_hash"
+            ),
+            ["_band_idx", "_band_hash"],
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cross
+    if include_new_new:
+        left = banded_new.select(
+            F.col("_id").alias("id_a"), "_band_idx", "_band_hash"
+        )
+        right = banded_new.select(
+            F.col("_id").alias("id_b"), "_band_idx", "_band_hash"
+        )
+        nn = (
+            left.join(right, ["_band_idx", "_band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cand.unionByName(nn)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    sh = new_compact.select("_id", "_sh").unionByName(
+        index.select("_id", "_sh")
+    )
+    return _verify_jaccard(cand, sh, jaccard_threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -207,40 +350,6 @@ def minhash_lsh_pairs(
     cheaply anyway)."""
     if bands is None:
         bands, _ = lsh_optimal_params(num_hashes, jaccard_threshold)
-    if num_hashes % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
-            "otherwise trailing signature slots would be silently unused"
-        )
-    r = num_hashes // bands
-
-    # widen BEFORE the shingle/signature compute: the fold is the CPU
-    # bottleneck, and a narrow scan (few row groups) would serialize it
-    docs = widen_if_narrow(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id",
-        hashed_shingles(shingles(tokens(text_col), shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    signed = docs.withColumn(
-        "_sig", minhash_signature("_sh", num_hashes, seed, pre_hashed=True)
-    )
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("_sig")[i].cast("string")
-                            for i in range(b * r, (b + 1) * r)
-                        ],
-                    )
-                ).alias("_band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
     # Materialize ONCE: tokenization → shingle hashing → the 16-way
     # minhash fold is the expensive narrow stage, and the band self-join
     # needs it on both sides (plus the verify step needs the shingle
@@ -249,14 +358,12 @@ def minhash_lsh_pairs(
     # projection is (id, shingle-hash array, band structs): signatures
     # and band keys, never document bodies — small by construction, the
     # same thing a cluster would persist before an LSH join.
-    compact = signed.select("_id", "_sh", band_structs.alias("_bands"))
     # eager: with a lazy checkpoint both join sides race to materialize
     # the same partitions (duplicate-block warnings, double compute)
-    compact = compact.localCheckpoint(eager=True)
-    banded = compact.select(
-        "_id", F.explode("_bands").alias("_b")
-    ).select("_id", F.col("_b._band_idx").alias("_band_idx"),
-             F.col("_b._band_hash").alias("_band_hash"))
+    compact = build_minhash_index(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).localCheckpoint(eager=True)
+    banded = _explode_bands(compact)
 
     # candidate pairs: any band matches — ONE self-join keyed by
     # (band_idx, band_hash) over the exploded band rows; ids cross this
@@ -284,19 +391,7 @@ def minhash_lsh_pairs(
 
     # exact verify: shingle sets join back ONCE per side, onto the (small)
     # candidate set — not once per band
-    sh = compact.select(F.col("_id"), F.col("_sh"))
-    verified = cand.join(
-        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union_sz = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        verified.select(
-            "id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+    return _verify_jaccard(cand, compact.select("_id", "_sh"), jaccard_threshold)
 
 
 def fuzzy_pairs_blocked(

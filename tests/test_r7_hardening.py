@@ -117,3 +117,50 @@ def test_stratified_sample_shortfall_raises(spark):
     # prefilter provably drops at least one winner
     with pytest.raises(RuntimeError, match="shortfall"):
         stratified_sample(d, ("lang",), "doc_id", k=190, oversample=1)
+
+
+def test_minhash_incremental_equals_full_run(spark):
+    """The incremental-equals-full law: pairs(history) ∪
+    incremental(index(history), batch) must equal the full LSH run over
+    history ∪ batch — same banding, same seed, disjoint ids. This is
+    what makes the incremental path safe to ship: skipping the
+    history×history quadrant loses nothing that wasn't already emitted
+    when history's own batches arrived."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 100001).alias("doc_id"), "text"
+        )
+    )
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+
+    full = minhash_lsh_pairs(history.unionByName(batch), **kw)
+    hist_only = minhash_lsh_pairs(history, **kw)
+    index = build_minhash_index(
+        history, num_hashes=16, bands=4, shingle_n=3
+    )
+    inc = minhash_lsh_incremental_pairs(index, batch, **kw)
+
+    def canon(df):
+        # full run orders pairs id_a<id_b; incremental orders new-first —
+        # canonicalize to unordered pairs with the jaccard value
+        return {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), round(r.jaccard, 9))
+            for r in df.collect()
+        }
+
+    assert canon(hist_only) | canon(inc) == canon(full)
+    assert canon(inc), "staged cross-batch near-dups must produce pairs"
+    # the quadrants are disjoint: nothing emitted twice
+    assert not (canon(hist_only) & canon(inc))
