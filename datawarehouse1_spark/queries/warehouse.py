@@ -421,3 +421,42 @@ def q_cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return extract_changes(base, new, keys=("o_orderkey",))
+
+
+@declared(
+    "q_schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_priority_class, 1 AS schema_version
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           substr(o_orderpriority, 1, 1) AS o_priority_class,
+           2 AS schema_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the union: v1 batches lack a column that v2
+    batches added (the reference's real failure mode — its Excel
+    sources drift columns across re-ingests, readme.md:91-101 and the
+    produits.xlsx stray 7th column, and its to_sql append just breaks;
+    etl/app.py:150-155 only checks for MISSING required columns).
+    Spark-native answer: unionByName(allowMissingColumns=True) — old
+    rows take NULL for the new column, order-insensitive by NAME (a
+    positional UNION would silently mis-bind drifted columns). Narrow,
+    zero-shuffle; at 100 TB this is the mergeSchema read path."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("schema_version"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("o_priority_class"),
+        F.lit(2).alias("schema_version"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_priority_class", "schema_version",
+    )
