@@ -154,6 +154,15 @@ EXCHANGE_BUDGET = {
     # side locally — at scale it degrades to one more doc_id exchange,
     # never to a corpus rescan per rule
     "q_curation_quality_verdict": 2,
+    # one full-outer SMJ on the key: both snapshot sides exchange once
+    # (bucketed/co-partitioned snapshots make it exchange-free)
+    "q_cdc_extract_changes": 2,
+    # one per-stratum window exchange; the md5 rank is narrow
+    "q_sample_stratified_exact": 1,
+    # per-lang token aggregate + the 5-row global-min window
+    "q_mixture_token_budget": 2,
+    # pure by-name union with NULL fill: no shuffle at all
+    "q_schema_evolution_union": 0,
 }
 
 
