@@ -32,6 +32,13 @@ Zero-d versions sort lexically == numerically, so "newest" needs no
 parsing. Single-node filesystem semantics (os.symlink/os.replace) match
 the local/NFS deployments this sink targets; on an object store the
 same protocol is a pointer FILE (write temp + rename), noted inline.
+
+Reader caveat: a reader that resolved the pointer BEFORE a publish and
+is still scanning the old version dir when prune fires will see files
+vanish mid-read (the classic snapshot-store trade-off). Deployments
+with long-running concurrent readers should retain N>1 versions —
+prune keeps exactly the current one because the foreachBatch sinks it
+serves re-resolve per micro-batch.
 """
 
 from __future__ import annotations
