@@ -256,3 +256,48 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehouse1_spark.operators.sketches import count_min_sketch
 
     return count_min_sketch(table(spark, sf_dir, "orders"), "o_custkey")
+
+
+@declared(
+    "q_partition_boundaries",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_disc(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS bucket_idx,
+           CASE WHEN i = 1 THEN NULL ELSE qs[i - 1] END AS lower_bound,
+           CASE WHEN i = 8 THEN NULL ELSE qs[i] END AS upper_bound,
+           n_rows
+    FROM cuts, generate_series(1, 8) AS t(i)
+    """,
+)
+def q_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary PLANNING: the exact 8-way order
+    statistics of the partition key (percentile_disc — actual data
+    values, so Spark and DuckDB agree exactly), emitted as
+    (bucket_idx, lower, upper) rows with open ends as NULL. This is
+    the report a pipeline materializes before `repartitionByRange` /
+    writer bucketing on a skew-prone key: Spark's own range
+    partitioner samples per-run (nondeterministic splits); planning
+    from exact (or, at 100 TB, approx_percentile t-digest — same
+    query shape) boundaries makes file layout reproducible run to
+    run. One aggregate pass; the 8-row explode is driver-trivial."""
+    d = table(spark, sf_dir, "orders")
+    qs = ", ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+        for q in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+    )
+    cuts = d.selectExpr(
+        f"array({qs}) AS qs", "CAST(COUNT(*) AS BIGINT) AS n_rows"
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
+    rows = cuts.select("qs", "n_rows", idx)
+    return rows.select(
+        (F.col("i") - 1).cast("long").alias("bucket_idx"),
+        F.when(F.col("i") > 1, F.col("qs")[F.col("i") - 2]).alias("lower_bound"),
+        F.when(F.col("i") < 8, F.col("qs")[F.col("i") - 1]).alias("upper_bound"),
+        "n_rows",
+    )

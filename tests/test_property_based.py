@@ -509,3 +509,49 @@ def test_extract_changes_roundtrip_property(spark, case):
     replayed = apply_cdc(df(old), changes.withColumn("seq", F.lit(1)), keys=("k",))
     got = {(r.k, r.a, r.b) for r in replayed.collect()}
     assert got == set(new)
+
+
+# --- stratified_sample vs a pure-python md5 oracle ---
+@st.composite
+def strat_case(draw):
+    rows = draw(
+        st.lists(
+            st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+            min_size=0,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        )
+    )
+    k = draw(st.integers(1, 6))
+    return rows, k
+
+@given(strat_case())
+@SETTINGS
+def test_stratified_sample_matches_md5_oracle(spark, case):
+    """The sample is a pure function of (md5(key), stratum): a python
+    replay over the same hashes must predict EXACTLY the chosen rows
+    and their ranks, for any stratum sizes around k."""
+    import hashlib
+
+    from datawarehouse1_spark.operators.sampling import stratified_sample
+
+    rows, k = case
+    expected = {}
+    by_stratum = {}
+    for key, s in rows:
+        by_stratum.setdefault(s, []).append(key)
+    for s, keys in by_stratum.items():
+        ranked = sorted(keys, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, key in enumerate(ranked[:k], start=1):
+            expected[key] = (s, rank)
+
+    df = (
+        spark.createDataFrame(rows, "doc_id long, lang string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, lang string")
+    )
+    got = {
+        r.doc_id: (r.lang, r.sample_rank)
+        for r in stratified_sample(df, ("lang",), "doc_id", k=k).collect()
+    }
+    assert got == expected
