@@ -163,6 +163,8 @@ EXCHANGE_BUDGET = {
     "q_mixture_token_budget": 2,
     # pure by-name union with NULL fill: no shuffle at all
     "q_schema_evolution_union": 0,
+    # one global order-statistics aggregate; the 8-row explode is free
+    "q_partition_boundaries": 1,
 }
 
 
