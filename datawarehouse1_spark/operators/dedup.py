@@ -260,6 +260,7 @@ def minhash_lsh_incremental_pairs(
     seed: int = DEFAULT_SEED,
     jaccard_threshold: float = 0.5,
     include_new_new: bool = True,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup the ARRIVING batch against an indexed history without
     re-pairing history: candidates are (new × history) band-bucket
@@ -275,10 +276,18 @@ def minhash_lsh_incremental_pairs(
     id_b = its match (history or, for new-new pairs, the larger new
     id). Union with history's own pairs reproduces EXACTLY the full
     minhash_lsh_pairs run over history ∪ batch — pinned as a law in
-    tests/test_r7_hardening.py."""
-    new_compact = build_minhash_index(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n, seed
-    ).localCheckpoint(eager=True)
+    tests/test_r7_hardening.py.
+
+    `new_index`: pass the batch's ALREADY-BUILT index (same parameters)
+    to skip recomputing signatures — the streaming maintainer builds it
+    once and uses it both here and for the index merge."""
+    new_compact = (
+        new_index
+        if new_index is not None
+        else build_minhash_index(
+            new_docs, text_col, id_col, num_hashes, bands, shingle_n, seed
+        ).localCheckpoint(eager=True)
+    )
     banded_new = _explode_bands(new_compact)
     banded_hist = _explode_bands(index)
 
