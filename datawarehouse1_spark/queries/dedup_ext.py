@@ -37,9 +37,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared(
-    "q_dedup_clusters",
-    oracle=r"""
+# The recursive-CTE fixpoint shared by both cluster oracles (min-label
+# components over the staged triangle pair set).
+_CLUSTER_WALK_SQL = r"""
     WITH RECURSIVE base AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 40
       UNION ALL
@@ -79,6 +79,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT s.src, w.label FROM sym s JOIN walk w ON w.id = s.dst
     )
+"""
+
+
+@declared(
+    "q_dedup_clusters",
+    oracle=_CLUSTER_WALK_SQL
+    + """
     SELECT id, MIN(label) AS keeper FROM walk GROUP BY id
     """,
 )
@@ -281,4 +288,78 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_incremental_pairs(
         index, arriving, num_hashes=16, bands=4, shingle_n=3,
         jaccard_threshold=0.5,
+    )
+
+
+@declared(
+    "q_dedup_clusters_best_keeper",
+    oracle=_CLUSTER_WALK_SQL
+    + """
+    , comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+    ranked AS (
+      SELECT c.id, c.cluster, length(b.text) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                ORDER BY length(b.text) DESC, c.id ASC) AS rn
+      FROM comp c JOIN base b ON c.id = b.doc_id
+    ),
+    keepers AS (SELECT cluster, id AS keeper FROM ranked WHERE rn = 1)
+    SELECT r.id, r.cluster, CAST(r.n_chars AS BIGINT) AS n_chars,
+           k.keeper, r.id = k.keeper AS is_keeper
+    FROM ranked r JOIN keepers k ON r.cluster = k.cluster
+    """,
+)
+def q_dedup_clusters_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy keeper election: within each near-dup cluster keep
+    the LONGEST member (tie → min id) — the RefinedWeb/CCNet choice
+    (the longest capture usually has the least boilerplate truncation),
+    vs q_dedup_clusters' structural min-id keeper. Same staged triangle
+    components, where the +20000 twin is the longest — so the two
+    policies elect DIFFERENT keepers and the test data distinguishes
+    them. Shape: the connected-components fixpoint + one per-cluster
+    window over (score, id); any scalar quality score slots into the
+    same ORDER BY at scale."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = (
+        d.select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zebra quill oxcart")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" zebra quill oxcart jasper flint")
+                ).alias("text"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(base, threshold=0.1)
+    comp = dedup_clusters_from_pairs(pairs).select(
+        "id", F.col("keeper").alias("cluster")
+    )
+    ranked = comp.join(
+        base.select(F.col("doc_id").alias("id"), F.length("text").alias("n_chars")),
+        "id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.desc("n_chars"), F.asc("id")
+            )
+        ),
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "cluster", F.col("id").alias("keeper")
+    )
+    return ranked.join(keepers, "cluster").select(
+        "id",
+        "cluster",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "keeper",
+        (F.col("id") == F.col("keeper")).alias("is_keeper"),
     )
