@@ -91,14 +91,16 @@ def main() -> None:
     # complex joins (Q8's 8-way star, Q21's conditional count-distinct)
     # are visible round-over-round (VERDICT r5 "Next round" #4). Kept
     # OUT of "value"/"queries" so the headline total stays comparable to
-    # the r1 baseline; warmup + 1 timed run each (regression tracking,
-    # not a noise-floor measurement). SPARK_GRAFT_BENCH_TPCH=0 skips.
+    # the r1 baseline; warmup + min-of-2 each (r7: single timed runs made
+    # q4 swing +22% on pure noise and cost a manual triage — one extra
+    # run per query buys the noise floor down). SPARK_GRAFT_BENCH_TPCH=0
+    # skips.
     tpch: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0":
         for name in sorted(n for n in registry.QUERIES if n.startswith("q_tpch_")):
             try:
                 tpch[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1)[0],
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=2)[0],
                     4,
                 )
             except Exception as ex:  # noqa: BLE001 - record and keep benching
@@ -109,7 +111,7 @@ def main() -> None:
     # as first-class components, so their plan regressions need the same
     # round-over-round visibility as TPC-H (the r6 minhash fix — 62 s →
     # 2.8 s from the shingle zip_with rewrite + signature checkpoint —
-    # was found exactly this way). Warmup + 1 timed run each; kept OUT
+    # was found exactly this way). Warmup + min-of-2 each; kept OUT
     # of the headline total. SPARK_GRAFT_BENCH_LLM=0 skips.
     LLM = (
         "q_dedup_minhash_lsh",
@@ -134,7 +136,7 @@ def main() -> None:
         for name in LLM:
             try:
                 llm[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=1)[0],
+                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=2)[0],
                     4,
                 )
             except Exception as ex:  # noqa: BLE001 - record and keep benching
