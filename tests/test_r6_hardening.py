@@ -152,6 +152,15 @@ def test_registry_window_structure():
         "q_window_range_frame",
         "q_date_parts",
         "q_topk_orderby_limit",
+        # new in r7 — never graded, must hold window slots until they are
+        "q_curation_quality_verdict",
+        "q_cdc_extract_changes",
+        "q_sample_stratified_exact",
+        "q_mixture_token_budget",
+        "q_dedup_minhash_incremental",
+        "q_schema_evolution_union",
+        "q_partition_boundaries",
+        "q_dedup_clusters_best_keeper",
     ):
         assert q in window, f"{q} fell out of the graded window"
     # every declared query resolves to a callable, and every oracle
