@@ -282,3 +282,54 @@ def extract_changes(
         F.coalesce(F.col("_nval"), F.col("_oval"))[c].alias(c) for c in vals
     ]
     return changed.select(*out_key, *out_val, F.col(op_col))
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Materialize the full SCD TYPE-2 HISTORY from an ordered change
+    feed: every I/U becomes a version row valid over
+    [its seq, next change's seq); a D closes the previous version and
+    adds no row; the last surviving version per key is `is_current`.
+    Where apply_cdc keeps only the latest state (SCD type 1), this
+    keeps every state a key ever had — the audit/as-of dimension table.
+
+    One window per key over the change feed (the feed shuffles once on
+    the keys; the snapshot is never touched — at 100 TB the feed is the
+    small side by construction). The same total-order contract as
+    apply_cdc, enforced the same way: a duplicate (key, seq) ANYWHERE
+    corrupts the interval chain, so it raises at execution time (lead
+    on the ranking window; guard folded into a kept column so pruning
+    cannot drop it)."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(seq_col))
+    tied = F.col("_next_seq").isNotNull() & (
+        F.col("_next_seq") == F.col(seq_col)
+    )
+    versioned = changes.withColumn(
+        "_next_seq", F.lead(seq_col).over(w)
+    ).withColumn(
+        op_col,
+        F.when(
+            tied,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "scd2_from_changes: duplicate (key, seq) — interval "
+                        f"chain undefined at {seq_col}="
+                    ),
+                    F.col(seq_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(op_col)),
+    )
+    vals = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
+    return versioned.filter(F.col(op_col) != "D").select(
+        *keys,
+        *vals,
+        F.col(seq_col).cast("long").alias("valid_from_seq"),
+        F.col("_next_seq").cast("long").alias("valid_to_seq"),
+        F.col("_next_seq").isNull().alias("is_current"),
+    )

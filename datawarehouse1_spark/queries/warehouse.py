@@ -322,6 +322,18 @@ def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot contributes one key-only anti join, broadcastable when the
     batch is small. Net effect at sf: ~1/7 of keys deleted, ~2/7
     re-priced (one via latest-wins over two updates), ~1/7 new keys."""
+    base, changes = _staged_cdc_changes(spark, sf_dir)
+    from datawarehouse1_spark.operators.warehouse import apply_cdc
+
+    return apply_cdc(base, changes, keys=("o_orderkey",))
+
+
+def _staged_cdc_changes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(snapshot, staged change feed) — the Spark twin of
+    _CDC_CHANGES_SQL, shared by the MERGE-apply and SCD2 queries so the
+    two consumers can never drift apart."""
     base = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -352,9 +364,38 @@ def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    from datawarehouse1_spark.operators.warehouse import apply_cdc
+    return base, changes
 
-    return apply_cdc(base, changes, keys=("o_orderkey",))
+
+@declared(
+    "q_scd2_from_cdc",
+    oracle=f"""
+    WITH changes AS ({_CDC_CHANGES_SQL}),
+    versioned AS (
+      SELECT *,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(seq AS BIGINT) AS valid_from_seq,
+           CAST(next_seq AS BIGINT) AS valid_to_seq,
+           next_seq IS NULL AS is_current
+    FROM versioned WHERE op <> 'D'
+    """,
+)
+def q_scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 from the same staged CDC feed q_merge_cdc_apply folds:
+    every I/U becomes a version row valid over [seq, next seq); a D
+    closes the last version (no row of its own); the final surviving
+    version per key is is_current. Complements q_merge_cdc_apply (type
+    1, latest-only) and q_scd2_user_state (intervals from raw events) —
+    this is the CHANGE-FEED→history materializer a warehouse runs to
+    serve as-of queries (operators/warehouse.py::scd2_from_changes;
+    one key-partitioned window over the feed, snapshot untouched)."""
+    from datawarehouse1_spark.operators.warehouse import scd2_from_changes
+
+    _, changes = _staged_cdc_changes(spark, sf_dir)
+    return scd2_from_changes(changes, keys=("o_orderkey",))
 
 
 _CDC_NEW_SNAPSHOT_SQL = """

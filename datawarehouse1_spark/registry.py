@@ -88,6 +88,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_schema_evolution_union",
     "q_partition_boundaries",
     "q_dedup_clusters_best_keeper",
+    "q_scd2_from_cdc",
     # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
     "q_join_semi",
     "q_subquery_exists",
@@ -117,9 +118,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
     "q_tpch_q18_large_volume_customer",
-    "q_tpch_q19_discounted_revenue",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_tpch_q19_discounted_revenue",
     "q_tpch_q20_part_promotion",
     "q_tpch_q22_global_sales_opportunity",
     "q_embedding_neardup",

@@ -226,3 +226,34 @@ def test_extract_changes_schema_mismatch_raises(spark):
     new = spark.createDataFrame([(1, "a", 2)], "k int, s string, extra int")
     with pytest.raises(ValueError, match="schemas differ"):
         extract_changes(old, new, keys=("k",))
+
+
+def test_scd2_from_changes_intervals_and_guard(spark):
+    """SCD2 materialization: U,U chains produce chained intervals, a D
+    closes without adding a row, and duplicate (key, seq) raises."""
+    import pytest
+    from datawarehouse1_spark.operators.warehouse import scd2_from_changes
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "I", 1), (1, "a2", "U", 3), (1, None, "D", 5),
+            (2, "b1", "I", 2),
+        ],
+        "k int, v string, op string, seq int",
+    )
+    got = {
+        (r.k, r.v, r.valid_from_seq, r.valid_to_seq, r.is_current)
+        for r in scd2_from_changes(changes, keys=("k",)).collect()
+    }
+    assert got == {
+        (1, "a1", 1, 3, False),
+        (1, "a2", 3, 5, False),  # closed by the delete, no current row
+        (2, "b1", 2, None, True),
+    }
+
+    dup = spark.createDataFrame(
+        [(1, "x", "I", 1), (1, "y", "U", 1)],
+        "k int, v string, op string, seq int",
+    )
+    with pytest.raises(Exception, match="duplicate \\(key, seq\\)"):
+        scd2_from_changes(dup, keys=("k",)).collect()
