@@ -161,6 +161,7 @@ def test_registry_window_structure():
         "q_schema_evolution_union",
         "q_partition_boundaries",
         "q_dedup_clusters_best_keeper",
+        "q_scd2_from_cdc",
     ):
         assert q in window, f"{q} fell out of the graded window"
     # every declared query resolves to a callable, and every oracle
