@@ -165,6 +165,9 @@ EXCHANGE_BUDGET = {
     "q_schema_evolution_union": 0,
     # one global order-statistics aggregate; the 8-row explode is free
     "q_partition_boundaries": 1,
+    # the change feed shuffles once on the key for the interval window;
+    # the snapshot is never touched
+    "q_scd2_from_cdc": 1,
 }
 
 
