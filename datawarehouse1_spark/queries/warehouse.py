@@ -501,3 +501,50 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice",
         "o_priority_class", "schema_version",
     )
+
+
+@declared(
+    "q_scd2_asof_lookup",
+    oracle=f"""
+    WITH changes AS ({_CDC_CHANGES_SQL}),
+    versioned AS (
+      SELECT *,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+      FROM changes
+    ),
+    hist AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(seq AS BIGINT) AS valid_from_seq,
+             CAST(next_seq AS BIGINT) AS valid_to_seq
+      FROM versioned WHERE op <> 'D'
+    )
+    SELECT p.probe_seq, h.o_orderkey, h.o_orderstatus, h.o_totalprice
+    FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS p(probe_seq)
+    JOIN hist h
+      ON h.valid_from_seq <= p.probe_seq
+     AND (h.valid_to_seq IS NULL OR p.probe_seq < h.valid_to_seq)
+    """,
+)
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF retrieval against the SCD2 history — the query type-2
+    dimensions exist to serve: for each probe sequence point, the
+    version valid over [valid_from, valid_to) at that point (deleted
+    keys correctly absent after their close). Broadcast the (tiny)
+    probe set against the history with the half-open interval
+    predicate — at 100 TB the history is also range-partitionable by
+    valid_from for pruning. Probes at seq 1 and 2 exercise boundary
+    semantics: a version starting AT the probe is visible, one closed
+    AT the probe is not."""
+    from datawarehouse1_spark.operators.warehouse import scd2_from_changes
+
+    _, changes = _staged_cdc_changes(spark, sf_dir)
+    hist = scd2_from_changes(changes, keys=("o_orderkey",))
+    probes = spark.createDataFrame([(1,), (2,)], "probe_seq long")
+    cond = (F.col("valid_from_seq") <= F.col("probe_seq")) & (
+        F.col("valid_to_seq").isNull()
+        | (F.col("probe_seq") < F.col("valid_to_seq"))
+    )
+    return (
+        hist.join(F.broadcast(probes), cond)
+        .select("probe_seq", "o_orderkey", "o_orderstatus", "o_totalprice")
+    )

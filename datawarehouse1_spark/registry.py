@@ -89,6 +89,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_partition_boundaries",
     "q_dedup_clusters_best_keeper",
     "q_scd2_from_cdc",
+    "q_scd2_asof_lookup",
     # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
     "q_join_semi",
     "q_subquery_exists",
@@ -117,9 +118,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q15_top_supplier",
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
-    "q_tpch_q18_large_volume_customer",
     # ---- graded window ends here (first 50) ----
     # -- r4-graded, did not fit the r7 window: front the r8 window --
+    "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",
     "q_tpch_q20_part_promotion",
     "q_tpch_q22_global_sales_opportunity",

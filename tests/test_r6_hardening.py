@@ -162,6 +162,7 @@ def test_registry_window_structure():
         "q_partition_boundaries",
         "q_dedup_clusters_best_keeper",
         "q_scd2_from_cdc",
+        "q_scd2_asof_lookup",
     ):
         assert q in window, f"{q} fell out of the graded window"
     # every declared query resolves to a callable, and every oracle
