@@ -301,3 +301,65 @@ def q_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("i") < 8, F.col("qs")[F.col("i") - 1]).alias("upper_bound"),
         "n_rows",
     )
+
+
+_INTERVALS_SQL = """
+      SELECT o_orderkey AS id,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS start_day,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               + (o_orderkey % 5) + 1 AS end_day
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+"""
+
+
+@declared(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH iv AS ({_INTERVALS_SQL}),
+    l AS (SELECT * FROM iv WHERE id % 2 = 0),
+    r AS (SELECT * FROM iv WHERE id % 2 = 1)
+    SELECT l.id AS l_id, l.start_day AS l_start_day, l.end_day AS l_end_day,
+           r.id AS r_id, r.start_day AS r_start_day, r.end_day AS r_end_day
+    FROM l JOIN r
+      ON l.start_day < r.end_day AND r.start_day < l.end_day
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (half-open [start, end) day
+    intervals staged from one month of orders, 1-5 days long, split by
+    key parity): all cross-side pairs whose intervals intersect —
+    operators/temporal.py::interval_overlap_join. Spark plans the raw
+    theta join as a broadcast NESTED LOOP (every l×r pair tested); the
+    grid-bucket decomposition turns it into ONE equi-join on bucket id
+    + an exact post-filter, cost bounded by per-bucket occupancy. The
+    DuckDB oracle runs the plain predicate join — same rows, different
+    physical plan, which is exactly the point."""
+    from datawarehouse1_spark.operators.temporal import interval_overlap_join
+
+    o = table(spark, sf_dir, "orders")
+    iv = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+        ).cast("long").alias("start_day"),
+        (
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+            )
+            + (F.col("o_orderkey") % 5)
+            + 1
+        ).cast("long").alias("end_day"),
+    )
+    left = iv.filter(F.col("id") % 2 == 0)
+    right = iv.filter(F.col("id") % 2 == 1)
+    out = interval_overlap_join(
+        left, right, "start_day", "end_day", "start_day", "end_day",
+        bucket_width=3,
+    )
+    return out.select(
+        "l_id", "l_start_day", "l_end_day", "r_id", "r_start_day", "r_end_day"
+    )

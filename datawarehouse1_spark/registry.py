@@ -46,19 +46,17 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (VERDICT r6 "Next round" #1+#2: verdict-freshness): section (a)
 # fronts the 15 r6-tail queries that have NEVER held a driver verdict
 # (declared after the r6 window was set; each pytest-parity hash-green
-# vs its DuckDB oracle every run); (b) any queries NEW in r7; (c) the
-# nine r2-vintage verdicts displaced in r6 (q_join_semi,
-# q_subquery_exists, q_subquery_scalar_agg, q_union_incremental,
-# q_project_enrich, q_string_funcs, q_window_range_frame, q_date_parts,
-# q_topk_orderby_limit — oldest verdicts in the registry); (d)
-# r4-vintage re-grades, TPC-H battery first (their plans are the ones
-# the new BENCH sections time, so a fresh verdict pins the perf numbers
-# to hash-green results). The 12 r4-vintage queries that do not fit
-# (multimodal_frame_sample/metadata, grouping_sets, percentile,
-# set_intersect/except, pivot, range_bands, salted_skew,
-# builtin_charge, udtf_bigrams, upsert_partition_rollup) front the r8
-# window; every r5/r6-graded green sits behind them. Vintages computed
-# from CORRECTNESS_r0{1..6}.json. Window structure pinned by
+# vs its DuckDB oracle every run); (b) the TEN queries new in r7 —
+# never graded, they outrank re-grades; (c) the nine r2-vintage
+# verdicts displaced in r6 — the oldest in the registry; (d) r4-vintage
+# re-grades, TPC-H battery first (their plans are the ones the BENCH
+# sections time, so a fresh verdict pins the perf numbers to hash-green
+# results) — 16 of the 38 r4s fit. The r8 window fronts, in order: the
+# r7-tail q_join_interval_overlap (declared after this window was set,
+# pytest-parity-green every run), then the 22 remaining r4-vintage
+# re-grades (TPC-H q18/q19/q20/q22 + the misc battery listed below);
+# every r5/r6-graded green sits behind them. Vintages computed from
+# CORRECTNESS_r0{1..6}.json. Window structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- (a) r6-tail, never driver-graded: grade these first --
@@ -79,7 +77,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_compressed_blob_extract",
     # -- (b) new in r7: composed curation verdict (VERDICT r6 #7),
     # snapshot-diff CDC generation (inverse of apply_cdc), exact
-    # stratified sampling, mixture token-budget planning --
+    # stratified sampling, mixture token-budget planning, incremental
+    # near-dup vs a persisted index, schema-evolution union, partition
+    # boundary planning, best-keeper election, SCD2 history + as-of --
     "q_curation_quality_verdict",
     "q_cdc_extract_changes",
     "q_sample_stratified_exact",
@@ -100,8 +100,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_range_frame",
     "q_date_parts",
     "q_topk_orderby_limit",
-    # -- (d) r4-vintage re-grades: TPC-H battery + misc, 26 of 38;
-    # the remaining 12 front the r8 window --
+    # -- (d) r4-vintage re-grades: TPC-H battery, 16 of the 38 r4s;
+    # the remainder front the r8 window (see header) --
     "q_tpch_q1_pricing_summary",
     "q_tpch_q2_min_cost_supplier",
     "q_tpch_q3_shipping_priority",
@@ -119,6 +119,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
     # ---- graded window ends here (first 50) ----
+    # -- new in r7 behind the window (hash-checked by the pytest parity
+    # suite every run; fronts the r8 graded window) --
+    "q_join_interval_overlap",
     # -- r4-graded, did not fit the r7 window: front the r8 window --
     "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",

@@ -555,3 +555,52 @@ def test_stratified_sample_matches_md5_oracle(spark, case):
         for r in stratified_sample(df, ("lang",), "doc_id", k=k).collect()
     }
     assert got == expected
+
+
+# --- interval_overlap_join vs brute force ---
+@st.composite
+def interval_case(draw):
+    def ivs(n):
+        return st.lists(
+            st.tuples(
+                st.integers(0, 30),
+                st.integers(-2, 9),  # length; <=0 => degenerate/empty
+            ),
+            min_size=0,
+            max_size=n,
+        )
+    return draw(ivs(10)), draw(ivs(10)), draw(st.sampled_from([1, 3, 7]))
+
+
+@given(interval_case())
+@SETTINGS
+def test_interval_overlap_matches_brute_force(spark, case):
+    """Grid-bucket decomposition == the plain theta join for arbitrary
+    intervals (spanning several buckets, inside one, empty, touching at
+    bucket boundaries) and any bucket width."""
+    from datawarehouse1_spark.operators.temporal import interval_overlap_join
+
+    lraw, rraw, w = case
+    left = [(i, s, s + ln) for i, (s, ln) in enumerate(lraw)]
+    right = [(i, s, s + ln) for i, (s, ln) in enumerate(rraw)]
+    want = {
+        (li, ri)
+        for (li, ls, le) in left
+        for (ri, rs, re_) in right
+        # half-open overlap — BOTH non-empty: an empty interval contains
+        # no points, so it can never share one (the bare ls<re_ ∧ rs<le
+        # predicate wrongly matches empties, hypothesis found the case)
+        if ls < le and rs < re_ and ls < re_ and rs < le
+    }
+    schema = "id long, s long, e long"
+
+    def df(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    out = interval_overlap_join(df(left), df(right), "s", "e", "s", "e", w)
+    got = {(r.l_id, r.r_id) for r in out.collect()}
+    assert got == want
