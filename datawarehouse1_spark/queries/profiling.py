@@ -10,7 +10,7 @@ variant here is oracle-matched).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
@@ -289,3 +289,80 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_custkey", table(spark, sf_dir, "customer"), "c_custkey"
     )
     return report.unionByName(fk)
+
+
+@declared(
+    "q_drift_tvd_report",
+    oracle="""
+    WITH binned AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+             o_orderkey % 2 = 0 AS in_a
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cnt_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT *,
+             SUM(cnt_a) OVER () AS n_a, SUM(cnt_b) OVER () AS n_b
+      FROM per_bin
+    ),
+    numd AS (
+      SELECT *,
+             SUM(abs(CAST(cnt_a AS DECIMAL(38,0)) * n_b
+                     - CAST(cnt_b AS DECIMAL(38,0)) * n_a)) OVER () AS num
+      FROM tot
+    )
+    SELECT bin, cnt_a, cnt_b,
+           CAST(floor(CAST(num AS DECIMAL(38,0)) * 1000000
+                      / (2 * CAST(n_a AS DECIMAL(38,0)) * n_b))
+                AS BIGINT) AS tvd_e6
+    FROM numd
+    """,
+)
+def q_drift_tvd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two snapshots of a column (the
+    data-quality check a pipeline runs on every refresh): fixed decile
+    bins over o_totalprice, per-bin counts for each snapshot half, and
+    the total-variation distance ½·Σ|p_A − p_B| in floored micro-units.
+    TVD instead of PSI/KS on purpose: it is a RATIONAL statistic —
+    computed as Σ|cntA·nB − cntB·nA| / (2·nA·nB) entirely in
+    DECIMAL(38,0) integer arithmetic — so both engines produce the
+    identical number, where PSI's ln() can differ in the last ulp
+    between libms. One aggregate + one tiny window over ≤10 bin rows;
+    at 100 TB the bin counts are the only thing that shuffles."""
+    o = table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("o_orderkey") % 2 == 0).alias("in_a"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("long").alias("cnt_a"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("long").alias("cnt_b"),
+    )
+    w = Window.partitionBy()
+    dec = "decimal(38,0)"
+    n_a = F.sum("cnt_a").over(w)
+    n_b = F.sum("cnt_b").over(w)
+    num = F.sum(
+        F.abs(
+            F.col("cnt_a").cast(dec) * n_b - F.col("cnt_b").cast(dec) * n_a
+        )
+    ).over(w)
+    return per_bin.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.floor(
+            num.cast(dec)
+            * F.lit(1000000)
+            / (F.lit(2) * n_a.cast(dec) * n_b)
+        )
+        .cast("long")
+        .alias("tvd_e6"),
+    )

@@ -122,6 +122,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- new in r7 behind the window (hash-checked by the pytest parity
     # suite every run; fronts the r8 graded window) --
     "q_join_interval_overlap",
+    "q_drift_tvd_report",
     # -- r4-graded, did not fit the r7 window: front the r8 window --
     "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",
