@@ -168,6 +168,11 @@ EXCHANGE_BUDGET = {
     # the change feed shuffles once on the key for the interval window;
     # the snapshot is never touched
     "q_scd2_from_cdc": 1,
+    # ONE bucket-id equi-join (the whole point: never a nested loop);
+    # locally the smaller exploded side broadcasts
+    "q_join_interval_overlap": 1,
+    # bin-count aggregate + the <=10-row TVD window
+    "q_drift_tvd_report": 2,
 }
 
 
