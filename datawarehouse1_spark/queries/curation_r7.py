@@ -361,3 +361,69 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sample_rate_e6"),
         (F.col("budget_cap") == F.col("t_max")).alias("binding"),
     )
+
+
+@declared(
+    "q_curation_chunk_sliding",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+               AS t
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             unnest(list_transform(
+               range(0, CAST(floor((len(t) - 1) / 48) AS BIGINT) + 1),
+               i -> struct_pack(
+                 chunk_idx := CAST(i AS BIGINT),
+                 chunk := array_to_string(t[i*48 + 1 : i*48 + 64], ' ')
+               ))) AS c
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           c.chunk_idx,
+           c.chunk,
+           CAST(len(list_filter(string_split_regex(c.chunk, ' '),
+                                x -> x <> '')) AS BIGINT) AS chunk_tokens
+    FROM chunked
+    """,
+)
+def q_curation_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48 →
+    16-token overlap): the context-window segmentation step both RAG
+    indexing and long-doc pretraining run, DISTINCT from sequence
+    packing (q_curation_pack_chunks packs whole docs into fixed
+    budgets; this splits single docs into overlapping windows).
+    Entirely narrow — slice/transform on the token array, one explode,
+    zero exchanges; chunk text is re-joined so the full chunk content
+    hash-matches across engines. The last window is partial by design
+    (every token appears in ≥1 chunk; stride < size ⇒ boundary tokens
+    appear in 2)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    size, stride = 64, 48
+    staged = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / stride)),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), i * stride + 1, size)
+            ).alias("chunk"),
+        ),
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode(chunks).alias("c"),
+    )
+    chunk_toks = F.filter(F.split(F.col("c.chunk"), " "), lambda x: x != "")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.size(chunk_toks).cast("long").alias("chunk_tokens"),
+    )

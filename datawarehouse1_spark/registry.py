@@ -123,6 +123,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # suite every run; fronts the r8 graded window) --
     "q_join_interval_overlap",
     "q_drift_tvd_report",
+    "q_curation_chunk_sliding",
     # -- r4-graded, did not fit the r7 window: front the r8 window --
     "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",

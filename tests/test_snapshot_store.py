@@ -175,3 +175,43 @@ def test_rollup_sink_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
     sink(batch([("a", 5), ("b", 7)]), 1)
     rows = {r.k: r.total for r in spark.read.parquet(rollup).collect()}
     assert rows == {"a": Decimal("15.00"), "b": Decimal("7.00")}
+
+
+def test_cdc_sink_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
+    """Same crash injection for the CDC snapshot sink: version dir
+    written, pointer swap never happened. Pre-crash snapshot serves;
+    the replay folds the batch exactly once (history NOT lost — the
+    r6 ADVICE failure mode this store exists to prevent)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datawarehouse1_spark.streaming import cdc_apply, snapshot_store
+    from datawarehouse1_spark.streaming.cdc_apply import make_cdc_sink
+
+    snap = str(tmp_path / "snap")
+    sink = make_cdc_sink(spark, snap, keys=("k",))
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, v string, op string, seq int")
+
+    sink(batch([(1, "a", "I", 1), (2, "b", "I", 2)]), 0)
+
+    def dying_publish(df, path, version):
+        df.write.mode("overwrite").parquet(
+            snapshot_store._version_dir(path, version)
+        )
+        raise RuntimeError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(cdc_apply, "publish_snapshot", dying_publish)
+    try:
+        sink(batch([(1, "a2", "U", 3), (2, None, "D", 4)]), 1)
+    except RuntimeError:
+        pass
+    assert _rows(spark, snap) == {(1, "a"), (2, "b")}  # history intact
+
+    monkeypatch.setattr(
+        cdc_apply, "publish_snapshot", snapshot_store.publish_snapshot
+    )
+    sink(batch([(1, "a2", "U", 3), (2, None, "D", 4)]), 1)
+    assert _rows(spark, snap) == {(1, "a2")}
+    sink(batch([(1, "a2", "U", 3), (2, None, "D", 4)]), 1)  # replay: no-op
+    assert _rows(spark, snap) == {(1, "a2")}
