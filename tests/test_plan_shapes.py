@@ -173,6 +173,8 @@ EXCHANGE_BUDGET = {
     "q_join_interval_overlap": 1,
     # bin-count aggregate + the <=10-row TVD window
     "q_drift_tvd_report": 2,
+    # narrow slice/transform + one explode: pure map-side
+    "q_curation_chunk_sliding": 0,
 }
 
 

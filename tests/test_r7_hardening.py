@@ -164,3 +164,41 @@ def test_minhash_incremental_equals_full_run(spark):
     assert canon(inc), "staged cross-batch near-dups must produce pairs"
     # the quadrants are disjoint: nothing emitted twice
     assert not (canon(hist_only) & canon(inc))
+
+
+def test_chunk_sliding_reconstruction_law(spark, tmp_path):
+    """Every token appears in a chunk, in order: taking the first
+    `stride` tokens of each chunk plus the remainder of the final chunk
+    reconstructs the document exactly — no token lost or duplicated by
+    the windowing arithmetic, including the short-doc (single partial
+    window) and exact-boundary cases."""
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    size, stride = 64, 48
+    docs = {
+        1: "w " * 10,            # shorter than one window
+        2: "tok " * 64,          # exactly one window
+        3: "a " * 65,            # one token past the boundary
+        4: " ".join(f"t{i}" for i in range(200)),  # several windows
+    }
+    rows = [(i, txt, "en", "synthetic", len(txt)) for i, txt in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["q_curation_chunk_sliding"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    for doc_id, txt in docs.items():
+        want = [t for t in txt.lower().split() if t]
+        chunks = [by_doc[doc_id][i] for i in range(len(by_doc[doc_id]))]
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.split(" ")[:stride])
+        rebuilt.extend(chunks[-1].split(" "))
+        assert rebuilt == want, doc_id
+        # overlap invariant: consecutive chunks share size-stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.split(" ")[stride:] == b.split(" ")[: size - stride]
