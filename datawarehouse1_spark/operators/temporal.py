@@ -110,6 +110,7 @@ def interval_overlap_join(
     bucket_width: int,
     prefix_left: str = "l_",
     prefix_right: str = "r_",
+    equi_keys: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """INTERVAL × INTERVAL overlap join — all pairs with
     ``l_start < r_end AND r_start < l_end`` (half-open [start, end)),
@@ -127,6 +128,10 @@ def interval_overlap_join(
     toward all-pairs within a bucket. Start/end columns must be
     integer-like (cast timestamps to epoch seconds first); output
     carries every column of both sides under the given prefixes.
+    `equi_keys`: optional [(left_col, right_col)] equality conditions
+    joined ALONGSIDE the bucket id — per-entity overlap (sessions of
+    the same user, ranges of the same device) without a post-filter,
+    so bucket occupancy is counted per key and skew stays keyed.
     Equivalence to the brute-force theta join is property-tested."""
     # empty intervals (end <= start) overlap nothing under half-open
     # semantics - and would make F.sequence run BACKWARD (5..3 yields
@@ -168,8 +173,13 @@ def interval_overlap_join(
     overlap = (
         F.col(prefix_left + l_start) < F.col(prefix_right + r_end)
     ) & (F.col(prefix_right + r_start) < F.col(prefix_left + l_end))
+    cond = lb["_bucket"] == rb["_bucket"]
+    for lk, rk in equi_keys or ():
+        cond = cond & (
+            F.col(prefix_left + lk).eqNullSafe(F.col(prefix_right + rk))
+        )
     return (
-        lb.join(rb, "_bucket")
+        lb.join(rb, cond)
         .filter(overlap)
         .drop("_bucket")
         .dropDuplicates()

@@ -604,3 +604,49 @@ def test_interval_overlap_matches_brute_force(spark, case):
     out = interval_overlap_join(df(left), df(right), "s", "e", "s", "e", w)
     got = {(r.l_id, r.r_id) for r in out.collect()}
     assert got == want
+
+
+@st.composite
+def keyed_interval_case(draw):
+    def ivs(n):
+        return st.lists(
+            st.tuples(
+                st.integers(0, 2),     # entity key, few -> collisions
+                st.integers(0, 20),
+                st.integers(-1, 6),
+            ),
+            min_size=0,
+            max_size=10,
+        )
+    return draw(ivs(10)), draw(ivs(10)), draw(st.sampled_from([1, 4]))
+
+
+@given(keyed_interval_case())
+@SETTINGS
+def test_keyed_interval_overlap_matches_brute_force(spark, case):
+    """equi_keys: overlap joins only within the same entity key."""
+    from datawarehouse1_spark.operators.temporal import interval_overlap_join
+
+    lraw, rraw, w = case
+    left = [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(lraw)]
+    right = [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(rraw)]
+    want = {
+        (li, ri)
+        for (li, lk, ls, le) in left
+        for (ri, rk, rs, re_) in right
+        if lk == rk and ls < le and rs < re_ and ls < re_ and rs < le
+    }
+    schema = "id long, k long, s long, e long"
+
+    def df(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    out = interval_overlap_join(
+        df(left), df(right), "s", "e", "s", "e", w, equi_keys=[("k", "k")]
+    )
+    got = {(r.l_id, r.r_id) for r in out.collect()}
+    assert got == want
