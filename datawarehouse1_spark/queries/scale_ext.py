@@ -332,9 +332,17 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/temporal.py::interval_overlap_join. Spark plans the raw
     theta join as a broadcast NESTED LOOP (every l×r pair tested); the
     grid-bucket decomposition turns it into ONE equi-join on bucket id
-    + an exact post-filter, cost bounded by per-bucket occupancy. The
-    DuckDB oracle runs the plain predicate join — same rows, different
-    physical plan, which is exactly the point."""
+    + an exact post-filter, cost bounded by per-bucket occupancy.
+
+    Honest local measurement (ROUND_NOTES r7): up to ~31M pair tests
+    the codegen'd NLJ actually WINS on this box (0.53 s vs 1.28 s at
+    5.5k×5.6k) — broadcastable sides + integer predicates are cheap.
+    The bucketized form is not a micro-optimization; it is the shape
+    that SURVIVES when neither side broadcasts: NLJ then degenerates
+    to a shuffled cartesian whose pair tests grow as |L|·|R| (10¹² at
+    1M×1M), while the bucket join stays one keyed exchange + per-bucket
+    work. The DuckDB oracle runs the plain predicate join — same rows,
+    different physical plan, which is exactly the point."""
     from datawarehouse1_spark.operators.temporal import interval_overlap_join
 
     o = table(spark, sf_dir, "orders")
