@@ -133,6 +133,60 @@ def extract_features(
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def extract_features_arrow(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], "np.ndarray"] = deterministic_fake_decode,
+) -> DataFrame:
+    """mapInArrow twin of extract_features: the same payload->feature
+    transform over raw pyarrow RecordBatches, skipping the
+    Arrow<->pandas conversion on BOTH sides of the Python boundary.
+    For binary-heavy batches that conversion is a real copy (pandas
+    boxes each payload into a Python bytes object up front even when
+    only len/hash are needed), so this is the leaner shape for
+    codec-style work; results are bit-identical to the pandas path
+    (pinned in tests/test_multimodal.py). Kept alongside — not
+    replacing — the pandas tier, whose DataFrame ergonomics the more
+    complex decode operators lean on."""
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            ("asset_id", pa.int64()),
+            ("modality", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("sha256", pa.string()),
+            ("feature", pa.list_(pa.float32())),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes, digests, feats = [], [], []
+            for buf in payloads:
+                b = buf.as_py()
+                if b is None:
+                    n_bytes.append(0)
+                    digests.append(None)
+                    feats.append(None)
+                else:
+                    n_bytes.append(len(b))
+                    digests.append(hashlib.sha256(b).hexdigest())
+                    feats.append(decode_fn(b).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("asset_id")),
+                    batch.column(batch.schema.get_field_index("modality")),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(digests, pa.string()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                schema=arrow_schema,
+            )
+
+    return assets.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
 def payload_metadata(assets: DataFrame) -> DataFrame:
     """JVM-only metadata pass: byte length + md5 without any Python —
     the cheap pre-filter before expensive decodes."""

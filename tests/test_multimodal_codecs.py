@@ -462,3 +462,38 @@ def test_synthesizer_emits_decodable_g711(spark):
         assert abs(feat[0] - 0.05) < 1e-6  # 50 ms whatever the encoding
         laws[r.asset_id % 8] += 1
     assert laws[3] > 0 and laws[7] > 0  # both G.711 variants present
+
+
+def test_extract_features_arrow_twin_bit_identical(spark):
+    """The mapInArrow path (no Arrow<->pandas conversion) must return
+    EXACTLY the pandas path's rows — including the null-payload row and
+    float32 feature values."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x00\x01\x02payload-a")),
+            (2, "audio", bytearray(b"zzzz-another-payload")),
+            (3, "image", None),
+        ],
+        "asset_id long, modality string, payload binary",
+    )
+
+    def canon(df):
+        return {
+            (
+                r.asset_id,
+                r.modality,
+                r.n_bytes,
+                r.sha256,
+                None if r.feature is None else tuple(r.feature),
+            )
+            for r in df.collect()
+        }
+
+    a = canon(extract_features(assets))
+    b = canon(extract_features_arrow(assets))
+    assert a == b and len(a) == 3
