@@ -254,9 +254,9 @@ def q_sample_hash_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared("q_dedup_minhash_incremental", oracle=None)
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL near-dup: the arriving batch (odd doc_ids, plus
+    """INCREMENTAL near-dup: the arriving batch (every 10th doc, plus
     staged exact dups of history docs so cross-batch collisions exist)
-    checked against the indexed history (even doc_ids) — candidates are
+    checked against the ~9x-larger indexed history — candidates are
     (new × history) + (new × new) band collisions only; the
     history × history quadrant is never re-generated. This is the
     steady-state shape of a continuously-ingesting corpus: per-batch
