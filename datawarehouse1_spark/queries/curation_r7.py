@@ -285,12 +285,15 @@ _MIX_WEIGHTS_SQL = "(VALUES " + ", ".join(
 @declared(
     "q_mixture_token_budget",
     oracle=f"""
-    WITH avail AS (
-      SELECT d.lang, w.w_e6,
-             CAST(SUM(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
                                       t -> t <> ''))) AS BIGINT) AS avail_tokens
-      FROM documents d JOIN {_MIX_WEIGHTS_SQL} ON d.lang = w.lang
-      GROUP BY d.lang, w.w_e6
+      FROM documents GROUP BY lang
+    ),
+    avail AS (
+      SELECT w.lang, w.w_e6, coalesce(p.avail_tokens, 0) AS avail_tokens
+      FROM {_MIX_WEIGHTS_SQL} LEFT JOIN per_lang p ON w.lang = p.lang
     ),
     capped AS (
       SELECT *,
@@ -306,7 +309,8 @@ _MIX_WEIGHTS_SQL = "(VALUES " + ", ".join(
              AS allotted_tokens,
            CAST(floor(CAST(floor(CAST(w_e6 AS DECIMAL(38,0)) * t_max / 1000000)
                            AS DECIMAL(38,0))
-                * 1000000 / avail_tokens) AS BIGINT) AS sample_rate_e6,
+                * 1000000 / nullif(avail_tokens, 0)) AS BIGINT)
+             AS sample_rate_e6,
            budget_cap = t_max AS binding
     FROM solved
     """,
@@ -327,10 +331,15 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(_MIX_W_E6.items()), "lang string, w_e6 long"
     )
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    avail = (
-        d.join(F.broadcast(w), "lang")
-        .groupBy("lang", "w_e6")
-        .agg(F.sum(F.size(toks)).cast("long").alias("avail_tokens"))
+    # weights drive the join (left from w): a TARGET language with zero
+    # available tokens must surface as avail=0 and force T=0 — an inner
+    # join would silently drop the stratum and "solve" an unsatisfiable
+    # mixture (pinned in test_r7_hardening.py)
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(toks)).cast("long").alias("avail_tokens")
+    )
+    avail = w.join(per_lang, "lang", "left").select(
+        "lang", "w_e6", F.coalesce("avail_tokens", F.lit(0)).alias("avail_tokens")
     )
     dec = "decimal(38,0)"
     capped = avail.withColumn(
@@ -356,7 +365,11 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avail_tokens",
         "budget_cap",
         allotted.alias("allotted_tokens"),
-        F.floor(allotted.cast(dec) * F.lit(1000000) / F.col("avail_tokens"))
+        F.floor(
+            allotted.cast(dec)
+            * F.lit(1000000)
+            / F.nullif(F.col("avail_tokens"), F.lit(0))
+        )
         .cast("long")
         .alias("sample_rate_e6"),
         (F.col("budget_cap") == F.col("t_max")).alias("binding"),

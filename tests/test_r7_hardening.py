@@ -202,3 +202,34 @@ def test_chunk_sliding_reconstruction_law(spark, tmp_path):
         # overlap invariant: consecutive chunks share size-stride tokens
         for a, b in zip(chunks, chunks[1:]):
             assert a.split(" ")[stride:] == b.split(" ")[: size - stride]
+
+
+def test_mixture_budget_missing_stratum_forces_zero(spark, tmp_path):
+    """A TARGET language absent from the corpus makes the mixture
+    unsatisfiable: T must come out 0 (not silently 'solved' over the
+    present strata), the absent strata must appear with avail=0 as the
+    binding constraint, and their sample rate is NULL (0/0)."""
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = [
+        (1, "word " * 50, "en", "s", 250),
+        (2, "mot " * 40, "fr", "s", 160),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.lang: r for r in QUERIES["q_mixture_token_budget"](
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(out) == {"en", "zh", "de", "fr", "es"}  # every TARGET lang
+    for lang in ("zh", "de", "es"):  # absent from the corpus
+        assert out[lang].avail_tokens == 0
+        assert out[lang].budget_cap == 0
+        assert out[lang].binding is True
+        assert out[lang].sample_rate_e6 is None
+    for lang in ("en", "fr"):  # present but unusable: T = 0
+        assert out[lang].avail_tokens > 0
+        assert out[lang].allotted_tokens == 0
+        assert out[lang].binding is False
