@@ -68,6 +68,24 @@ def make_scd2_sink(
         first_seq = batch.groupBy(*keys).agg(
             F.min(seq_col).cast("long").alias("_close_at")
         )
+        # cross-batch total-order enforcement: a batch seq at or below a
+        # key's newest existing version would write a corrupt interval
+        # (valid_to <= valid_from) SILENTLY — fail loudly instead, like
+        # the within-batch duplicate-seq guard in scd2_from_changes
+        stale = (
+            history.groupBy(*keys)
+            .agg(F.max("valid_from_seq").alias("_hist_max"))
+            .join(F.broadcast(first_seq), keys)
+            .filter(F.col("_close_at") <= F.col("_hist_max"))
+            .limit(1)
+            .collect()
+        )
+        if stale:
+            raise ValueError(
+                f"scd2 sink: batch {batch_id} delivers seq <= an existing "
+                f"version's start for key {stale[0]} — the change stream "
+                "violated the globally-increasing-seq contract"
+            )
         closed = (
             history.join(F.broadcast(first_seq), keys, "left")
             .withColumn(

@@ -60,3 +60,21 @@ def test_scd2_sink_replay_noop_and_bootstrap(spark, tmp_path):
     sink(b0, 0)  # at-least-once redelivery: strict no-op
     assert _history(spark, path) == once
     assert latest_version(path) == 0
+
+
+def test_scd2_sink_out_of_order_batch_raises(spark, tmp_path):
+    """A batch whose seq is at or below a key's newest existing version
+    would silently write valid_to <= valid_from; the sink must raise
+    (the streaming twin of the duplicate-seq guard)."""
+    import pytest
+
+    path = str(tmp_path / "hist")
+    sink = make_scd2_sink(spark, path, keys=("k",))
+    sink(spark.createDataFrame([(1, "a1", "I", 5)], SCHEMA), 0)
+    with pytest.raises(ValueError, match="globally-increasing-seq"):
+        sink(spark.createDataFrame([(1, "a0", "U", 5)], SCHEMA), 1)
+    with pytest.raises(ValueError, match="globally-increasing-seq"):
+        sink(spark.createDataFrame([(1, "a0", "U", 3)], SCHEMA), 2)
+    # history untouched by the rejected batches
+    assert _history(spark, path) == {(1, "a1", 5, None, True)}
+    assert latest_version(path) == 0
