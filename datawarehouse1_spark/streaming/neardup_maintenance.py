@@ -72,6 +72,22 @@ def make_neardup_sink(
         if history is None:
             # bootstrap: no cross pairs possible; new×new only
             history = new_index.limit(0)
+        else:
+            # id-disjointness enforcement: a doc id reused across
+            # batches would pair with ITSELF at jaccard 1.0 and be
+            # indexed twice — fail loudly before any effect lands
+            dup = (
+                new_index.select("_id")
+                .join(history.select("_id"), "_id", "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"neardup sink: batch {batch_id} re-delivers doc id "
+                    f"{dup[0]._id} already in the index — ids must be "
+                    "globally unique across batches"
+                )
         pairs = minhash_lsh_incremental_pairs(
             history,
             batch,

@@ -92,3 +92,23 @@ def test_neardup_sink_empty_batch_noop(spark, tmp_path):
     )
     sink(_batch(spark, []).filter(F.lit(False)), 0)
     assert latest_version(index_path) is None
+
+
+def test_neardup_sink_duplicate_id_across_batches_raises(spark, tmp_path):
+    """An id re-delivered in a later batch would self-pair at jaccard
+    1.0 and be indexed twice — the sink must raise before any effect
+    lands (pairs dir and index untouched)."""
+    import pytest
+
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    sink = make_neardup_sink(spark, index_path, pairs_path, **LSH)
+    sink(_batch(spark, [(1, TEXTS[1]), (2, TEXTS[2])]), 0)
+    before_pairs = _pairs(spark, pairs_path)
+    n_index = read_snapshot(spark, index_path).count()
+
+    with pytest.raises(ValueError, match="globally unique"):
+        sink(_batch(spark, [(2, TEXTS[3])]), 1)
+    assert _pairs(spark, pairs_path) == before_pairs
+    assert read_snapshot(spark, index_path).count() == n_index
+    assert latest_version(index_path) == 0
