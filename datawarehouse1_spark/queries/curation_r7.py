@@ -440,3 +440,68 @@ def q_curation_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk").alias("chunk"),
         F.size(chunk_toks).cast("long").alias("chunk_tokens"),
     )
+
+
+@declared(
+    "q_curation_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+               AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+               i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_shingle_hits
+      FROM tr t JOIN ev e ON t.sh = e.sh GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_eval_shingle_hits, 0) AS n_eval_shingle_hits,
+           coalesce(h.n_eval_shingle_hits, 0) >= 3 AS drop_doc
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION — the filter the overlap REPORT
+    (q_text_contamination_overlap) informs: every training document
+    scored by how many distinct 3-token shingles it shares with the
+    held-out eval set (doc_id % 97), with the drop verdict at ≥3
+    shared shingles (calibrated: 171/494 train docs share ≥1 shingle
+    on this dense synthetic vocabulary — dropping those would gut the
+    corpus — but only 10 share ≥3; real corpora use 8-13-gram
+    shingles where ≥1 is the standard). Scale shape identical to the
+    report: md5 shingle hashes equi-join, (hash, doc_id) pairs
+    shuffle, never text; the eval side is the small, broadcastable
+    side."""
+    d = table(spark, sf_dir, "documents")
+    toks_col = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    shingled = d.select("doc_id", toks_col.alias("t")).filter(
+        F.size("t") >= 3
+    ).select(
+        "doc_id",
+        F.explode(F.transform(word_ngrams(F.col("t"), 3), F.md5)).alias("sh"),
+    )
+    ev = shingled.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    tr = shingled.filter(F.col("doc_id") % 97 != 0).distinct()
+    hits = (
+        tr.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingle_hits"))
+    )
+    train_docs = d.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_shingle_hits", F.lit(0)).alias(
+            "n_eval_shingle_hits"
+        ),
+        (F.coalesce("n_eval_shingle_hits", F.lit(0)) >= 3).alias("drop_doc"),
+    )

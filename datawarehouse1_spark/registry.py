@@ -124,6 +124,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
+    "q_curation_decontaminate",
     # -- r4-graded, did not fit the r7 window: front the r8 window --
     "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",
