@@ -19,6 +19,27 @@ def _rank_col(key: str):
     return F.md5(F.col(key).cast("string"))
 
 
+def _join_null_safe(left: DataFrame, right: DataFrame, strata: Sequence[str]):
+    """Inner-join on the strata columns with NULL-safe equality (<=>).
+
+    A plain `.join(..., on=strata)` silently drops rows whose stratum
+    value is NULL (NULL = NULL is NULL in SQL), which would make the
+    oversample prefilter starve NULL strata while the naive window path
+    samples them — breaking path equivalence AND the exact-or-loud
+    guarantee (the shortfall check joined the same way, so the loss was
+    invisible). Right-side strata are renamed to avoid ambiguity and
+    dropped after the join; left column order is preserved."""
+    aliases = [f"_strat_{i}" for i in range(len(strata))]
+    r = right
+    for s, a in zip(strata, aliases):
+        r = r.withColumnRenamed(s, a)
+    cond = None
+    for s, a in zip(strata, aliases):
+        c = left[s].eqNullSafe(r[a])
+        cond = c if cond is None else cond & c
+    return left.join(F.broadcast(r), cond).drop(*aliases)
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],
@@ -53,7 +74,7 @@ def stratified_sample(
             F.lit(1.0), F.lit(float(oversample * k)) / F.col("_n")
         )
         cut = (frac * F.lit(float(16**8))).cast("long")
-        cand = df.join(F.broadcast(counts.withColumn("_cut", cut)), strata)
+        cand = _join_null_safe(df, counts.withColumn("_cut", cut), strata)
         passes = F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") < F.col(
             "_cut"
         )
@@ -71,8 +92,8 @@ def stratified_sample(
         # >= k rows, the sample would silently shrink — forbid it
         got = out.groupBy(*strata).agg(F.count(F.lit(1)).alias("_got"))
         short = (
-            got.join(
-                df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n")), strata
+            _join_null_safe(
+                got, df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n")), strata
             )
             .filter((F.col("_got") < F.lit(k)) & (F.col("_n") >= F.lit(k)))
             .limit(1)

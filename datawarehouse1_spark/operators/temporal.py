@@ -120,8 +120,14 @@ def interval_overlap_join(
     Scale shape (the standard grid-bucket decomposition): each interval
     explodes to the integer buckets it covers (floor(start/w) ..
     floor((end-1)/w)); candidates come from ONE equi-join on the bucket
-    id; the exact overlap predicate then filters, and pairs that share
-    several buckets dedupe. Cost is sum over buckets of |L_b|·|R_b| —
+    id; the exact overlap predicate then filters. A pair sharing
+    several buckets is emitted ONCE, from its canonical bucket — the
+    bucket containing max(l_start, r_start), which both intervals
+    necessarily cover — so no dedup pass is needed, and (unlike a
+    full-row dropDuplicates) genuinely duplicate input rows keep their
+    multiplicity, exactly matching the brute-force theta join (two
+    identical intervals on one side produce two output pairs).
+    Cost is sum over buckets of |L_b|·|R_b| —
     bounded by bucket width, never |L|·|R|. Pick `bucket_width` near
     the TYPICAL interval length: much smaller multiplies the explode
     fan-out (len/w bucket rows per interval), much larger degrades
@@ -178,9 +184,12 @@ def interval_overlap_join(
         cond = cond & (
             F.col(prefix_left + lk).eqNullSafe(F.col(prefix_right + rk))
         )
-    return (
-        lb.join(rb, cond)
-        .filter(overlap)
-        .drop("_bucket")
-        .dropDuplicates()
+    # canonical-bucket discipline: of the (possibly many) buckets a
+    # pair shares, keep only the one holding the overlap's start point
+    canonical = lb["_bucket"] == F.floor(
+        F.greatest(
+            F.col(prefix_left + l_start), F.col(prefix_right + r_start)
+        )
+        / bucket_width
     )
+    return lb.join(rb, cond).filter(overlap & canonical).drop("_bucket")

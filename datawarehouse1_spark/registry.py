@@ -41,91 +41,28 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r06
-# each contain exactly queries()[:50] in dict order). Round-7 window
-# (VERDICT r6 "Next round" #1+#2: verdict-freshness): section (a)
-# fronts the 15 r6-tail queries that have NEVER held a driver verdict
-# (declared after the r6 window was set; each pytest-parity hash-green
-# vs its DuckDB oracle every run); (b) the TEN queries new in r7 —
-# never graded, they outrank re-grades; (c) the nine r2-vintage
-# verdicts displaced in r6 — the oldest in the registry; (d) r4-vintage
-# re-grades, TPC-H battery first (their plans are the ones the BENCH
-# sections time, so a fresh verdict pins the perf numbers to hash-green
-# results) — 16 of the 38 r4s fit. The r8 window fronts, in order: the
-# r7-tail q_join_interval_overlap (declared after this window was set,
-# pytest-parity-green every run), then the 22 remaining r4-vintage
-# re-grades (TPC-H q18/q19/q20/q22 + the misc battery listed below);
-# every r5/r6-graded green sits behind them. Vintages computed from
-# CORRECTNESS_r0{1..6}.json. Window structure pinned by
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r07
+# each contain exactly queries()[:50] in dict order). Round-8 window
+# (VERDICT r7 "Next round" #1+#2): section (a) fronts the 4 r7-tail
+# queries that have NEVER held a driver verdict (declared after the r7
+# window was set; pytest-parity hash-green vs their DuckDB oracles
+# every run); (b) the 22 r4-vintage re-grades — the oldest held
+# verdicts in the registry; (c) the oldest-r5 re-grades in registry
+# order, filling the window to exactly 50. New r8 queries are inserted
+# at the FRONT of section (c) (never-graded outranks re-grade),
+# displacing r5 slots from its tail; after this round every latest
+# verdict is r5+ and the r9 window finishes the r5 refresh. Behind the
+# window: freshest-last (r5 remainder, r6-graded, r7-graded). Vintages
+# computed from CORRECTNESS_r0{1..7}.json. Window structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) r6-tail, never driver-graded: grade these first --
-    "q_hierarchy_sql_recursive",
-    "q_unpivot_metrics",
-    "q_events_anomaly_days",
-    "q_text_bigram_novelty",
-    "q_bpe_apply_encode",
-    "q_lateral_topn_per_nation",
-    "q_set_ops_all",
-    "q_graph_triangles",
-    "q_events_ewma_daily",
-    "q_reconcile_checksums",
-    "q_stats_winsorized",
-    "q_text_bpe_token_count",
-    "q_wds_extract_samples",
-    "q_multimodal_mp3_scan",
-    "q_compressed_blob_extract",
-    # -- (b) new in r7: composed curation verdict (VERDICT r6 #7),
-    # snapshot-diff CDC generation (inverse of apply_cdc), exact
-    # stratified sampling, mixture token-budget planning, incremental
-    # near-dup vs a persisted index, schema-evolution union, partition
-    # boundary planning, best-keeper election, SCD2 history + as-of --
-    "q_curation_quality_verdict",
-    "q_cdc_extract_changes",
-    "q_sample_stratified_exact",
-    "q_mixture_token_budget",
-    "q_dedup_minhash_incremental",
-    "q_schema_evolution_union",
-    "q_partition_boundaries",
-    "q_dedup_clusters_best_keeper",
-    "q_scd2_from_cdc",
-    "q_scd2_asof_lookup",
-    # -- (c) r2-vintage re-grades: the oldest verdicts in the registry --
-    "q_join_semi",
-    "q_subquery_exists",
-    "q_subquery_scalar_agg",
-    "q_union_incremental",
-    "q_project_enrich",
-    "q_string_funcs",
-    "q_window_range_frame",
-    "q_date_parts",
-    "q_topk_orderby_limit",
-    # -- (d) r4-vintage re-grades: TPC-H battery, 16 of the 38 r4s;
-    # the remainder front the r8 window (see header) --
-    "q_tpch_q1_pricing_summary",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q4_order_priority",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q8_market_share",
-    "q_tpch_q9_product_type_profit",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q12_shipping_priority_class",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_parts_supplier",
-    "q_tpch_q17_small_quantity_revenue",
-    # ---- graded window ends here (first 50) ----
-    # -- new in r7 behind the window (hash-checked by the pytest parity
-    # suite every run; fronts the r8 graded window) --
+    # -- (a) r7-tail, never driver-graded (VERDICT r7 #1): grade first --
     "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
     "q_curation_decontaminate",
-    # -- r4-graded, did not fit the r7 window: front the r8 window --
+    # -- (b) r4-vintage re-grades (VERDICT r7 #2): the oldest held
+    # verdicts in the registry --
     "q_tpch_q18_large_volume_customer",
     "q_tpch_q19_discounted_revenue",
     "q_tpch_q20_part_promotion",
@@ -148,6 +85,59 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_builtin_charge",
     "q_udtf_bigrams",
     "q_upsert_partition_rollup",
+    # -- (c) oldest-r5 re-grades, registry order, filling to 50; new r8
+    # queries displace from the TAIL of this section --
+    "q_events_sessionize",
+    "q_events_tumbling_window",
+    "q_events_session_stats",
+    "q_events_json_extract",
+    "q_events_transition_matrix",
+    "q_events_funnel",
+    "q_events_retention_weekly",
+    "q_join_asof",
+    "q_route_filter",
+    "q_upsert_latest",
+    "q_excel_serial_date",
+    "q_null_semantics",
+    "q_window_lag_delta",
+    "q_dedup_simhash_neardup",
+    "q_dedup_simhash",
+    "q_window_ntile_quartile",
+    "q_window_percent_rank",
+    "q_window_first_last",
+    "q_window_moving_avg",
+    "q_stats_moments",
+    "q_stats_mode_deterministic",
+    "q_events_variant_extract",
+    "q_date_gapfill_months",
+    "q_events_hourly_heatmap",
+    # ---- graded window ends here (first 50) ----
+    # -- r5-vintage remainder (re-grade in r9) --
+    "q_events_gap_histogram",
+    "q_events_dau_wau",
+    "q_scd2_user_state",
+    "q_rfm_segmentation",
+    "q_orders_pareto",
+    "q_hierarchy_recursive_cte",
+    "q_text_bigram_topk",
+    "q_text_tfidf_topterms",
+    "q_text_contamination_overlap",
+    "q_text_token_histogram",
+    "q_text_posexplode_tokens",
+    "q_docs_length_percentiles",
+    "q_curation_pack_chunks",
+    "q_docs_dup_rate_by_source",
+    "q_text_repetition_score",
+    "q_embedding_quantize_error",
+    "q_embedding_norm_stats",
+    "q_llm_curation_pipeline",
+    "q_llm_pipeline_packed",
+    "q_curation_topk_per_lang",
+    "q_dedup_clusters",
+    "q_dedup_fuzzy_names",
+    "q_heavy_hitters",
+    "q_sample_hash_mixture",
+    "q_dedup_ngram_jaccard",
     # -- r6-graded (CORRECTNESS_r06, all green) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -199,56 +189,57 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",
-    # -- r5-graded (CORRECTNESS_r05, all green) --
-    "q_events_sessionize",
-    "q_events_tumbling_window",
-    "q_events_session_stats",
-    "q_events_json_extract",
-    "q_events_transition_matrix",
-    "q_events_funnel",
-    "q_events_retention_weekly",
-    "q_join_asof",
-    "q_route_filter",
-    "q_upsert_latest",
-    "q_excel_serial_date",
-    "q_null_semantics",
-    "q_window_lag_delta",
-    "q_dedup_simhash_neardup",
-    "q_dedup_simhash",
-    "q_window_ntile_quartile",
-    "q_window_percent_rank",
-    "q_window_first_last",
-    "q_window_moving_avg",
-    "q_stats_moments",
-    "q_stats_mode_deterministic",
-    "q_events_variant_extract",
-    "q_date_gapfill_months",
-    "q_events_hourly_heatmap",
-    "q_events_gap_histogram",
-    "q_events_dau_wau",
-    "q_scd2_user_state",
-    "q_rfm_segmentation",
-    "q_orders_pareto",
-    "q_hierarchy_recursive_cte",
-    "q_text_bigram_topk",
-    "q_text_tfidf_topterms",
-    "q_text_contamination_overlap",
-    "q_text_token_histogram",
-    "q_text_posexplode_tokens",
-    "q_docs_length_percentiles",
-    "q_curation_pack_chunks",
-    "q_docs_dup_rate_by_source",
-    "q_text_repetition_score",
-    "q_embedding_quantize_error",
-    "q_embedding_norm_stats",
-    "q_llm_curation_pipeline",
-    "q_llm_pipeline_packed",
-    "q_curation_topk_per_lang",
-    "q_dedup_clusters",
-    "q_dedup_fuzzy_names",
-    "q_heavy_hitters",
-    "q_sample_hash_mixture",
-    "q_dedup_ngram_jaccard",
+    # -- r7-graded (CORRECTNESS_r07, all green): the freshest verdicts --
+    "q_hierarchy_sql_recursive",
+    "q_unpivot_metrics",
+    "q_events_anomaly_days",
+    "q_text_bigram_novelty",
+    "q_bpe_apply_encode",
+    "q_lateral_topn_per_nation",
+    "q_set_ops_all",
+    "q_graph_triangles",
+    "q_events_ewma_daily",
+    "q_reconcile_checksums",
+    "q_stats_winsorized",
+    "q_text_bpe_token_count",
+    "q_wds_extract_samples",
+    "q_multimodal_mp3_scan",
+    "q_compressed_blob_extract",
+    "q_curation_quality_verdict",
+    "q_cdc_extract_changes",
+    "q_sample_stratified_exact",
+    "q_mixture_token_budget",
+    "q_dedup_minhash_incremental",
+    "q_schema_evolution_union",
+    "q_partition_boundaries",
+    "q_dedup_clusters_best_keeper",
+    "q_scd2_from_cdc",
+    "q_scd2_asof_lookup",
+    "q_join_semi",
+    "q_subquery_exists",
+    "q_subquery_scalar_agg",
+    "q_union_incremental",
+    "q_project_enrich",
+    "q_string_funcs",
+    "q_window_range_frame",
+    "q_date_parts",
+    "q_topk_orderby_limit",
+    "q_tpch_q1_pricing_summary",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_type_profit",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_shipping_priority_class",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_parts_supplier",
+    "q_tpch_q17_small_quantity_revenue",
 )
 
 

@@ -59,7 +59,16 @@ def make_rollup_sink(
         delta = batch_agg(batch)
         old = read_snapshot(spark, rollup_path)
         if old is not None and "_last_batch" in old.columns:
-            # grandfather pre-r7 rollups that carried the guard column
+            # Grandfather pre-r7 rollups that carried the in-table guard
+            # column. For these, latest_version() is None (legacy real
+            # dir, no version suffix), so the filesystem guard above is
+            # vacuous — the replay check MUST come from the column
+            # itself before it is dropped, or a checkpoint replay right
+            # after the upgrade (sink committed, checkpoint didn't)
+            # would double-count the delta.
+            row = old.selectExpr("max(_last_batch) AS b").collect()[0]
+            if row["b"] is not None and row["b"] >= batch_id:
+                return  # replayed batch already folded into the legacy rollup
             old = old.drop("_last_batch")
         merged = merge_rollup(old, delta, keys, additive_cols)
         publish_snapshot(merged, rollup_path, version=batch_id)

@@ -68,13 +68,25 @@ def make_scd2_sink(
         first_seq = batch.groupBy(*keys).agg(
             F.min(seq_col).cast("long").alias("_close_at")
         )
-        # cross-batch total-order enforcement: a batch seq at or below a
-        # key's newest existing version would write a corrupt interval
-        # (valid_to <= valid_from) SILENTLY — fail loudly instead, like
-        # the within-batch duplicate-seq guard in scd2_from_changes
+        # cross-batch total-order enforcement: a batch seq at or below
+        # ANY existing seq boundary for the key would write a corrupt /
+        # overlapping interval SILENTLY — fail loudly instead, like the
+        # within-batch duplicate-seq guard in scd2_from_changes. The
+        # high-water mark must include valid_to_seq, not just
+        # valid_from_seq: a delete closes the last version at the D's
+        # seq (valid_to > max valid_from), and a contract-violating seq
+        # inside that closed interval would otherwise slip past the
+        # guard and land an overlapping version row.
         stale = (
             history.groupBy(*keys)
-            .agg(F.max("valid_from_seq").alias("_hist_max"))
+            .agg(
+                F.max(
+                    F.greatest(
+                        F.col("valid_from_seq"),
+                        F.coalesce(F.col("valid_to_seq"), F.col("valid_from_seq")),
+                    )
+                ).alias("_hist_max")
+            )
             .join(F.broadcast(first_seq), keys)
             .filter(F.col("_close_at") <= F.col("_hist_max"))
             .limit(1)

@@ -124,45 +124,36 @@ def test_registry_window_structure():
     assert names == list(DRIVER_CHECK_ORDER)
     assert len(names) == len(set(names))
     window = names[:50]
-    # the r7 must-grades: the 15 r6-tail queries that had never held a
-    # driver verdict (VERDICT r6 #1) + the nine r2-vintage re-grades
-    # (VERDICT r6 #2) — these MUST all sit inside the first-50 window
+    # the r8 must-grades: the 4 r7-tail queries that have never held a
+    # driver verdict (VERDICT r7 #1) + the 22 r4-vintage re-grades
+    # (VERDICT r7 #2) — these MUST all sit inside the first-50 window
     for q in (
-        "q_hierarchy_sql_recursive",
-        "q_unpivot_metrics",
-        "q_events_anomaly_days",
-        "q_text_bigram_novelty",
-        "q_bpe_apply_encode",
-        "q_lateral_topn_per_nation",
-        "q_set_ops_all",
-        "q_graph_triangles",
-        "q_events_ewma_daily",
-        "q_reconcile_checksums",
-        "q_stats_winsorized",
-        "q_text_bpe_token_count",
-        "q_wds_extract_samples",
-        "q_multimodal_mp3_scan",
-        "q_compressed_blob_extract",
-        "q_join_semi",
-        "q_subquery_exists",
-        "q_subquery_scalar_agg",
-        "q_union_incremental",
-        "q_project_enrich",
-        "q_string_funcs",
-        "q_window_range_frame",
-        "q_date_parts",
-        "q_topk_orderby_limit",
-        # new in r7 — never graded, must hold window slots until they are
-        "q_curation_quality_verdict",
-        "q_cdc_extract_changes",
-        "q_sample_stratified_exact",
-        "q_mixture_token_budget",
-        "q_dedup_minhash_incremental",
-        "q_schema_evolution_union",
-        "q_partition_boundaries",
-        "q_dedup_clusters_best_keeper",
-        "q_scd2_from_cdc",
-        "q_scd2_asof_lookup",
+        "q_join_interval_overlap",
+        "q_drift_tvd_report",
+        "q_curation_chunk_sliding",
+        "q_curation_decontaminate",
+        "q_tpch_q18_large_volume_customer",
+        "q_tpch_q19_discounted_revenue",
+        "q_tpch_q20_part_promotion",
+        "q_tpch_q22_global_sales_opportunity",
+        "q_embedding_neardup",
+        "q_agg_cube",
+        "q_profile_columns",
+        "q_pandas_udf_scalar",
+        "q_array_agg_sorted",
+        "q_multimodal_features",
+        "q_multimodal_frame_sample",
+        "q_multimodal_metadata",
+        "q_agg_grouping_sets",
+        "q_agg_percentile",
+        "q_set_intersect",
+        "q_set_except",
+        "q_pivot_status_by_priority",
+        "q_join_range_bands",
+        "q_join_salted_skew",
+        "q_builtin_charge",
+        "q_udtf_bigrams",
+        "q_upsert_partition_rollup",
     ):
         assert q in window, f"{q} fell out of the graded window"
     # every declared query resolves to a callable, and every oracle
