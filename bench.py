@@ -96,13 +96,15 @@ def main() -> None:
     # run per query buys the noise floor down). SPARK_GRAFT_BENCH_TPCH=0
     # skips.
     tpch: dict[str, float] = {}
+    tpch_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0":
         for name in sorted(n for n in registry.QUERIES if n.startswith("q_tpch_")):
             try:
-                tpch[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=2)[0],
-                    4,
+                best, spread = run_one(
+                    spark, registry.QUERIES[name], SF_DIR, timed_runs=2
                 )
+                tpch[name] = round(best, 4)
+                tpch_spread[name] = round(spread, 4)
             except Exception as ex:  # noqa: BLE001 - record and keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
                 print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
@@ -132,13 +134,15 @@ def main() -> None:
         "q_dedup_minhash_incremental",
     )
     llm: dict[str, float] = {}
+    llm_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":
         for name in LLM:
             try:
-                llm[name] = round(
-                    run_one(spark, registry.QUERIES[name], SF_DIR, timed_runs=2)[0],
-                    4,
+                best, spread = run_one(
+                    spark, registry.QUERIES[name], SF_DIR, timed_runs=2
                 )
+                llm[name] = round(best, 4)
+                llm_spread[name] = round(spread, 4)
             except Exception as ex:  # noqa: BLE001 - record and keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
                 print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
@@ -157,9 +161,13 @@ def main() -> None:
     if tpch:
         out["tpch"] = tpch
         out["tpch_total"] = round(sum(tpch.values()), 4)
+        # r8 (VERDICT r7 #8): section spreads recorded like the
+        # headline's, so a per-query swing self-triages as noise/real
+        out["tpch_spread"] = tpch_spread
     if llm:
         out["llm"] = llm
         out["llm_total"] = round(sum(llm.values()), 4)
+        out["llm_spread"] = llm_spread
     if errors:
         out["errors"] = errors
         out["incomplete"] = True

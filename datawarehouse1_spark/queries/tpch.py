@@ -341,14 +341,16 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
     set; quantity summed in exact decimal; top-100 by price with
     orderkey tiebreak.
 
-    Semi-join-first shape (r6): the big-order key set filters lineitem
-    AND orders BEFORE the fact-fact join, so only the ~1% qualifying
-    rows reach it, and customer joins AFTER the per-order aggregation —
-    against one row per qualifying order instead of every line. The
-    previous shape ran customer⋈orders⋈lineitem in full and filtered
-    last; at 100 TB that is three full-size shuffles for rows that are
-    then discarded. o_orderkey is the orders PK, so grouping by it
-    determines (custkey, date, price) — c_name joins in afterwards."""
+    Aggregate-carry shape (r8, replacing the r6 semi-join-first shape):
+    the HAVING aggregate already computes each qualifying order's total
+    quantity, so `big` CARRIES the sum and orders joins it directly —
+    the old li_big semi join (a second full lineitem pass) and the
+    per-order re-aggregation vanish: sum(quantity over a qualifying
+    order's lines) IS the aggregate that qualified it, bit-identical
+    exact decimal. One lineitem scan + one agg shuffle total; at 100 TB
+    that saves a full fact-table read AND its shuffle. o_orderkey is
+    the orders PK, so the big⋈orders join is 1:1 on the ~1% qualifying
+    keys — customer joins against one row per qualifying order."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -356,14 +358,13 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
         li.groupBy("l_orderkey")
         .agg(F.sum(_d("l_quantity")).alias("q"))
         .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_key"))
+        .select(
+            F.col("l_orderkey").alias("big_key"),
+            F.col("q").cast("double").alias("sum_qty"),
+        )
     )
-    li_big = li.join(big, li.l_orderkey == big.big_key, "left_semi")
-    o_big = o.join(big, o.o_orderkey == big.big_key, "left_semi")
-    per_order = (
-        o_big.join(li_big, o_big.o_orderkey == li_big.l_orderkey)
-        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_d("l_quantity")).cast("double").alias("sum_qty"))
+    per_order = o.join(big, o.o_orderkey == big.big_key).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
     )
     return (
         per_order.join(c, per_order.o_custkey == c.c_custkey)

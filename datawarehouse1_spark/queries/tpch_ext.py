@@ -225,8 +225,18 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): one nation's share of a region's
     volume per year — conditional-sum over conditional-sum from the full
     8-way star. The NULL-when-no-match numerator (SUM over an ELSE-less
-    CASE) divides to NULL identically in both engines. All dims
-    broadcast; only the two fact joins shuffle."""
+    CASE) divides to NULL identically in both engines.
+
+    Region-first shape (r8, SCALE.md rule 2 — derive the implied
+    filter): the customer join exists only to test ASIA membership, so
+    orders is SEMI-joined against region-filtered customers BEFORE the
+    fact join. The r6 shape joined the fat lineitem⋈orders product to
+    full customer on custkey — its biggest shuffle moved rows the ASIA
+    predicate then discarded (~4/5 at 25 nations). Now the custkey
+    shuffle moves only orders+customer/5, the orderkey shuffle moves
+    ~1/5 the orders rows, and the fat product never re-shuffles:
+    c_custkey is the customer PK so semi == inner multiplicity, and
+    n1/region collapse into a broadcast key-set filter."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
@@ -242,14 +252,23 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # ASIA nation keys (≤ a handful of rows) broadcast into customer;
+    # semi join keeps exactly the customers the inner c⋈n1⋈r chain kept
+    asia_cust = c.join(
+        F.broadcast(
+            n1.join(r, F.col("n1_region") == F.col("r_regionkey")).select("n1_key")
+        ),
+        F.col("c_nationkey") == F.col("n1_key"),
+        "left_semi",
+    ).select("c_custkey")
+    o_asia = o.join(
+        asia_cust, o.o_custkey == asia_cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate")
     vol = _revenue().alias("volume")
     joined = (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(o_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
     )

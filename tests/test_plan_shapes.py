@@ -47,9 +47,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q10_returned_items": 1,
     "q_tpch_q14_promo_revenue": 1,  # broadcast part + single agg
     "q_tpch_q13_customer_distribution": 2,  # per-cust agg + histogram agg
-    # big-order key agg appears twice statically (semi-filters lineitem
-    # AND orders; exchange reuse collapses it at runtime) + final group
-    "q_tpch_q18_large_volume_customer": 3,
+    # r8 aggregate-carry shape: ONE lineitem agg shuffle; the qualifying
+    # (orderkey, sum_qty) set joins orders directly (broadcast at test
+    # SF) and customer joins one row per qualifying order
+    "q_tpch_q18_large_volume_customer": 1,
     "q_tpch_q22_global_sales_opportunity": 2,  # 1-row threshold broadcast
     "q_agg_cube": 1,  # Expand + one shuffle, not 2^k scans
     "q_agg_grouping_sets": 1,

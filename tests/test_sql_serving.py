@@ -1,0 +1,123 @@
+"""E3-parity serving face: a real out-of-process SQL client (the
+beeline JDBC client shipped with Spark) connects to the in-process
+HiveThriftServer2 endpoint and runs a star join against the served
+catalog; results must match the DuckDB oracle bit-for-bit.
+
+Runs the server in a SUBPROCESS with its own SparkSession so the shared
+test session is not polluted by the server's global state (system
+properties, background thrift threads)."""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAR_SQL = """
+SELECT n.n_name AS nation,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM warehouse.lineitem l
+JOIN warehouse.orders o ON l.l_orderkey = o.o_orderkey
+JOIN warehouse.customer c ON o.o_custkey = c.c_custkey
+JOIN warehouse.nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+LIMIT 5
+"""
+
+SERVER_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from datawarehouse1_spark import get_spark
+from datawarehouse1_spark.serving import register_warehouse, start_sql_endpoint
+spark = get_spark("sql-endpoint-test")
+register_warehouse(spark, {sf_dir!r})
+start_sql_endpoint(spark, port={port})
+print("ENDPOINT_READY", flush=True)
+import time
+time.sleep(600)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(420)
+def test_beeline_star_join_matches_duckdb(tmp_path):
+    import pyspark
+
+    beeline = os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
+    assert os.path.exists(beeline), "beeline client missing from Spark dist"
+
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", SERVER_SCRIPT.format(repo=REPO, sf_dir=SF_DIR, port=port)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=str(tmp_path),  # derby/metastore scratch lands here, not the repo
+    )
+    try:
+        deadline = time.monotonic() + 180
+        for line in proc.stdout:
+            if "ENDPOINT_READY" in line:
+                break
+            if time.monotonic() > deadline or proc.poll() is not None:
+                pytest.fail("sql endpoint subprocess did not come up")
+
+        r = subprocess.run(
+            [
+                beeline,
+                "-u",
+                f"jdbc:hive2://127.0.0.1:{port}/default",
+                "-n",
+                "test",
+                "--outputformat=csv2",
+                "--silent=true",
+                "-e",
+                STAR_SQL,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        assert r.returncode == 0, f"beeline failed: {r.stderr[-500:]}"
+
+        # csv2: header then data rows; the connect prompt may be glued to
+        # the header line, so pick the lines that parse as 3-column csv
+        # data (nation,count,revenue)
+        rows = []
+        for line in r.stdout.splitlines():
+            parts = line.strip().split(",")
+            if len(parts) == 3 and parts[1].isdigit():
+                rows.append((parts[0], int(parts[1]), float(parts[2])))
+        assert len(rows) == 5, f"expected 5 result rows, got: {r.stdout[-800:]}"
+
+        duck = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "nation"):
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        want = duck.execute(STAR_SQL.replace("warehouse.", "")).fetchall()
+        want = [(n, int(c), float(rev)) for (n, c, rev) in want]
+        assert rows == want
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
