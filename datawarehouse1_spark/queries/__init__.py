@@ -27,6 +27,7 @@ _MODULES = (
     "wds_ext",
     "curation_r6",
     "curation_r7",
+    "curation_r8",
 )
 
 

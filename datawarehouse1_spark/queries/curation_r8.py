@@ -1,0 +1,178 @@
+"""Round-8 curation: URL canonicalization dedup + deterministic
+corpus sharding.
+
+Two steps every web-scale collection pipeline runs that were missing
+from the battery:
+
+* **URL-normalization dedup** — the cheapest, highest-yield dedup tier
+  (run before any content hashing): the same page arrives under
+  scheme/case/www/tracking-param/fragment variants, and canonicalizing
+  the URL collapses them without touching document bodies. The
+  canonicalizer here implements the standard rules (lowercase
+  scheme+host, strip www., strip fragment, drop utm_* tracking params,
+  sort surviving query params, strip trailing slash) as pure string
+  expressions — one narrow pass, then one aggregate on the canonical
+  key. Document text never shuffles; at 100 TB the shuffle moves
+  (canonical_url, doc_id) pairs only.
+
+* **Shard assignment** — the deterministic global shuffle that turns a
+  curated corpus into N training shards: every doc gets a
+  (shard, position) from md5(doc_id), so reruns, retried tasks, and
+  different engines materialize byte-identical shards (no rand(), same
+  discipline as operators/sampling.py). One exchange: the per-shard
+  position window repartitions by shard — which is exactly the
+  physical layout the shard writer needs, so the sort is not overhead,
+  it IS the output order.
+
+Reference parity: the reference ETL (etl/app.py) has no curation
+surface; SURVEY.md §2D extension inventory (LLM-pipeline tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+# Deterministic URL staging: every doc_id yields a URL whose canonical
+# form is fully determined by doc_id % 200, while scheme case, www,
+# trailing slash, param order, utm params, and fragments vary on other
+# residues — exactly the variant axes the canonicalizer must collapse.
+# The SAME CASE arithmetic runs in both engines (twin staging);
+# {S} is the dialect string type (STRING for Spark, VARCHAR for DuckDB).
+_URL_SQL = """
+    CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://'
+         ELSE 'https://' END
+    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+    || 'Site' || CAST(doc_id % 50 AS {S}) || '.Example.COM'
+    || '/docs/' || CAST(doc_id % 200 AS {S})
+    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 3
+         WHEN 0 THEN '?b=1&id=' || CAST(doc_id % 200 AS {S})
+         WHEN 1 THEN '?id=' || CAST(doc_id % 200 AS {S}) || '&b=1'
+         ELSE '?id=' || CAST(doc_id % 200 AS {S}) || '&utm_src=9&b=1'
+       END
+    || CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END
+"""
+
+
+@declared(
+    "q_dedup_url_normalize",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_URL_SQL.format(S='VARCHAR')} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                                    '^([^/?#]+)', 1)),
+               '^www\\.', '') AS host,
+             regexp_replace(
+               regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                              '^[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM staged
+    ),
+    canon AS (
+      SELECT doc_id,
+             host || path ||
+             CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+      FROM (
+        SELECT doc_id, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(query, '&'),
+                                       p -> NOT starts_with(p, 'utm_'))),
+                 '&') AS q
+        FROM parts
+      )
+    )
+    SELECT url_canon,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) - 1 AS n_dupes
+    FROM canon
+    GROUP BY url_canon
+    """,
+)
+def q_dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: stage scheme/www/case/tracking-param/
+    fragment variant URLs deterministically from doc_id, canonicalize
+    (lowercase host, strip www./fragment/trailing slash, drop utm_*
+    params, sort survivors), then keep the first occurrence per
+    canonical URL. One narrow projection + ONE aggregate exchange on
+    the canonical key; bodies never move."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr(_URL_SQL.format(S="STRING")).alias("url")
+    staged = d.select("doc_id", url)
+    no_scheme = F.regexp_replace(F.col("url"), "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(no_scheme, "^[^/?#]+([^?#]*)", 1), "/$", ""
+    )
+    query = F.regexp_extract(F.col("url"), r"\?([^#]*)", 1)
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = staged.select(
+        "doc_id",
+        F.concat(
+            host, path, F.when(q == "", "").otherwise(F.concat(F.lit("?"), q))
+        ).alias("url_canon"),
+    )
+    return canon.groupBy("url_canon").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dupes"),
+    )
+
+
+_N_SHARDS = 16
+# first md5 hex nibble -> 0..15: portable hex-to-int without conv()
+# (DuckDB has no conv; instr over the hex alphabet is identical in both)
+_NIBBLE = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS {S})), 1, 1)) - 1"
+
+
+@declared(
+    "q_curation_shard_assign",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             {_NIBBLE.format(S='VARCHAR')} AS shard
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM keyed
+    """,
+)
+def q_curation_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into training shards: shard = first
+    md5 nibble (16 shards), position = md5 rank within the shard. The
+    one exchange repartitions by shard — the exact layout the shard
+    writer wants — and each shard sorts ~|corpus|/16 keys, not the
+    whole corpus (no global sort). Reruns and engines agree bit-for-bit
+    (md5 over the stable key, ties broken by doc_id)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    keyed = d.withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("shard", F.expr(_NIBBLE.format(S="STRING")).cast("int"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )

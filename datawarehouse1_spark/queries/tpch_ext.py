@@ -662,37 +662,43 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct supplier among its 'R' lines (l1 itself is 'R', so that one
     is l1's supplier).
 
-    Single-scan two-level shape (r6): groupBy(order, supplier) with a
-    per-pair R-line COUNT does everything in one lineitem read — the
-    (order,supplier) pairs re-aggregate into per-order supplier stats
-    (exchange-reused subtree), and the same pair rows with n_r_lines>0
-    ARE the qualifying l1 candidates (numwait = sum of per-pair R-line
-    counts), so the second full lineitem scan of the naive decorrelated
-    plan disappears. A multi-countDistinct would instead plan an Expand
-    that doubles every row before the shuffle; map-side partials here
-    collapse each order's lines ~4:1 before anything shuffles."""
+    Single-scan window shape (r8, replacing the r6 two-level agg +
+    self-join): groupBy(order, supplier) with a per-pair R-line COUNT
+    does everything in one lineitem read, then the per-order supplier
+    stats come from WINDOW functions over the pair rows partitioned by
+    orderkey — the separate per-order aggregate and its join back to
+    pair are gone (4 → 3 shuffles; sf0.1 1.25 → 1.12 s). Per-order
+    window groups are bounded by the suppliers-per-order fan-out, so no
+    straggler risk. The same pair rows with n_r_lines>0 ARE the
+    qualifying l1 candidates (numwait = sum of per-pair R-line counts).
+    A multi-countDistinct would instead plan an Expand that doubles
+    every row before the shuffle; map-side partials here collapse each
+    order's lines ~4:1 before anything shuffles."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
     pair = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("n_r_lines")
     )
-    per_order = pair.groupBy(F.col("l_orderkey").alias("s_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(
-            F.when(F.col("n_r_lines") > 0, 1).otherwise(0)
-        ).alias("n_r_supp"),
+    w = Window.partitionBy("l_orderkey")
+    stats = pair.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_r_supp",
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).over(w),
     )
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     return (
-        pair.filter(F.col("n_r_lines") > 0)
+        stats.filter(
+            (F.col("n_r_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_r_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(per_order, F.col("s_key") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .groupBy("s_name")
         .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -85,7 +85,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_builtin_charge",
     "q_udtf_bigrams",
     "q_upsert_partition_rollup",
-    # -- (c) oldest-r5 re-grades, registry order, filling to 50; new r8
+    # -- (c) new in r8 — never graded, they outrank re-grades --
+    "q_dedup_url_normalize",
+    "q_curation_shard_assign",
+    # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
     "q_events_tumbling_window",
@@ -109,10 +112,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_stats_moments",
     "q_stats_mode_deterministic",
     "q_events_variant_extract",
-    "q_date_gapfill_months",
-    "q_events_hourly_heatmap",
     # ---- graded window ends here (first 50) ----
     # -- r5-vintage remainder (re-grade in r9) --
+    "q_date_gapfill_months",
+    "q_events_hourly_heatmap",
     "q_events_gap_histogram",
     "q_events_dau_wau",
     "q_scd2_user_state",

@@ -88,10 +88,13 @@ EXCHANGE_BUDGET = {
     "q_tpch_q17_small_quantity_revenue": 2,  # per-part avg agg + global agg
     "q_tpch_q19_discounted_revenue": 1,
     "q_tpch_q20_part_promotion": 2,  # suppkey HAVING agg feeding semi join
-    # pair agg appears twice statically (candidate branch + per-order
-    # stats branch share the subtree; exchange reuse collapses it at
-    # runtime to ONE lineitem scan) + orderkey join + name agg
-    "q_tpch_q21_waiting_supplier": 4,
+    # r8 window shape: pair agg + per-order window + orders join + name
+    # agg (the r6 per-order aggregate and its join back to pair are gone)
+    "q_tpch_q21_waiting_supplier": 3,
+    # r8 curation pair: one canonical-key agg / one shard window; the
+    # canonicalize / md5 stages are pure narrow string exprs
+    "q_dedup_url_normalize": 1,
+    "q_curation_shard_assign": 1,
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N
