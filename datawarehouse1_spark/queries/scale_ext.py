@@ -371,3 +371,37 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_id", "l_start_day", "l_end_day", "r_id", "r_start_day", "r_end_day"
     )
+
+
+@declared(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_acctbal > 9000)
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi join: orders of high-balance customers via
+    operators/scale.py::bloom_semi_join — the dim's key set folds into
+    an 8 KiB md5 bloom bitmap inlined as a literal (the hand-rolled
+    form of Spark's bloom runtime filtering), the fact side drops
+    non-members with a NARROW filter before the shuffle, and the exact
+    semi join removes the <1% false positives. Result is bit-identical
+    to the plain EXISTS (law also pinned in
+    tests/test_scale_temporal_ops.py); at 100 TB the orderkey shuffle
+    carries ~selectivity·|orders| instead of |orders|."""
+    from datawarehouse1_spark.operators.scale import bloom_semi_join
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return bloom_semi_join(o, rich, "o_custkey", "c_custkey").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -95,6 +95,9 @@ EXCHANGE_BUDGET = {
     # canonicalize / md5 stages are pure narrow string exprs
     "q_dedup_url_normalize": 1,
     "q_curation_shard_assign": 1,
+    # bloom prefilter is narrow (literal-bitmap probes); only the exact
+    # semi join can shuffle (broadcast at test SF)
+    "q_join_bloom_prefilter": 1,
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N

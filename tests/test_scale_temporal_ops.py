@@ -503,3 +503,36 @@ def test_overwrite_partitions_touches_only_present_months(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_bloom_semi_join_law_and_pruning(spark):
+    """bloom_semi_join == plain left-semi join bit-for-bit (the bloom
+    can only admit false positives, which the exact join removes), the
+    prefilter actually prunes, and the FP rate stays under ~2% at the
+    default 10+ bits/key sizing."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.scale import bloom_semi_join
+    from tests.conftest import SF_DIR
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    rich = table(spark, SF_DIR, "customer").filter(F.col("c_acctbal") > 9000)
+
+    got = bloom_semi_join(o, rich, "o_custkey", "c_custkey")
+    want = o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the prefilter alone: it must pass every true member and prune
+    # hard — FP rate under ~2% of the non-members at 10+ bits/key
+    from datawarehouse1_spark.operators.scale import bloom_prefilter
+
+    n_fact, n_true = o.count(), want.count()
+    n_pre = bloom_prefilter(o, rich, "o_custkey", "c_custkey").count()
+    assert n_true <= n_pre < n_fact, "prefilter must pass members and prune"
+    fp_rate = (n_pre - n_true) / max(1, n_fact - n_true)
+    assert fp_rate < 0.02, f"bloom FP rate {fp_rate:.3%} above bound"
+    # and the prefilter is NARROW: no exchange added before the scan
+    plan = bloom_prefilter(o, rich, "o_custkey", "c_custkey")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 0
+    # a bloom built from an EMPTY dim must reject everything (no bits set)
+    empty = rich.filter(F.lit(False))
+    assert bloom_semi_join(o, empty, "o_custkey", "c_custkey").count() == 0

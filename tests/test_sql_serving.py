@@ -58,7 +58,6 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(420)
 def test_beeline_star_join_matches_duckdb(tmp_path):
     import pyspark
 
