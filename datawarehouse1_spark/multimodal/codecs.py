@@ -520,6 +520,12 @@ def stdlib_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     if mime == "audio/wav":
         samples, rate = decode_wav(payload)
         return audio_features(samples, rate, dim)
+    if mime == "audio/flac":
+        from datawarehouse1_spark.multimodal.flac import decode_flac
+
+        pcm, rate, _ = decode_flac(payload)
+        mono = pcm.astype(np.float32).mean(axis=1) / 32768.0
+        return audio_features(mono, rate, dim)
     if mime == "image/bmp":
         return image_features(decode_bmp(payload), dim)
     if mime == "image/png":

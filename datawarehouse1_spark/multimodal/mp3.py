@@ -166,7 +166,7 @@ def encode_mp3_stub(
     return bytes(out)
 
 
-# --- FLAC metadata blocks (the lossless sibling; decode stays gated) ---
+# --- FLAC metadata blocks (frame decode lives in multimodal/flac.py) ---
 
 
 @dataclass
@@ -183,8 +183,8 @@ def scan_flac(payload: bytes) -> FlacInfo:
     """Walk the published FLAC metadata-block layer (format spec §
     METADATA_BLOCK): STREAMINFO's packed sample-rate/channels/bits/
     total-samples word and the VORBIS_COMMENT vendor string. The
-    Rice-coded subframes (decode proper) stay honestly gated, exactly
-    like MP3's Huffman bitstream."""
+    Rice-coded subframes are decoded for real by multimodal/flac.py
+    (r8); only MP3's Huffman bitstream remains gated on this tier."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4

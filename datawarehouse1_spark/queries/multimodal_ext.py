@@ -219,3 +219,77 @@ def q_multimodal_mp3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 300")
     return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+@declared(
+    "q_multimodal_flac_decode",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 1000 + doc_id % 500)) AS i
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(SUM((doc_id * 7 + i * 13) % 4001 - 2000) AS BIGINT) AS sum_amp,
+           CAST(MIN((doc_id * 7 + i * 13) % 4001 - 2000) AS BIGINT) AS min_amp,
+           CAST(MAX((doc_id * 7 + i * 13) % 4001 - 2000) AS BIGINT) AS max_amp
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless audio decode, hash-matched: per asset a
+    deterministic 16-bit waveform s_i = (id*7 + i*13) % 4001 - 2000 is
+    FLAC-encoded (fixed predictors + Rice, multimodal/flac.py), decoded
+    back — CRC-8/CRC-16/MD5 all verified inside the decoder — and the
+    stats are computed FROM THE DECODED samples, while DuckDB evaluates
+    the same closed form directly. Losslessness makes the parity exact:
+    any decode bug breaks the hash. The audio twin of
+    q_multimodal_video_decode; bounded to 200 assets, Python only
+    behind Arrow (mapInPandas), payloads never shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datawarehouse1_spark.multimodal.flac import decode_flac, encode_flac
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("sample_rate", LongType(), False),
+            StructField("sum_amp", LongType(), False),
+            StructField("min_amp", LongType(), False),
+            StructField("max_amp", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "n_samples", "sample_rate",
+                "sum_amp", "min_amp", "max_amp",
+            )}
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                n = 1000 + aid % 500
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((aid * 7 + i * 13) % 4001 - 2000).astype(np.int16)
+                decoded, rate, _ = decode_flac(encode_flac(pcm, 16000))
+                mono = decoded[:, 0].astype(np.int64)
+                rows["asset_id"].append(aid)
+                rows["n_samples"].append(int(mono.size))
+                rows["sample_rate"].append(int(rate))
+                rows["sum_amp"].append(int(mono.sum()))
+                rows["min_amp"].append(int(mono.min()))
+                rows["max_amp"].append(int(mono.max()))
+            yield pd.DataFrame(rows)
+
+    docs = widen_if_narrow(
+        table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+    )
+    return docs.mapInPandas(run, schema=out_schema)

@@ -89,6 +89,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_url_normalize",
     "q_curation_shard_assign",
     "q_join_bloom_prefilter",
+    "q_multimodal_flac_decode",
     # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
@@ -111,9 +112,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_first_last",
     "q_window_moving_avg",
     "q_stats_moments",
-    "q_stats_mode_deterministic",
     # ---- graded window ends here (first 50) ----
     # -- r5-vintage remainder (re-grade in r9) --
+    "q_stats_mode_deterministic",
     "q_events_variant_extract",
     "q_date_gapfill_months",
     "q_events_hourly_heatmap",

@@ -1,0 +1,115 @@
+"""FLAC codec (multimodal/flac.py): lossless round-trip law, CRC/MD5
+corruption detection, honest gates, and consistency with the metadata
+scanner. Losslessness means decode(encode(x)) == x EXACTLY — the
+strongest law any codec in the repo can pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datawarehouse1_spark.multimodal.flac import (
+    _BLOCKSIZE,
+    decode_flac,
+    encode_flac,
+)
+from datawarehouse1_spark.multimodal.mp3 import scan_flac
+
+
+def test_round_trip_mono_multiframe():
+    rng = np.random.default_rng(11)
+    x = (
+        np.sin(np.linspace(0, 80 * np.pi, 3 * _BLOCKSIZE + 123)) * 15000
+        + rng.integers(-100, 100, 3 * _BLOCKSIZE + 123)
+    ).astype(np.int16)
+    blob = encode_flac(x, 22050)
+    pcm, rate, info = decode_flac(blob)
+    assert rate == 22050
+    assert info.channels == 1 and info.bits_per_sample == 16
+    assert np.array_equal(pcm[:, 0], x)
+    # smooth audio should actually compress (fixed predictors + rice)
+    assert len(blob) < x.nbytes
+
+
+def test_round_trip_stereo():
+    rng = np.random.default_rng(3)
+    left = rng.integers(-20000, 20000, 5000).astype(np.int16)
+    right = (left // 3 + 7).astype(np.int16)
+    st_ = np.stack([left, right], axis=1)
+    pcm, rate, info = decode_flac(encode_flac(st_, 48000))
+    assert info.channels == 2 and rate == 48000
+    assert np.array_equal(pcm, st_)
+
+
+def test_constant_and_extreme_values():
+    c = np.full(4096 + 7, -123, np.int16)
+    assert np.array_equal(decode_flac(encode_flac(c, 8000))[0][:, 0], c)
+    t = np.array([0, 1, -1, 32767, -32768, 32767, -32768], np.int16)
+    assert np.array_equal(decode_flac(encode_flac(t, 8000))[0][:, 0], t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_round_trip_property(samples, rate):
+    x = np.array(samples, np.int16)
+    pcm, got_rate, info = decode_flac(encode_flac(x, rate))
+    assert got_rate == rate
+    assert info.total_samples == len(x)
+    assert np.array_equal(pcm[:, 0], x)
+
+
+def test_corruption_detected_never_silent():
+    x = (np.arange(9000) % 2000 - 1000).astype(np.int16)
+    blob = bytearray(encode_flac(x, 16000))
+    # flip a bit inside frame data (past the ~70-byte metadata prologue)
+    blob[len(blob) // 2] ^= 0x10
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(blob))
+
+
+def test_md5_guard_catches_wrong_pcm():
+    """A stream whose STREAMINFO MD5 disagrees with the decoded PCM must
+    raise — swap the MD5 bytes and keep the frames intact."""
+    x = (np.arange(5000) % 997 - 498).astype(np.int16)
+    blob = bytearray(encode_flac(x, 16000))
+    # STREAMINFO md5 lives at bytes 4+4+18 .. 4+4+34
+    blob[26:42] = bytes(16)  # all-zero = "unknown", decoder skips check
+    pcm, _, _ = decode_flac(bytes(blob))
+    assert np.array_equal(pcm[:, 0], x)
+    blob[26:42] = b"\x01" * 16  # definite wrong digest
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(blob))
+
+
+def test_scanner_and_decoder_agree():
+    x = np.zeros((777, 2), np.int16)
+    blob = encode_flac(x, 44100, vendor="dw1-test")
+    meta = scan_flac(blob)
+    pcm, rate, info = decode_flac(blob)
+    assert (meta.sample_rate, meta.channels, meta.total_samples) == (
+        rate,
+        pcm.shape[1],
+        pcm.shape[0],
+    )
+    assert meta.vendor == "dw1-test"
+
+
+def test_honest_gates_raise_by_name():
+    x = np.zeros(100, np.int16)
+    blob = bytearray(encode_flac(x, 8000))
+    # force 24-bit depth in STREAMINFO's packed word: flip bits-1 field
+    word = int.from_bytes(blob[18:26], "big")
+    word = (word & ~(0x1F << 36)) | ((24 - 1) << 36)
+    blob[18:26] = word.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_flac(bytes(blob))
+
+
+def test_encoder_output_is_deterministic():
+    x = (np.arange(3000) * 31 % 1777 - 888).astype(np.int16)
+    assert encode_flac(x, 16000) == encode_flac(x, 16000)
