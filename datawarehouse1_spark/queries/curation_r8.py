@@ -176,3 +176,104 @@ def q_curation_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("shard_pos"),
     )
+
+
+_FUNNEL_STAGES = ("exact_dedup", "length", "lang", "mixture_sample")
+_FUNNEL_LANGS = ("en", "zh", "es", "fr")
+
+
+@declared(
+    "q_curation_funnel_report",
+    oracle="""
+    WITH flagged AS (
+      SELECT doc_id, lang, n_chars,
+             (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+               AS k1
+      FROM documents
+    ),
+    cum AS (
+      SELECT k1,
+             k1 AND n_chars BETWEEN 100 AND 20000 AS k2,
+             k1 AND n_chars BETWEEN 100 AND 20000
+                AND lang IN ('en', 'zh', 'es', 'fr') AS k3,
+             k1 AND n_chars BETWEEN 100 AND 20000
+                AND lang IN ('en', 'zh', 'es', 'fr')
+                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+                    CASE lang WHEN 'en' THEN '7fffffff' WHEN 'zh' THEN 'cccccccc'
+                              WHEN 'es' THEN '33333333' WHEN 'de' THEN '33333333'
+                              WHEN 'fr' THEN 'ffffffff' ELSE '00000000' END AS k4
+      FROM flagged
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM cum
+    )
+    SELECT s.stage_idx, s.stage,
+           CASE s.stage_idx WHEN 1 THEN n0 WHEN 2 THEN n1
+                            WHEN 3 THEN n2 ELSE n3 END AS n_in,
+           CASE s.stage_idx WHEN 1 THEN n1 WHEN 2 THEN n2
+                            WHEN 3 THEN n3 ELSE n4 END AS n_kept,
+           CASE s.stage_idx WHEN 1 THEN n0 - n1 WHEN 2 THEN n1 - n2
+                            WHEN 3 THEN n2 - n3 ELSE n3 - n4 END AS n_dropped
+    FROM tot,
+         (VALUES (1, 'exact_dedup'), (2, 'length'),
+                 (3, 'lang'), (4, 'mixture_sample')) AS s(stage_idx, stage)
+    """,
+)
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline FUNNEL observability: per-stage in/kept/dropped
+    counts for a 4-stage filter chain (exact dedup → length band → lang
+    allowlist → deterministic mixture sample) — the removal-rate report
+    every published pipeline (C4, Gopher, RefinedWeb) leads with, and
+    the first artifact a corpus engineer asks for when yield drops.
+
+    One corpus scan: the dedup flag is a first-occurrence window on
+    md5(text) (the only data-sized exchange; text itself never
+    shuffles beyond its hash), every later stage is a narrow AND over
+    that row, and ONE aggregate folds all cumulative counters; the
+    4-row report explodes from a literal array. At 100 TB this costs
+    exactly what the dedup stage alone costs — the funnel report is
+    free observability on top."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    mixture_threshold = F.when(F.col("lang") == "en", "7fffffff").otherwise(
+        F.when(F.col("lang") == "zh", "cccccccc").otherwise(
+            F.when(F.col("lang").isin("es", "de"), "33333333").otherwise(
+                F.when(F.col("lang") == "fr", "ffffffff").otherwise("00000000")
+            )
+        )
+    )
+    k1 = F.row_number().over(w) == 1
+    k2 = k1 & F.col("n_chars").between(100, 20000)
+    k3 = k2 & F.col("lang").isin(*_FUNNEL_LANGS)
+    k4 = k3 & (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        <= mixture_threshold
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tot = d.select(
+        k1.alias("k1"), k2.alias("k2"), k3.alias("k3"), k4.alias("k4")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        cnt(F.col("k1")).alias("n1"),
+        cnt(F.col("k2")).alias("n2"),
+        cnt(F.col("k3")).alias("n3"),
+        cnt(F.col("k4")).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_in"),
+                F.col(f"n{i + 1}").alias("n_kept"),
+                (F.col(f"n{i}") - F.col(f"n{i + 1}")).alias("n_dropped"),
+            )
+            for i, name in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return tot.select(F.explode(stages).alias("s")).select("s.*")

@@ -100,6 +100,8 @@ EXCHANGE_BUDGET = {
     "q_join_bloom_prefilter": 1,
     # widen_if_narrow round-robin before the Python codec work
     "q_multimodal_flac_decode": 1,
+    # funnel: first-occurrence hash window + single cumulative agg
+    "q_curation_funnel_report": 2,
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N

@@ -120,3 +120,71 @@ def test_beeline_star_join_matches_duckdb(tmp_path):
     finally:
         proc.kill()
         proc.wait(timeout=30)
+
+
+def test_concurrent_jdbc_sessions_share_catalog(tmp_path):
+    """A BI deployment means several dashboards hitting the endpoint at
+    once: two beeline clients connect CONCURRENTLY (distinct HiveServer2
+    sessions) and each runs a different aggregate; both must see the
+    same served catalog and return oracle-exact results."""
+    import pyspark
+
+    beeline = os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", SERVER_SCRIPT.format(repo=REPO, sf_dir=SF_DIR, port=port)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    try:
+        deadline = time.monotonic() + 180
+        for line in proc.stdout:
+            if "ENDPOINT_READY" in line:
+                break
+            if time.monotonic() > deadline or proc.poll() is not None:
+                pytest.fail("sql endpoint subprocess did not come up")
+
+        sqls = {
+            "a": "SELECT count(*) AS n, count(DISTINCT o_custkey) AS nc "
+                 "FROM warehouse.orders",
+            "b": "SELECT r.r_name AS region, count(*) AS n_nations "
+                 "FROM warehouse.nation n JOIN warehouse.region r "
+                 "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+        }
+        procs = {
+            k: subprocess.Popen(
+                [beeline, "-u", f"jdbc:hive2://127.0.0.1:{port}/default",
+                 "-n", f"client_{k}", "--outputformat=csv2", "--silent=true",
+                 "-e", sql],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+            for k, sql in sqls.items()
+        }
+        outs = {k: p.communicate(timeout=180)[0] for k, p in procs.items()}
+        assert all(p.returncode == 0 for p in procs.values())
+
+        duck = duckdb.connect()
+        for t in ("orders", "nation", "region"):
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        n, nc = duck.execute(sqls["a"].replace("warehouse.", "")).fetchone()
+        assert f"{n},{nc}" in outs["a"].replace("\r", "")
+        want_b = {
+            (r, int(c))
+            for r, c in duck.execute(
+                sqls["b"].replace("warehouse.", "")
+            ).fetchall()
+        }
+        got_b = set()
+        for line in outs["b"].splitlines():
+            parts = line.strip().split(",")
+            if len(parts) == 2 and parts[1].isdigit():
+                got_b.add((parts[0], int(parts[1])))
+        assert got_b == want_b
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
