@@ -277,3 +277,87 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return tot.select(F.explode(stages).alias("s")).select("s.*")
+
+
+_ES_WIN = 10  # ExactSubstr window length in tokens
+_ES_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+# 10-token window strings at every start position (stride 1), DuckDB side
+_ES_WINDOW_SQL = (
+    "list_transform(range(1, greatest(len(t) - {m}, 0) + 1), "
+    "i -> concat_ws(' ', {elems}))".format(
+        m=_ES_WIN - 1, elems=", ".join(f"t[i+{j}]" for j in range(_ES_WIN))
+    )
+)
+
+
+@declared(
+    "q_dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_ES_TOKENIZE_SQL} AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    wins AS (
+      SELECT doc_id, md5(unnest({_ES_WINDOW_SQL})) AS w FROM toks
+    ),
+    counts AS (
+      SELECT w, COUNT(*) AS c FROM wins GROUP BY w
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           CAST(FLOOR(1000000.0 * SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS repeated_micro
+    FROM wins v JOIN counts c ON v.w = c.w
+    GROUP BY v.doc_id
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-window dedup report (the
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array step, re-expressed bucketed): every 10-token window at
+    stride 1 is fingerprinted (md5), window counts aggregate
+    corpus-wide, and each doc reports how much of it is corpus-repeated
+    text (the span a real pipeline would cut). Per-doc repeated
+    fraction in floored integer micro-units (float-safe cross-engine).
+
+    Scale shape: windows are built by the zip_with chain (no O(len²)
+    lambda indexing), and only (window-hash, doc_id) pairs shuffle —
+    never text. Two key exchanges (corpus window counts + the join
+    back) + the per-doc agg; the all-pairs suffix-array form this
+    replaces is O(corpus²) and exists nowhere. Bounded to 300 docs as
+    a query; the operator shape is SF-independent."""
+    from datawarehouse1_spark.functions.arrays import word_ngrams
+
+    d = table(spark, sf_dir, "documents").filter("doc_id < 300")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        ).alias("t"),
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("t"), _ES_WIN)).alias("win"),
+    ).select("doc_id", F.md5("win").alias("w"))
+    counts = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rep = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        wins.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            rep.alias("n_repeated"),
+            F.floor(
+                1000000.0
+                * F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("repeated_micro"),
+        )
+    )

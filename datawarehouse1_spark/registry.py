@@ -91,6 +91,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_join_bloom_prefilter",
     "q_multimodal_flac_decode",
     "q_curation_funnel_report",
+    "q_dedup_exact_substring",
     # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
@@ -111,8 +112,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_ntile_quartile",
     "q_window_percent_rank",
     "q_window_first_last",
-    "q_window_moving_avg",
     # ---- graded window ends here (first 50) ----
+    "q_window_moving_avg",
     "q_stats_moments",
     # -- r5-vintage remainder (re-grade in r9) --
     "q_stats_mode_deterministic",
