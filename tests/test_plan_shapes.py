@@ -102,8 +102,8 @@ EXCHANGE_BUDGET = {
     "q_multimodal_flac_decode": 1,
     # funnel: first-occurrence hash window + single cumulative agg
     "q_curation_funnel_report": 2,
-    # window-count agg + join-back (hash reused) + per-doc agg
-    "q_dedup_exact_substring": 3,
+    # corpus window-count rides a window over the hash + per-doc agg
+    "q_dedup_exact_substring": 2,
     "q_curation_topk_per_lang": 1,  # one lang-window shuffle
     "q_events_transition_matrix": 2,  # user window + tiny type² agg
     "q_heavy_hitters": 2,  # key agg + 1-row total broadcast; TakeOrdered top-N
