@@ -14,7 +14,8 @@ multiplies. This module implements:
     coding, successive approximation on DC and AC (first + refinement
     scans, the jcphuff.c correction-bit buffering discipline),
     multi-scan coefficient accumulation. Remaining honest gates:
-    arithmetic coding and 12-bit precision — each raises loudly.
+    arithmetic coding — raises loudly. (12-bit extended sequential
+    SOF1 decodes for real since r8; encode_jpeg_gray12 writes it.)
   * encode_jpeg / encode_jpeg_progressive: the matching fixture
     writers (Annex K tables scaled by libjpeg's quality formula) so
     both decode paths are exercised on genuine entropy-coded bytes at
@@ -331,8 +332,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG unsupported")
+            # baseline (SOF0) and progressive (SOF2) are 8-bit by spec;
+            # extended sequential (SOF1) additionally allows 12-bit
+            if precision != 8 and not (precision == 12 and marker == 0xC1):
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG unsupported for SOF 0xFF{marker:02X}"
+                )
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
@@ -358,6 +363,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _decode_scan(
                     payload, pos + seglen, frame, scan_tables,
                     quant, huff_dc, huff_ac, restart_interval,
+                    precision=precision,
                 )
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             if grids is None:
@@ -382,7 +388,7 @@ def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     return np.einsum("ki,nkl,lj->nij", _DCT_A, coeffs, _DCT_A, optimize=True)
 
 
-def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart_interval):
+def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart_interval, precision=8):
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -434,7 +440,9 @@ def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart
         coeffs = np.zeros_like(zz)
         coeffs[:, ZIGZAG] = zz  # de-zigzag: natural[ZIGZAG[k]] = zz[k]
         coeffs = coeffs.reshape(-1, 8, 8) * q[None, :, :]
-        spatial = _idct_blocks(coeffs.astype(np.float64)) + 128.0
+        spatial = _idct_blocks(coeffs.astype(np.float64)) + float(
+            1 << (precision - 1)
+        )
         # blocks are ordered: MCU raster order, then v, then h within MCU
         ch, cv = comp["h"], comp["v"]
         comp_w, comp_h = mcus_x * 8 * ch, mcus_y * 8 * cv
@@ -453,20 +461,30 @@ def _decode_scan(data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart
         if cv != vmax:
             plane = np.repeat(plane, vmax // cv, axis=0)
         planes.append(plane[:h, :w])
-    return _planes_to_rgb(planes)
+    return _planes_to_rgb(planes, precision)
 
 
-def _planes_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
-    """Shared reconstruction tail: component planes -> uint8 RGB."""
+def _planes_to_rgb(planes: list[np.ndarray], precision: int = 8) -> np.ndarray:
+    """Shared reconstruction tail: component planes -> RGB samples
+    (uint8 at 8-bit precision, uint16 at 12-bit)."""
+    maxv = float((1 << precision) - 1)
+    center = float(1 << (precision - 1))
+    dtype = np.uint8 if precision == 8 else np.uint16
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        # 8-bit: truncating cast, NOT round — the closed-form grayscale
+        # oracles (video_decode / real_decode) pin this exact behavior.
+        # 12-bit: round (larger magnitudes put exact values a float ulp
+        # below the integer; truncation would bias them down by one).
+        y = np.clip(planes[0], 0, maxv)
+        if precision != 8:
+            y = y.round()
+        return np.repeat(y[:, :, None], 3, axis=2).astype(dtype)
+    y, cb, cr = planes[0], planes[1] - center, planes[2] - center
     # JFIF 1.02 / BT.601 full-range conversion
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+    return np.clip(np.stack([r, g, b], axis=2), 0, maxv).round().astype(dtype)
 
 
 # --- progressive decoding (T.81 Annex G, Huffman path) ---
@@ -1149,4 +1167,72 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
             )
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray12(img: np.ndarray, quant_step: int = 1) -> bytes:
+    """(H, W) uint16 samples in [0, 4095] -> 12-bit EXTENDED SEQUENTIAL
+    (SOF1) grayscale JPEG — the high-bit-depth medical/scientific
+    flavor T.81 Annex B allows and baseline forbids. Pq=1 (16-bit)
+    quant table; Huffman tables are built FROM the data's actual DC
+    categories / AC (run,size) symbols via _flat_huffman, so the full
+    12-bit category range (DC<=15, AC size<=14) is coverable without
+    the 8-bit Annex K tables' limits. quant_step=1 makes the DCT round
+    trip near-lossless (bit-exact on constant blocks)."""
+    if img.ndim != 2 or img.dtype != np.uint16:
+        raise ValueError("encode_jpeg_gray12 expects (H, W) uint16")
+    if int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = img.shape
+    q = np.full((8, 8), int(quant_step), dtype=np.int64)
+    zz = _fdct_quant(_pad_to(img.astype(np.float64), 8) - 2048.0, q)
+
+    # collect the symbol sets this exact image needs
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}  # EOB
+    pred = 0
+    for bi in range(zz.shape[0]):
+        dc_syms.add(_category(int(zz[bi, 0]) - pred))
+        pred = int(zz[bi, 0])
+        run = 0
+        nz = np.nonzero(zz[bi, 1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[bi, k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _category(v))
+            run = 0
+    dc_bits, dc_vals = _flat_huffman(sorted(dc_syms))
+    ac_bits, ac_vals = _flat_huffman(sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")
+    # DQT, Pq=1: 16-bit big-endian entries in zigzag order
+    body = bytes([0x10]) + b"".join(
+        int(v).to_bytes(2, "big") for v in q.reshape(64)[ZIGZAG]
+    )
+    out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof
+
+    def _dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        dht = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+
+    out += _dht(0, 0, dc_bits, dc_vals)
+    out += _dht(1, 0, ac_bits, ac_vals)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    dc_codes = _build_huffman_codes(dc_bits, dc_vals)
+    ac_codes = _build_huffman_codes(ac_bits, ac_vals)
+    writer = _BitWriter()
+    pred = 0
+    for bi in range(zz.shape[0]):
+        pred = _encode_block(writer, zz[bi], pred, dc_codes, ac_codes)
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
     return bytes(out)

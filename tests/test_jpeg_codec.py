@@ -250,3 +250,74 @@ def test_synthesizer_emits_progressive_slice(spark):
         kinds["prog" if b"\xff\xc2" in payload else "base"] += 1
         assert decode_jpeg(payload).shape == (16, 16, 3)
     assert kinds["prog"] > 0 and kinds["base"] > 0
+
+
+# --- 12-bit extended sequential (SOF1) tier, added r8 ---
+
+
+def test_12bit_constant_blocks_bit_exact_full_range():
+    """quant_step=1 makes the DCT round trip exact on constant blocks;
+    sweep the whole 12-bit range."""
+    from datawarehouse1_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray12,
+    )
+
+    for v in list(range(0, 4096, 97)) + [0, 1, 2047, 2048, 4094, 4095]:
+        img = np.full((8, 16), v, np.uint16)
+        dec = decode_jpeg(encode_jpeg_gray12(img))
+        assert dec.dtype == np.uint16 and dec.shape == (8, 16, 3)
+        assert np.all(dec[:, :, 0] == v), f"value {v} not exact"
+
+
+def test_12bit_arbitrary_content_within_one_lsb():
+    from datawarehouse1_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray12,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 4096, (40, 56)).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_gray12(img))
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    # full-range white noise drives every AC category the 12-bit mode
+    # adds (size up to 14) through the data-derived Huffman tables
+    assert err.max() <= 1
+
+
+def test_12bit_nonmultiple_of_8_dimensions():
+    from datawarehouse1_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray12,
+    )
+
+    img = (np.add.outer(np.arange(13) * 300, np.arange(21) * 11) % 4096).astype(
+        np.uint16
+    )
+    dec = decode_jpeg(encode_jpeg_gray12(img))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_12bit_rejects_out_of_range_and_wrong_dtype():
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg_gray12
+
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_gray12(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg_gray12(np.full((8, 8), 4096, np.uint16))
+
+
+def test_12bit_progressive_still_gated():
+    """SOF2 (progressive) at 12-bit stays invalid: the spec allows
+    12-bit only for extended sequential / arithmetic processes."""
+    from datawarehouse1_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray12,
+    )
+
+    blob = bytearray(encode_jpeg_gray12(np.zeros((8, 8), np.uint16)))
+    i = blob.index(b"\xff\xc1")
+    blob[i + 1] = 0xC2  # forge progressive marker on a 12-bit frame
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(blob))
