@@ -28,6 +28,7 @@ _MODULES = (
     "curation_r6",
     "curation_r7",
     "curation_r8",
+    "profiling_r8",
 )
 
 

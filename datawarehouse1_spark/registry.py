@@ -92,6 +92,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_flac_decode",
     "q_curation_funnel_report",
     "q_dedup_exact_substring",
+    "q_drift_chisq_report",
+    "q_stats_corr_matrix",
+    "q_text_char_gini",
+    "q_curation_dsir_affinity",
     # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
@@ -108,11 +112,14 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_null_semantics",
     "q_window_lag_delta",
     "q_dedup_simhash_neardup",
+    # ---- graded window ends here (first 50) ----
+    # displaced from section (d) by the 4 profiling_r8 queries; these
+    # four lead the r9 re-grade front together with the earlier
+    # displacements noted in ROUND_NOTES
     "q_dedup_simhash",
     "q_window_ntile_quartile",
     "q_window_percent_rank",
     "q_window_first_last",
-    # ---- graded window ends here (first 50) ----
     "q_window_moving_avg",
     "q_stats_moments",
     # -- r5-vintage remainder (re-grade in r9) --

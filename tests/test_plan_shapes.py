@@ -188,6 +188,18 @@ EXCHANGE_BUDGET = {
     "q_drift_tvd_report": 2,
     # narrow slice/transform + one explode: pure map-side
     "q_curation_chunk_sliding": 0,
+    # r8 profiling audit (sf0.001, local[8]):
+    # priority-bin aggregate + the <=5-row chi-square window
+    "q_drift_chisq_report": 2,
+    # ONE scan, one 1-row co-moment aggregate; the 6-pair matrix
+    # unpivots from the single row
+    "q_stats_corr_matrix": 1,
+    # (doc,char) partial agg + per-doc agg — (doc,char,count) triples
+    # shuffle, never text
+    "q_text_char_gini": 2,
+    # 256-row feature agg + its 1-partition totals window + per-doc
+    # agg; the weight table comes back as a BroadcastExchange
+    "q_curation_dsir_affinity": 3,
 }
 
 
