@@ -6,15 +6,17 @@ spec) for the subset a fixture-driven pipeline needs, with the same
 honesty discipline as the other in-repo codecs (jpeg.py, gif.py,
 tiff.py):
 
-  decoded for real: 16-bit PCM, mono + independent stereo, CONSTANT /
-  VERBATIM / FIXED(0..4) subframes, Rice methods 00 and 01 (incl. the
-  escape code), all partition orders, UTF-8-coded frame numbers,
-  CRC-8 (header) + CRC-16 (frame) + STREAMINFO MD5 all VERIFIED;
+  decoded for real: 16-bit PCM, mono + stereo in ALL four channel
+  layouts (independent, left/side, right/side, mid/side), CONSTANT /
+  VERBATIM / FIXED(0..4) / LPC(1..32) subframes, wasted bits, Rice
+  methods 00 and 01 (incl. the escape code), all partition orders,
+  UTF-8-coded frame numbers, CRC-8 (header) + CRC-16 (frame) +
+  STREAMINFO MD5 all VERIFIED — i.e. the full 16-bit layer a real
+  encoder (libFLAC at any compression level) actually emits;
 
-  honestly gated: LPC subframes, stereo decorrelation (left/mid/right
-  -side), wasted bits, non-16-bit depths — each raises
-  NotImplementedError with the feature named (our encoder never emits
-  them; foreign streams fail loudly, never silently wrong).
+  honestly gated: non-16-bit depths (the decode contract returns
+  int16 PCM) — raises NotImplementedError with the depth named;
+  foreign streams fail loudly, never silently wrong.
 
 Losslessness makes the round trip the strongest possible law:
 decode(encode(pcm)) == pcm EXACTLY, pinned in pytest together with
@@ -188,17 +190,30 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 # ------------------------------------------------------------ encoder
 
 
+_STEREO_MODES = {
+    "independent": None,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 44100,
     vendor: str = "datawarehouse1",
     blocksize: int = _BLOCKSIZE,
+    stereo: str = "independent",
+    lpc_order: int | None = None,
 ) -> bytes:
     """Encode 16-bit PCM (int16 array; shape (n,) mono or (n, 2)
     stereo) into a real FLAC stream: STREAMINFO (with the true PCM MD5)
-    + VORBIS_COMMENT + fixed-blocksize frames, each subframe picking
-    the cheapest of CONSTANT / FIXED(0..2) with a single-partition Rice
-    residual. Decodable by any conforming FLAC decoder."""
+    + VORBIS_COMMENT + fixed-blocksize frames. Subframes pick the
+    cheapest of CONSTANT / FIXED(0..2) (or a quantized-Levinson LPC of
+    the given order when `lpc_order` is set) with a single-partition
+    Rice residual; `stereo` selects the channel layout (independent or
+    any of the three decorrelated pairs). Wasted bits are detected and
+    coded. Decodable by any conforming FLAC decoder."""
     x = np.asarray(samples)
     if x.dtype != np.int16:
         raise ValueError("encode_flac takes int16 PCM")
@@ -207,13 +222,17 @@ def encode_flac(
     n, channels = x.shape
     if channels not in (1, 2):
         raise ValueError("mono or stereo only")
+    if stereo not in _STEREO_MODES:
+        raise ValueError(f"unknown stereo mode {stereo!r}")
+    if stereo != "independent" and channels != 2:
+        raise ValueError("decorrelated stereo needs 2 channels")
 
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
     frames = bytearray()
     for frame_no, start in enumerate(range(0, n, blocksize)):
         block = x[start : start + blocksize]
-        frames += _encode_frame(block, frame_no)
+        frames += _encode_frame(block, frame_no, stereo, lpc_order)
 
     last = min(blocksize, n) if n else blocksize
     word = (
@@ -238,8 +257,30 @@ def encode_flac(
     return bytes(out)
 
 
-def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
+def _encode_frame(
+    block: np.ndarray,
+    frame_no: int,
+    stereo: str = "independent",
+    lpc_order: int | None = None,
+) -> bytes:
     nsamples, channels = block.shape
+    ch_code = _STEREO_MODES[stereo]
+    if ch_code is None:
+        ch_code = channels - 1
+        subframes = [
+            (block[:, ch].astype(np.int64), 16) for ch in range(channels)
+        ]
+    else:
+        left = block[:, 0].astype(np.int64)
+        right = block[:, 1].astype(np.int64)
+        side = left - right
+        if stereo == "left_side":
+            subframes = [(left, 16), (side, 17)]
+        elif stereo == "right_side":
+            subframes = [(side, 17), (right, 16)]
+        else:  # mid_side
+            subframes = [((left + right) >> 1, 16), (side, 17)]
+
     header = bytearray()
     w = _BitWriter()
     w.write(0b11111111111110, 14)
@@ -247,7 +288,7 @@ def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
     w.write(0, 1)  # fixed-blocksize stream
     w.write(0b0111, 4)  # blocksize: explicit 16-bit at header end
     w.write(0b0000, 4)  # sample rate: from STREAMINFO
-    w.write(channels - 1, 4)  # independent channels
+    w.write(ch_code, 4)  # channel assignment
     w.write(0b100, 3)  # 16 bits/sample
     w.write(0, 1)  # reserved
     header += w.out
@@ -256,37 +297,120 @@ def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
     header.append(_crc8(bytes(header)))
 
     body = _BitWriter()
-    for ch in range(channels):
-        _encode_subframe(body, block[:, ch].astype(np.int64))
+    for x, bps in subframes:
+        _encode_subframe(body, x, bps, lpc_order)
     body.align()
 
     frame = bytes(header) + bytes(body.out)
     return frame + _crc16(frame).to_bytes(2, "big")
 
 
-def _encode_subframe(w: _BitWriter, x: np.ndarray) -> None:
+def _lpc_coefs(x: np.ndarray, order: int) -> tuple[list[int], int, int] | None:
+    """Quantized LPC via autocorrelation + Levinson-Durbin; returns
+    (coefs, precision, shift) or None when degenerate (fall back to
+    FIXED)."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    ac = np.array(
+        [float(np.dot(xf[: n - lag], xf[lag:])) for lag in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return None
+    # Levinson-Durbin recursion; a[j] predicts from lag j+1
+    err = ac[0]
+    a = np.zeros(0)
+    for i in range(order):
+        if err == 0.0:
+            return None
+        acc = ac[i + 1] - float(np.dot(a, ac[i:0:-1]))
+        k = acc / err
+        a = np.append(a - k * a[::-1], k)
+        err *= 1.0 - k * k
+    coefs = a  # most-recent-first, matching the decoder's loop
+    cmax = float(np.abs(coefs).max())
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return None
+    prec = 14  # stored as prec-1 in 4 bits; <= 15
+    shift = 0
+    while shift < 15 and cmax * (1 << (shift + 1)) < (1 << (prec - 1)) - 1:
+        shift += 1
+    q = [int(round(c * (1 << shift))) for c in coefs]
+    lim = 1 << (prec - 1)
+    q = [max(-lim, min(lim - 1, c)) for c in q]
+    if all(c == 0 for c in q):
+        return None
+    return q, prec, shift
+
+
+def _encode_subframe(
+    w: _BitWriter, x: np.ndarray, bps: int = 16, lpc_order: int | None = None
+) -> None:
+    mask = (1 << bps) - 1
     if np.all(x == x[0]):
         w.write(0, 1)
         w.write(0b000000, 6)  # CONSTANT
         w.write(0, 1)  # no wasted bits
-        w.write(int(x[0]) & 0xFFFF, 16)
+        w.write(int(x[0]) & mask, bps)
         return
-    # cheapest fixed order by residual magnitude (orders 0-2 suffice
-    # for fixture audio; decoder handles 0-4)
-    best_order, best_res, best_cost = 0, x, None
-    for order in range(0, 3):
-        if order >= len(x):
-            break
-        res = _fixed_residual(x, order)
-        cost = int(np.abs(res).sum())
-        if best_cost is None or cost < best_cost:
-            best_order, best_res, best_cost = order, res, cost
-    order, res = best_order, best_res
-    w.write(0, 1)
-    w.write(0b001000 | order, 6)  # FIXED(order)
-    w.write(0, 1)  # no wasted bits
-    for i in range(order):
-        w.write(int(x[i]) & 0xFFFF, 16)
+
+    # wasted-bits detection: common trailing zero bits across the block
+    orred = 0
+    for v in np.unique(x):
+        orred |= int(v)
+    wasted = min((orred & -orred).bit_length() - 1, bps - 2) if orred else 0
+    if wasted > 0:
+        x = x >> wasted
+        bps -= wasted
+        mask = (1 << bps) - 1
+
+    res = None
+    if lpc_order is not None:
+        fit = _lpc_coefs(x, lpc_order)
+        if fit is not None:
+            coefs, prec, shift = fit
+            order = lpc_order
+            res = np.empty(len(x) - order, np.int64)
+            for i in range(order, len(x)):
+                pred = 0
+                for j, c in enumerate(coefs):
+                    pred += c * int(x[i - 1 - j])
+                res[i - order] = int(x[i]) - (pred >> shift)
+            w.write(0, 1)
+            w.write(0b100000 | (order - 1), 6)  # LPC(order)
+            if wasted:
+                w.write(1, 1)
+                w.write_unary(wasted - 1)
+            else:
+                w.write(0, 1)
+            for i in range(order):
+                w.write(int(x[i]) & mask, bps)
+            w.write(prec - 1, 4)
+            w.write(shift & 0x1F, 5)
+            for c in coefs:
+                w.write(c & ((1 << prec) - 1), prec)
+    if res is None:
+        # cheapest fixed order by residual magnitude (orders 0-2 suffice
+        # for fixture audio; decoder handles 0-4)
+        best_order, best_res, best_cost = 0, x, None
+        for order in range(0, 3):
+            if order >= len(x):
+                break
+            fres = _fixed_residual(x, order)
+            cost = int(np.abs(fres).sum())
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost = order, fres, cost
+        order, res = best_order, best_res
+        w.write(0, 1)
+        w.write(0b001000 | order, 6)  # FIXED(order)
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+        for i in range(order):
+            w.write(int(x[i]) & mask, bps)
     # Rice method 00, partition order 0, one parameter
     w.write(0b00, 2)
     w.write(0, 4)
@@ -381,11 +505,8 @@ def _decode_frame(payload: bytes, pos: int, info: FlacInfo) -> tuple[np.ndarray,
         elif sr_code == 0b1111:
             raise ValueError("invalid sample-rate code 1111")
         # table codes: rate already known from STREAMINFO; nothing to read
-    if ch_code >= 0b1000:
-        raise NotImplementedError(
-            "FLAC stereo decorrelation (left/right/mid-side) not supported"
-        )
-    channels = ch_code + 1
+    if ch_code > 0b1010:
+        raise ValueError(f"reserved channel-assignment code {ch_code:#06b}")
     if ss_code not in (0b000, 0b100):
         raise NotImplementedError("only 16-bit sample-size subset supported")
     r.align()
@@ -394,9 +515,31 @@ def _decode_frame(payload: bytes, pos: int, info: FlacInfo) -> tuple[np.ndarray,
         raise ValueError("FLAC frame header CRC-8 mismatch")
     r.byte_pos += 1
 
-    block = np.empty((nsamples, channels), np.int16)
-    for ch in range(channels):
-        block[:, ch] = _decode_subframe(r, nsamples)
+    if ch_code < 0b1000:  # independent channels
+        channels = ch_code + 1
+        chans = [_decode_subframe(r, nsamples, 16) for _ in range(channels)]
+        block64 = np.stack(chans, axis=1)
+    else:
+        # stereo decorrelation: the SIDE channel carries one extra bit
+        # (it holds left-right, range 17 bits); reconstruct per spec
+        if ch_code == 0b1000:  # left/side
+            left = _decode_subframe(r, nsamples, 16)
+            side = _decode_subframe(r, nsamples, 17)
+            right = left - side
+        elif ch_code == 0b1001:  # right/side
+            side = _decode_subframe(r, nsamples, 17)
+            right = _decode_subframe(r, nsamples, 16)
+            left = right + side
+        else:  # 0b1010 mid/side
+            mid = _decode_subframe(r, nsamples, 16)
+            side = _decode_subframe(r, nsamples, 17)
+            both = (mid << 1) | (side & 1)  # exact l+r
+            left = (both + side) >> 1
+            right = (both - side) >> 1
+        block64 = np.stack([left, right], axis=1)
+    if block64.size and (block64.max() > 32767 or block64.min() < -32768):
+        raise ValueError("decoded sample out of 16-bit range")
+    block = block64.astype(np.int16)
     r.align()
     frame_end = r.byte_pos
     crc = int.from_bytes(payload[frame_end : frame_end + 2], "big")
@@ -405,20 +548,25 @@ def _decode_frame(payload: bytes, pos: int, info: FlacInfo) -> tuple[np.ndarray,
     return block, frame_end + 2
 
 
-def _decode_subframe(r: _BitReader, nsamples: int) -> np.ndarray:
+def _decode_subframe(r: _BitReader, nsamples: int, bps: int) -> np.ndarray:
+    """Decode one subframe at the given channel bit depth (17 for the
+    side channel of a decorrelated stereo pair) to int64 samples."""
     if r.read(1) != 0:
         raise ValueError("subframe padding bit set")
     stype = r.read(6)
-    if r.read(1) != 0:
-        raise NotImplementedError("FLAC wasted-bits not supported")
+    wasted = 0
+    if r.read(1) == 1:  # wasted-bits flag: k-1 follows unary coded
+        wasted = r.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("wasted bits >= sample size")
+        bps -= wasted
     if stype == 0b000000:  # CONSTANT
-        v = r.read_signed(16)
-        return np.full(nsamples, v, np.int16)
-    if stype == 0b000001:  # VERBATIM
-        return np.array([r.read_signed(16) for _ in range(nsamples)], np.int16)
-    if 0b001000 <= stype <= 0b001100:  # FIXED(0..4)
+        x = np.full(nsamples, r.read_signed(bps), np.int64)
+    elif stype == 0b000001:  # VERBATIM
+        x = np.array([r.read_signed(bps) for _ in range(nsamples)], np.int64)
+    elif 0b001000 <= stype <= 0b001100:  # FIXED(0..4)
         order = stype & 0x07
-        warm = [r.read_signed(16) for i in range(order)]
+        warm = [r.read_signed(bps) for _ in range(order)]
         res = _decode_residual(r, nsamples, order)
         x = np.empty(nsamples, np.int64)
         x[:order] = warm
@@ -427,10 +575,28 @@ def _decode_subframe(r: _BitReader, nsamples: int) -> np.ndarray:
             x[i] = res[i - order] + sum(
                 c * x[i - 1 - j] for j, c in enumerate(coeffs)
             )
-        if x.max(initial=0) > 32767 or x.min(initial=0) < -32768:
-            raise ValueError("decoded sample out of 16-bit range")
-        return x.astype(np.int16)
-    raise NotImplementedError(f"FLAC subframe type {stype:#08b} (LPC) not supported")
+    elif stype >= 0b100000:  # LPC(order)
+        order = (stype & 0x1F) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC coefficient precision 1111")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is forbidden")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, nsamples, order)
+        x = np.empty(nsamples, np.int64)
+        x[:order] = warm
+        for i in range(order, nsamples):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * x[i - 1 - j]
+            x[i] = res[i - order] + (pred >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {stype:#08b}")
+    return x << wasted if wasted else x
 
 
 def _decode_residual(r: _BitReader, nsamples: int, order: int) -> np.ndarray:

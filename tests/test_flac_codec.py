@@ -113,3 +113,77 @@ def test_honest_gates_raise_by_name():
 def test_encoder_output_is_deterministic():
     x = (np.arange(3000) * 31 % 1777 - 888).astype(np.int16)
     assert encode_flac(x, 16000) == encode_flac(x, 16000)
+
+
+# ---- r8: LPC, stereo decorrelation, wasted bits (decoded for real) ----
+
+
+def test_round_trip_lpc_orders():
+    rng = np.random.default_rng(5)
+    x = (
+        np.sin(np.linspace(0, 60 * np.pi, 2 * _BLOCKSIZE + 77)) * 12000
+        + rng.integers(-150, 150, 2 * _BLOCKSIZE + 77)
+    ).astype(np.int16)
+    fixed = encode_flac(x, 44100)
+    for order in (1, 2, 4, 8, 16, 32):
+        blob = encode_flac(x, 44100, lpc_order=order)
+        pcm, _, _ = decode_flac(blob)
+        assert np.array_equal(pcm[:, 0], x), f"LPC({order}) not lossless"
+    # a tonal signal should compress better under LPC than fixed orders
+    assert len(encode_flac(x, 44100, lpc_order=8)) < len(fixed)
+
+
+def test_round_trip_all_stereo_layouts():
+    rng = np.random.default_rng(9)
+    left = (np.sin(np.arange(6000) / 30) * 9000 + rng.integers(-99, 99, 6000)).astype(
+        np.int16
+    )
+    right = (left * 0.8).astype(np.int16) + rng.integers(-20, 20, 6000).astype(
+        np.int16
+    )
+    st_ = np.stack([left, right], axis=1)
+    indep = encode_flac(st_, 44100)
+    for mode in ("left_side", "right_side", "mid_side"):
+        blob = encode_flac(st_, 44100, stereo=mode)
+        pcm, _, info = decode_flac(blob)
+        assert info.channels == 2
+        assert np.array_equal(pcm, st_), f"{mode} not lossless"
+        # correlated channels: decorrelation must beat independent coding
+        assert len(blob) < len(indep), f"{mode} did not compress vs independent"
+
+
+def test_round_trip_wasted_bits():
+    rng = np.random.default_rng(13)
+    raw = (rng.integers(-1000, 1000, 5000) * 16).astype(np.int16)  # 4 LSBs zero
+    blob = encode_flac(raw, 16000)
+    pcm, _, _ = decode_flac(blob)
+    assert np.array_equal(pcm[:, 0], raw)
+    # the 4 wasted bits must actually be elided from the stream
+    assert len(blob) < len(encode_flac((raw // 16).astype(np.int16), 16000)) + raw.nbytes // 4
+
+
+def test_stereo_extremes_mid_side_exact():
+    """mid/side halving floors (l+r)>>1; the side LSB must reconstruct
+    the exact sum — pin the odd-sum corner at full scale."""
+    l = np.array([32767, -32768, 32767, 0, 1, -1] * 300, np.int16)
+    r = np.array([32766, -32767, -32768, 1, 0, -2] * 300, np.int16)
+    st_ = np.stack([l, r], axis=1)
+    for mode in ("left_side", "right_side", "mid_side"):
+        pcm, _, _ = decode_flac(encode_flac(st_, 8000, stereo=mode))
+        assert np.array_equal(pcm, st_), mode
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-32768, 32767), st.integers(-32768, 32767)),
+        min_size=2,
+        max_size=400,
+    ),
+    st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    st.sampled_from([None, 2, 6]),
+)
+def test_round_trip_property_stereo_modes(pairs, mode, lpc):
+    st_ = np.array(pairs, np.int16)
+    pcm, _, _ = decode_flac(encode_flac(st_, 16000, stereo=mode, lpc_order=lpc))
+    assert np.array_equal(pcm, st_)
