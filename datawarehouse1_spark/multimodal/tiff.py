@@ -6,13 +6,16 @@ both byte orders, IFD walking with inline/offset values, multi-strip
 AND tiled images (TIFF 6.0 §15: padded tile grids with per-tile
 predictor reset — the layout large geo/scan rasters use), 8-bit
 grayscale / RGB / palette photometrics, Compression 1 (none), 32773
-(PackBits) and 5 (TIFF-LZW: MSB-first packing with the spec's
+(PackBits), 5 (TIFF-LZW: MSB-first packing with the spec's
 historical "early change" code-width rule, which differs from GIF),
-and Predictor 2 (horizontal differencing). The encoder writes
-little-endian fixtures in every combination so the decoder is
+8/32946 (Deflate, both codes) and 7 (new-style JPEG-in-TIFF per
+Tech Note 2, incl. abbreviated streams against the shared
+tag-347 JPEGTables — decoded by the repo's own jpeg.py, strips and
+tiles), and Predictor 2 (horizontal differencing). The encoder
+writes little-endian fixtures in every combination so the decoder is
 exercised on genuine container bytes at any SF, and 16-bit grayscale
 (scan depth) decodes with a downshift to 8-bit. Remaining gates raise
-loudly by name: JPEG-in-TIFF, 16-bit color/tiled-deep variants.
+loudly by name: 16-bit color/tiled-deep variants, predictor 3.
 
 Pure bytes+numpy — safe inside Arrow-batched executors.
 """
@@ -28,6 +31,7 @@ _WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP, _TILE_WIDTH = 317, 320, 322
 _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 323, 324, 325
+_JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -222,6 +226,40 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
 
+    if compression == 7:
+        # New-style JPEG-in-TIFF (TIFF Tech Note 2): every strip/tile is
+        # a JPEG stream, optionally abbreviated against the shared
+        # JPEGTables stream (tag 347: SOI + DQT/DHT segments + EOI).
+        # Reuses the repo's own JPEG decoder — no library involved.
+        from datawarehouse1_spark.multimodal.jpeg import decode_jpeg
+
+        tables = tags.get(_JPEG_TABLES, [b""])[0]
+        prefix = b"\xff\xd8" + bytes(tables)[2:-2] if tables else b"\xff\xd8"
+
+        def jpeg_chunk(chunk: bytes) -> np.ndarray:
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF strip missing SOI")
+            return decode_jpeg(prefix + chunk[2:])
+
+        if _TILE_WIDTH in tags:
+            tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+            offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_COUNTS]
+            across = -(-w // tw)
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+                tile_rgb = jpeg_chunk(payload[off : off + cnt])
+                y0, x0 = (ti // across) * tl, (ti % across) * tw
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                img[y0 : y0 + ys, x0 : x0 + xs] = tile_rgb[:ys, :xs]
+            return img
+        rows = []
+        for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS]):
+            rows.append(jpeg_chunk(payload[off : off + cnt]))
+        img = np.concatenate(rows, axis=0)
+        if img.shape[0] < h or img.shape[1] < w:
+            raise ValueError("JPEG-in-TIFF strips cover less than the image")
+        return np.ascontiguousarray(img[:h, :w])
+
     def decompress(chunk: bytes) -> bytes:
         if compression == 1:
             return chunk
@@ -229,9 +267,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return tiff_lzw_decode(chunk)
         if compression == 32773:
             return packbits_decode(chunk)
+        if compression in (8, 32946):  # Adobe deflate / old deflate
+            import zlib
+
+            return zlib.decompress(chunk)
         raise NotImplementedError(
             f"TIFF compression {compression} unsupported "
-            "(none/LZW/PackBits only; JPEG-in-TIFF needs tag 7 support)"
+            "(none/LZW/PackBits/Deflate/JPEG)"
         )
 
     if _TILE_WIDTH in tags:
@@ -318,23 +360,153 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
+def _assemble_tiff(
+    strips: list[bytes],
+    w: int,
+    h: int,
+    comp_id: int,
+    rows_per_strip: int,
+    photometric: int = 2,
+    jpeg_tables: bytes = b"",
+) -> bytes:
+    """Assemble a little-endian strip TIFF around pre-built strip
+    payloads (shared by the JPEG-in-TIFF path; the raster paths keep
+    their inline assembly which also covers tiles)."""
+    entries = [
+        (_WIDTH, 4, [w]),
+        (_LENGTH, 4, [h]),
+        (_BPS, 3, [8, 8, 8]),
+        (_COMPRESSION, 3, [comp_id]),
+        (_PHOTOMETRIC, 3, [photometric]),
+        (_SPP, 3, [3]),
+        (_STRIP_OFFSETS, 4, ["offsets"]),
+        (_ROWS_PER_STRIP, 4, [rows_per_strip]),
+        (_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    if jpeg_tables:
+        entries.append((_JPEG_TABLES, 7, [jpeg_tables]))
+
+    header_size = 8
+    strip_offsets = []
+    off = header_size
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    overflow = bytearray()
+    overflow_base = off
+
+    packed_entries = []
+    for tag, typ, vals in sorted(entries):
+        if vals == ["offsets"]:
+            vals = strip_offsets
+        if typ == 7:
+            raw = bytes(vals[0])
+            count = len(raw)
+        else:
+            code = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<" + code * len(vals), *vals)
+            count = len(vals)
+        if len(raw) <= 4:
+            packed_entries.append((tag, typ, count, raw.ljust(4, b"\x00")))
+        else:
+            packed_entries.append(
+                (tag, typ, count, struct.pack("<I", overflow_base + len(overflow)))
+            )
+            overflow += raw
+    ifd_off = overflow_base + len(overflow)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    for s in strips:
+        out += s
+    out += overflow
+    out += struct.pack("<H", len(packed_entries))
+    for tag, typ, count, val4 in packed_entries:
+        out += struct.pack("<HHI", tag, typ, count) + val4
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone JPEG stream into (tables_stream, abbreviated
+    stream) per TIFF Tech Note 2: DQT/DHT segments move to a
+    SOI+segments+EOI tables stream; the remainder keeps everything
+    else."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            rest += stream[pos:]
+            break
+        (seglen,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            end = stream.find(b"\xff\xd9", pos)
+            rest += stream[pos:end]
+            pos = end
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: str = "none",
     predictor: bool = False,
     rows_per_strip: int = 8,
     tile: int | None = None,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB -> little-endian TIFF. compression in
-    {'none', 'lzw', 'packbits'}; predictor applies horizontal
-    differencing (only meaningful with LZW, but legal with any).
-    With `tile` set (a multiple of 16, per TIFF 6.0 §15) the image is
-    written as a padded tile grid instead of strips — the layout large
-    geo/scan rasters use; the predictor then differs per tile row."""
+    {'none', 'lzw', 'packbits', 'deflate', 'jpeg'}; predictor applies
+    horizontal differencing (only meaningful with LZW/Deflate, but
+    legal with any). With `tile` set (a multiple of 16, per TIFF 6.0
+    §15) the image is written as a padded tile grid instead of strips —
+    the layout large geo/scan rasters use; the predictor then differs
+    per tile row. compression='jpeg' writes new-style JPEG-in-TIFF
+    (each strip a JPEG stream; with jpeg_tables=True the shared
+    DQT/DHT move to tag 347 and strips become abbreviated streams)."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_tiff expects (H, W, 3) uint8 RGB")
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {
+        "none": 1,
+        "lzw": 5,
+        "packbits": 32773,
+        "deflate": 8,
+        "jpeg": 7,
+    }[compression]
     h, w = img.shape[:2]
+
+    if compression == "jpeg":
+        if tile is not None or predictor:
+            raise ValueError("jpeg compression: strips only, no predictor")
+        from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
+
+        streams = [
+            encode_jpeg(img[y0 : y0 + rows_per_strip])
+            for y0 in range(0, h, rows_per_strip)
+        ]
+        tables_blob = b""
+        if jpeg_tables:
+            split = [_split_jpeg_tables(s) for s in streams]
+            tables_blob = split[0][0]
+            streams = [r for _, r in split]
+        return _assemble_tiff(
+            streams,
+            w,
+            h,
+            comp_id,
+            rows_per_strip,
+            photometric=6,  # encode_jpeg writes YCbCr
+            jpeg_tables=tables_blob,
+        )
 
     def apply_predictor(block: np.ndarray) -> np.ndarray:
         diff = block.astype(np.int64)
@@ -346,6 +518,10 @@ def encode_tiff(
             return tiff_lzw_encode(chunk)
         if compression == "packbits":
             return packbits_encode(chunk)
+        if compression == "deflate":
+            import zlib
+
+            return zlib.compress(chunk, 6)
         return chunk
 
     strips = []

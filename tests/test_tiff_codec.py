@@ -20,7 +20,7 @@ from datawarehouse1_spark.multimodal.tiff import (
 )
 
 
-@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits", "deflate"])
 @pytest.mark.parametrize("predictor", [False, True])
 def test_roundtrip_exact(compression, predictor):
     rng = np.random.default_rng(hash((compression, predictor)) % 2**32)
@@ -95,8 +95,8 @@ def test_malformed_and_gated_raise():
         off = ifd_off + 2 + 12 * i
         tag = struct.unpack_from("<H", bad, off)[0]
         if tag == 259:
-            struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
-    with pytest.raises(NotImplementedError, match="compression 7"):
+            struct.pack_into("<H", bad, off + 8, 34712)  # JPEG2000
+    with pytest.raises(NotImplementedError, match="compression 34712"):
         decode_tiff(bytes(bad))
 
 
@@ -170,3 +170,58 @@ def test_gray16_decode_both_byte_orders():
         assert out.shape == (12, 9, 3)
         for ch in range(3):
             np.testing.assert_array_equal(out[:, :, ch], expect)
+
+
+# ---- r8: Deflate + new-style JPEG-in-TIFF (Tech Note 2) ----
+
+
+def test_deflate_old_code_32946_also_decodes():
+    import zlib
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    blob = bytearray(encode_tiff(img, compression="deflate", rows_per_strip=8))
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", blob, off)[0] == 259:
+            struct.pack_into("<H", blob, off + 8, 32946)  # old deflate id
+    assert np.array_equal(decode_tiff(bytes(blob)), img)
+
+
+def test_jpeg_in_tiff_matches_direct_jpeg_decode():
+    """The TIFF wrapper must be a pure container: decoding the wrapped
+    strips equals stacking the direct decodes of the same streams."""
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((45, 60, 3), np.uint8)
+    for c in range(3):
+        img[:, :, c] = (np.add.outer(np.arange(45) * 2, np.arange(60)) + c * 17) % 256
+    rps = 16
+    want = np.concatenate(
+        [decode_jpeg(encode_jpeg(img[y : y + rps])) for y in range(0, 45, rps)],
+        axis=0,
+    )[:45, :60]
+    got = decode_tiff(encode_tiff(img, compression="jpeg", rows_per_strip=rps))
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_in_tiff_abbreviated_streams_share_tables():
+    """jpeg_tables=True moves DQT/DHT to tag 347; strips become
+    abbreviated streams that only decode against the shared tables —
+    result must be identical to the standalone-stream form and the
+    container must actually shrink."""
+    img = (np.add.outer(np.arange(40), np.arange(48)) % 256).astype(np.uint8)
+    img = np.repeat(img[:, :, None], 3, axis=2)
+    full = encode_tiff(img, compression="jpeg", rows_per_strip=8)
+    abbrev = encode_tiff(img, compression="jpeg", rows_per_strip=8, jpeg_tables=True)
+    assert len(abbrev) < len(full)
+    assert np.array_equal(decode_tiff(abbrev), decode_tiff(full))
+
+
+def test_jpeg_in_tiff_rejects_predictor_and_tiles():
+    img = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="strips only"):
+        encode_tiff(img, compression="jpeg", predictor=True)
+    with pytest.raises(ValueError, match="strips only"):
+        encode_tiff(img, compression="jpeg", tile=16)
