@@ -401,3 +401,72 @@ def q_curation_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("affinity_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression from exact sums
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_stats_regression",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM({_cents_sql('l_quantity')}) AS sx,
+             SUM({_cents_sql('l_extendedprice')}) AS sy,
+             SUM({_cents_sql('l_quantity')} * {_cents_sql('l_quantity')})
+               AS sxx,
+             SUM({_cents_sql('l_quantity')} * {_cents_sql('l_extendedprice')})
+               AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope6,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100, 6) AS intercept6
+    FROM sums
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (extendedprice ~ quantity
+    per return flag) — the engines' native regr_slope/regr_intercept
+    use one-pass co-moment updates whose rounding differs, so the fit
+    is assembled from the SAME exact-DECIMAL integer-cents sums as
+    q_stats_corr_matrix: one partial-aggregated scan collects
+    (n, Sx, Sy, Sxx, Sxy) per group exactly, then slope/intercept come
+    out with IEEE-only float ops and a 6dp round. The cents scaling
+    cancels in the slope (price/qty, both x100) and the intercept
+    divides back by 100 to dollars. One exchange on the group key."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def cents(c: str) -> F.Column:
+        return (F.col(c).cast("decimal(18,2)") * 100).cast(_DEC)
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(cents("l_quantity")).alias("sx"),
+        F.sum(cents("l_extendedprice")).alias("sy"),
+        F.sum(cents("l_quantity") * cents("l_quantity")).alias("sxx"),
+        F.sum(cents("l_quantity") * cents("l_extendedprice")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 100
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope6"),
+        F.round(intercept, 6).alias("intercept6"),
+    )

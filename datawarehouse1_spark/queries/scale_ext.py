@@ -405,3 +405,75 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+def _zorder_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave two small non-negative ints into a Z-order
+    (Morton) key as portable integer arithmetic — DuckDB form."""
+    terms = []
+    for i in range(bits):
+        # NB each term fully parenthesized: SQL gives '+' higher
+        # precedence than '<<', so a bare chain reassociates the shifts
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_spark(x: F.Column, y: F.Column, bits: int = 8) -> F.Column:
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@declared(
+    "q_layout_zorder_cells",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(o_custkey % 256 AS INTEGER) AS xb,
+             CAST((CAST(strftime(o_orderdate, '%Y') AS INTEGER) * 12
+                   + CAST(strftime(o_orderdate, '%m') AS INTEGER) - 1) % 256
+                  AS INTEGER) AS yb,
+             o_totalprice
+      FROM orders
+    )
+    SELECT xb, yb,
+           CAST({_zorder_sql('xb', 'yb')} AS BIGINT) AS zvalue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS cell_revenue
+    FROM cells GROUP BY xb, yb
+    """,
+)
+def q_layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout planning: the multi-dimensional
+    clustering key Delta/Iceberg OPTIMIZE ZORDER BY computes, derived
+    as portable integer arithmetic (bit-interleave of the 8-bit
+    customer and month buckets) so any engine produces the identical
+    key. Writing the fact sorted by zvalue co-clusters BOTH dimensions,
+    so either a customer-range or a date-range predicate prunes most
+    files — the thing a single-column sort can only do for one of
+    them. The query materializes the cell map (z key + per-cell count
+    and exact-decimal revenue) that the writer's repartitionByRange
+    consumes and that the layout planner inspects for skewed cells.
+    One aggregate exchange on (xb, yb); the interleave itself is
+    narrow codegen arithmetic, free at any scale."""
+    o = table(spark, sf_dir, "orders")
+    xb = (F.col("o_custkey") % 256).cast("int")
+    yb = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) % 256
+    ).cast("int")
+    cells = o.select(
+        xb.alias("xb"), yb.alias("yb"), F.col("o_totalprice")
+    )
+    return cells.groupBy("xb", "yb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        money_sum("o_totalprice", "cell_revenue"),
+    ).select(
+        "xb",
+        "yb",
+        _zorder_spark(F.col("xb"), F.col("yb")).cast("long").alias("zvalue"),
+        "n_orders",
+        "cell_revenue",
+    )

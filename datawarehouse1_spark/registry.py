@@ -96,6 +96,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_stats_corr_matrix",
     "q_text_char_gini",
     "q_curation_dsir_affinity",
+    "q_stats_regression",
+    "q_layout_zorder_cells",
     # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
@@ -110,12 +112,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_upsert_latest",
     "q_excel_serial_date",
     "q_null_semantics",
+    # ---- graded window ends here (first 50) ----
+    # displaced from section (d) by the 6 r8 profiling/layout queries;
+    # these lead the r9 re-grade front together with the earlier
+    # displacements noted in ROUND_NOTES
     "q_window_lag_delta",
     "q_dedup_simhash_neardup",
-    # ---- graded window ends here (first 50) ----
-    # displaced from section (d) by the 4 profiling_r8 queries; these
-    # four lead the r9 re-grade front together with the earlier
-    # displacements noted in ROUND_NOTES
     "q_dedup_simhash",
     "q_window_ntile_quartile",
     "q_window_percent_rank",

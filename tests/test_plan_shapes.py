@@ -200,6 +200,11 @@ EXCHANGE_BUDGET = {
     # 256-row feature agg + its 1-partition totals window + per-doc
     # agg; the weight table comes back as a BroadcastExchange
     "q_curation_dsir_affinity": 3,
+    # one grouped co-moment aggregate; fit math is narrow
+    "q_stats_regression": 1,
+    # one (xb, yb) cell aggregate; the Morton interleave is narrow
+    # codegen arithmetic
+    "q_layout_zorder_cells": 1,
 }
 
 
