@@ -68,6 +68,56 @@ def register_warehouse(
         )
 
 
+# Semantic layer: curated SQL views published alongside the raw tables
+# — what a BI consumer actually points dashboards at (the Metabase
+# "questions" layer). Views are catalog objects: visible to every
+# thrift session, planned per-query through Catalyst with full
+# pushdown into the underlying parquet (a view adds no physical cost,
+# SCALE.md rule 18). Money aggregates use the exact-decimal discipline
+# (functions/money.py) so a dashboard number equals the batch number.
+WAREHOUSE_VIEWS: dict[str, str] = {
+    "monthly_revenue": """
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM {db}.lineitem l JOIN {db}.orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+    "customer_value": """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               count(o.o_orderkey) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS lifetime_value
+        FROM {db}.customer c
+        JOIN {db}.nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN {db}.orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+    "order_priority_mix": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM {db}.orders
+        GROUP BY o_orderpriority
+    """,
+}
+
+
+def register_views(
+    spark: SparkSession, database: str = "warehouse"
+) -> None:
+    """Publish the semantic-layer views into the served catalog.
+    Idempotent (CREATE OR REPLACE); call after register_warehouse."""
+    for name, sql in WAREHOUSE_VIEWS.items():
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {database}.{name} AS "
+            + sql.format(db=database)
+        )
+
+
 def start_sql_endpoint(
     spark: SparkSession,
     port: int = 10000,
@@ -127,6 +177,7 @@ def main() -> None:
 
     spark = get_spark("datawarehouse1-sql-endpoint")
     register_warehouse(spark, args.sf_dir, database=args.database)
+    register_views(spark, database=args.database)
     start_sql_endpoint(spark, port=args.port, host=args.host)
     print(
         f"serving {args.database}.* on jdbc:hive2://{args.host}:{args.port}/default",

@@ -40,9 +40,14 @@ SERVER_SCRIPT = """
 import sys
 sys.path.insert(0, {repo!r})
 from datawarehouse1_spark import get_spark
-from datawarehouse1_spark.serving import register_warehouse, start_sql_endpoint
+from datawarehouse1_spark.serving import (
+    register_views,
+    register_warehouse,
+    start_sql_endpoint,
+)
 spark = get_spark("sql-endpoint-test")
 register_warehouse(spark, {sf_dir!r})
+register_views(spark)
 start_sql_endpoint(spark, port={port})
 print("ENDPOINT_READY", flush=True)
 import time
@@ -117,6 +122,34 @@ def test_beeline_star_join_matches_duckdb(tmp_path):
         want = duck.execute(STAR_SQL.replace("warehouse.", "")).fetchall()
         want = [(n, int(c), float(rev)) for (n, c, rev) in want]
         assert rows == want
+
+        # the semantic layer: a dashboard query against a served VIEW
+        # (the Metabase-"question" shape) must also be oracle-exact
+        view_q = (
+            "SELECT month, n_orders, revenue FROM warehouse.monthly_revenue "
+            "ORDER BY revenue DESC, month LIMIT 3"
+        )
+        r2 = subprocess.run(
+            [beeline, "-u", f"jdbc:hive2://127.0.0.1:{port}/default",
+             "-n", "test", "--outputformat=csv2", "--silent=true",
+             "-e", view_q],
+            capture_output=True, text=True, timeout=180,
+        )
+        assert r2.returncode == 0, f"beeline view query failed: {r2.stderr[-500:]}"
+        got = []
+        for line in r2.stdout.splitlines():
+            parts = line.strip().split(",")
+            if len(parts) == 3 and parts[1].isdigit():
+                got.append((parts[0], int(parts[1]), float(parts[2])))
+        from datawarehouse1_spark.serving import WAREHOUSE_VIEWS
+
+        view_sql = WAREHOUSE_VIEWS["monthly_revenue"].format(db="x").replace("x.", "")
+        want2 = duck.execute(
+            f"SELECT month, n_orders, revenue FROM ({view_sql}) "
+            "ORDER BY revenue DESC, month LIMIT 3"
+        ).fetchall()
+        want2 = [(str(m), int(n), float(rev)) for (m, n, rev) in want2]
+        assert got == want2, f"view mismatch: {got} vs {want2}"
     finally:
         proc.kill()
         proc.wait(timeout=30)
