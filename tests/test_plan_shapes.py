@@ -205,6 +205,9 @@ EXCHANGE_BUDGET = {
     # one (xb, yb) cell aggregate; the Morton interleave is narrow
     # codegen arithmetic
     "q_layout_zorder_cells": 1,
+    # 16-bit band equi-join (broadcasts locally) + the pair-dedup agg;
+    # pixels never shuffle — only (band, hash halves) rows move
+    "q_dedup_image_dhash": 1,
 }
 
 
