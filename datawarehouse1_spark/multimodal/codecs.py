@@ -181,6 +181,22 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono PCM -> canonical RIFF/WAVE via the stdlib writer —
+    the fixture path for queries that must decode REAL container bytes
+    (decode_wav reads these through `wave`, sample/32768 exact in
+    float32 for any |amp| < 2**23)."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"expected int16 samples, got {samples.dtype}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 16) -> np.ndarray:
     """Deterministic signal features: duration, RMS, zero-crossing rate,
     spectral centroid, and a coarse 12-band log-spectrum — a real

@@ -723,3 +723,72 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", (inter.cast("double") / union_sz).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def hash64_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over 64-bit fingerprints (dHash, audio energy
+    hashes, ...) stored as two int32-range halves, via pigeonhole
+    banding: the 64 bits split into (max_hamming + 1) equal bands, so
+    any pair within `max_hamming` bit flips MUST share at least one
+    band verbatim — the banded equi-join provably equals the all-pairs
+    scan. Only (band, id, hash halves) rows shuffle; the payloads the
+    hashes came from never move. Output: (left_id, right_id, hamming),
+    left_id < right_id, hamming <= max_hamming, exact (the join
+    condition re-checks true hamming, so bands add no false positives).
+    """
+    n_bands = max_hamming + 1
+    if 64 % n_bands or 32 % (64 // n_bands):
+        raise ValueError(
+            f"max_hamming={max_hamming}: bands must evenly split each "
+            "32-bit half (use 1, 3, 7, 15 or 31)"
+        )
+    width = 64 // n_bands
+    per_half = 32 // width
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hi_col).alias("_hi"),
+        F.col(lo_col).alias("_lo"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(
+                                F.col(hi_col if i >= per_half else lo_col),
+                                (i % per_half) * width,
+                            )
+                            % (1 << width)
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_hi", "_lo", "band.band_idx", "band.band_val")
+
+    left, right = bands.alias("l"), bands.alias("r")
+    ham = F.bit_count(F.col("l._hi").bitwiseXOR(F.col("r._hi"))) + F.bit_count(
+        F.col("l._lo").bitwiseXOR(F.col("r._lo"))
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -361,50 +361,82 @@ def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
         synthesize_dhash_assets,
     )
+    from datawarehouse1_spark.operators.dedup import hash64_band_pairs
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
     hashes = image_dhash(synthesize_dhash_assets(docs))
-
-    bands = hashes.select(
-        "asset_id",
-        "dhash_hi",
-        "dhash_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        (
-                            F.shiftrightunsigned(
-                                F.col("dhash_lo" if i < 2 else "dhash_hi"),
-                                (i % 2) * 16,
-                            )
-                            % 65536
-                        ).alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("asset_id", "dhash_hi", "dhash_lo", "band.band_idx", "band.band_val")
-
-    l = bands.alias("l")
-    r = bands.alias("r")
-    ham = F.bit_count(F.col("l.dhash_hi").bitwiseXOR(F.col("r.dhash_hi"))) + F.bit_count(
-        F.col("l.dhash_lo").bitwiseXOR(F.col("r.dhash_lo"))
+    return hash64_band_pairs(
+        hashes, "asset_id", "dhash_hi", "dhash_lo", max_hamming=3
     )
-    return (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.asset_id") < F.col("r.asset_id")),
-        )
-        .select(
-            F.col("l.asset_id").alias("left_id"),
-            F.col("r.asset_id").alias("right_id"),
-            ham.cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+
+
+_AUDIO_FP_ORACLE = """
+    WITH params AS (
+      SELECT doc_id,
+             doc_id - doc_id % 2 AS base,
+             doc_id % 2 AS noisy
+      FROM documents WHERE doc_id < 400
+    ),
+    samp AS (SELECT range AS t FROM range(4160)),
+    amps AS (
+      SELECT p.doc_id, s.t // 64 AS frame,
+             ((((((s.t + 1) * (s.t + 1)) % 2147483648)
+                * ((p.base * 2654435761 + 40503) % 2147483648))
+               % 2147483648) >> 7) % 4001 - 2000
+             + CASE WHEN p.noisy = 1 AND s.t // 64 = 20
+                    THEN 800 ELSE 0 END AS amp
+      FROM params p, samp s
+    ),
+    energy AS (
+      SELECT doc_id, frame, SUM(amp * amp) AS e
+      FROM amps GROUP BY doc_id, frame
+    ),
+    bits AS (
+      SELECT l.doc_id, l.frame AS f,
+             CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+      FROM energy l JOIN energy r
+        ON l.doc_id = r.doc_id AND r.frame = l.frame + 1
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN f >= 32
+                           THEN (CAST(bit AS BIGINT) << (f - 32))
+                           ELSE 0 END) AS BIGINT) AS afp_hi,
+             CAST(SUM(CASE WHEN f < 32
+                           THEN (CAST(bit AS BIGINT) << f)
+                           ELSE 0 END) AS BIGINT) AS afp_lo
+      FROM bits GROUP BY doc_id
     )
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           CAST(bit_count(xor(l.afp_hi, r.afp_hi))
+                + bit_count(xor(l.afp_lo, r.afp_lo)) AS BIGINT) AS hamming
+    FROM hashes l JOIN hashes r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.afp_hi, r.afp_hi))
+          + bit_count(xor(l.afp_lo, r.afp_lo)) <= 3
+"""
+
+
+@declared("q_dedup_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — the third modality rung of the
+    dedup battery (text shingles, image dHash, now audio): real
+    RIFF/WAVE PCM16 clips are decoded by the repo's own codec into a
+    64-bit frame-energy sign fingerprint (Haitsma-Kalker's bit rule
+    over exact int64 energy sums instead of float FFT bands, so both
+    engines reproduce every bit), and near-dup pairs (hamming <= 3)
+    surface through the SAME 4x16-bit pigeonhole banding as the image
+    tier — hash64_band_pairs proves the bucketed join equals the
+    oracle's all-pairs scan. Odd ids perturb one frame of their even
+    twin (+800 on frame 20, <= 2 bit flips by construction), so every
+    even/odd pair must appear. At 100 TB: waveforms never shuffle —
+    only (band, asset_id, 2x8-byte hash) rows move (SCALE.md rules
+    6, 8)."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        audio_energy_fingerprint,
+        synthesize_audio_fp_assets,
+    )
+    from datawarehouse1_spark.operators.dedup import hash64_band_pairs
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
+    hashes = audio_energy_fingerprint(synthesize_audio_fp_assets(docs))
+    return hash64_band_pairs(hashes, "asset_id", "afp_hi", "afp_lo", max_hamming=3)

@@ -533,3 +533,54 @@ def test_image_dhash_recall_and_separation(spark):
     # (c) incidental (non-twin) collisions stay a small minority
     incidental = [p for p in got if p[1] != p[0] + 1]
     assert len(incidental) < 100, len(incidental)
+
+
+def test_audio_fingerprint_recall_and_wav_roundtrip(spark):
+    """Audio-fingerprint laws: (a) the WAV container round-trips — the
+    fingerprint computed from decoded bytes equals the one computed
+    straight from the generating PCM; (b) recall — every even/odd twin
+    (one perturbed frame, <= 2 bit flips) survives the pigeonhole
+    banding; (c) separation — no incidental pairs at this staging
+    (measured min non-twin hamming is 15)."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_audio_fp_assets,
+    )
+    from datawarehouse1_spark.multimodal.codecs import decode_wav
+    from datawarehouse1_spark.queries.multimodal_ext import (
+        q_dedup_audio_fingerprint,
+    )
+
+    # (a) container exactness on a sample asset
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = (
+        synthesize_audio_fp_assets(docs.filter("doc_id = 7"))
+        .collect()[0]
+    )
+    samples, rate = decode_wav(bytes(row.payload))
+    amp = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+    m = 2147483648
+    t = np.arange(65 * 64, dtype=np.int64)
+    expect = ((((t + 1) * (t + 1)) % m) * ((6 * 2654435761 + 40503) % m) % m >> 7) % 4001 - 2000
+    expect[20 * 64 : 21 * 64] += 800  # doc 7 is the noisy twin of base 6
+    np.testing.assert_array_equal(amp, expect)
+
+    pairs = q_dedup_audio_fingerprint(spark, "/root/testdata/sf0.001")
+    got = {(r.left_id, r.right_id): r.hamming for r in pairs.collect()}
+    # (b) all 200 staged twins present within the designed 2 bits
+    for base in range(0, 400, 2):
+        assert (base, base + 1) in got, f"missing twin pair {base}"
+        assert got[(base, base + 1)] <= 2
+    # (c) nothing else pairs at this staging
+    assert len(got) == 200, sorted(set(got) - {(b, b + 1) for b in range(0, 400, 2)})[:5]
+
+
+def test_hash64_band_pairs_rejects_bad_split(spark):
+    from datawarehouse1_spark.operators.dedup import hash64_band_pairs
+
+    df = spark.range(1).select(
+        F.col("id").alias("i"), F.lit(0).alias("h"), F.lit(0).alias("l")
+    )
+    with pytest.raises(ValueError):
+        hash64_band_pairs(df, "i", "h", "l", max_hamming=2)

@@ -208,6 +208,9 @@ EXCHANGE_BUDGET = {
     # 16-bit band equi-join (broadcasts locally) + the pair-dedup agg;
     # pixels never shuffle — only (band, hash halves) rows move
     "q_dedup_image_dhash": 1,
+    # same hash64_band_pairs shape over the audio energy fingerprints;
+    # waveforms never shuffle
+    "q_dedup_audio_fingerprint": 1,
 }
 
 
