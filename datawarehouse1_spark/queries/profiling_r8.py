@@ -470,3 +470,138 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope6"),
         F.round(intercept, 6).alias("intercept6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift report (the rational test for CONTINUOUS columns)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_drift_ks_report",
+    oracle="""
+    WITH per_val AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+               AS cnt_a,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 <> 0) AS BIGINT)
+               AS cnt_b
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(cnt_a) OVER (ORDER BY cents) AS c_a,
+             SUM(cnt_b) OVER (ORDER BY cents) AS c_b,
+             SUM(cnt_a) OVER () AS n_a,
+             SUM(cnt_b) OVER () AS n_b
+      FROM per_val
+    ),
+    d AS (
+      SELECT cents AS at_value_cents,
+             CAST(abs(CAST(c_a AS DECIMAL(38,0)) * n_b
+                      - CAST(c_b AS DECIMAL(38,0)) * n_a) AS BIGINT)
+               AS d_num,
+             CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b
+      FROM cum
+    )
+    SELECT at_value_cents, d_num,
+           CAST(floor(CAST(d_num AS DECIMAL(38,0)) * 1000000
+                      / (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)
+             AS d_e6,
+           n_a, n_b
+    FROM d
+    ORDER BY d_num DESC, at_value_cents ASC
+    LIMIT 1
+    """,
+)
+def q_drift_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift over a CONTINUOUS column —
+    completing the drift battery (TVD and chi-square cover categorical
+    bins; KS is what a pipeline runs on a money/latency column where
+    binning would hide the shift). Snapshot halves A/B by o_orderkey
+    parity, values = exact integer cents (2-dec double -> DECIMAL(18,2)
+    -> *100, the q_stats_corr_matrix discipline). The statistic is
+    BORN rational: D = max_x |cA(x)*nB - cB(x)*nA| / (nA*nB), so both
+    engines produce the identical integer numerator and the identical
+    floored micro-unit quotient — no transcendental to substitute.
+
+    Scale shape (the reason this isn't one global window): the
+    empirical CDFs come from a TWO-LEVEL cumulative sum. Distinct
+    values pre-aggregate (one exchange), cumulate WITHIN a
+    fixed-width $25k price bucket (one exchange, parallel across
+    buckets), and only the <=40-row bucket-total summary crosses a
+    global window — then broadcasts back as per-bucket offsets. The
+    unbounded window never touches per-value rows, so the plan
+    survives a 100x scale-up where a naive
+    `Window.orderBy(value)` cumsum would serialize the whole column
+    through one task (SCALE.md rule 5). argmax resolves via
+    TakeOrderedAndProject (d_num desc, value asc tie-break), never a
+    full sort."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    bucket_width = 2_500_000  # $25k of cents; price domain is fixed, so
+    # the bucket count is bounded (~40) at ANY scale factor
+    per_val = (
+        o.select(
+            cents.alias("cents"),
+            (F.col("o_orderkey") % 2 == 0).alias("is_a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("long").alias("cnt_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("cnt_b"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("cents") / F.lit(bucket_width)).cast("long")
+        )
+    )
+
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = per_val.select(
+        "bucket",
+        "cents",
+        F.sum("cnt_a").over(win_in).alias("cin_a"),
+        F.sum("cnt_b").over(win_in).alias("cin_b"),
+    )
+
+    bucket_tot = per_val.groupBy("bucket").agg(
+        F.sum("cnt_a").alias("ba"), F.sum("cnt_b").alias("bb")
+    )
+    prior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(prior), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("bb").over(prior), F.lit(0)).alias("off_b"),
+        F.sum("ba").over(Window.partitionBy()).alias("n_a"),
+        F.sum("bb").over(Window.partitionBy()).alias("n_b"),
+    )
+
+    c_a = (F.col("cin_a") + F.col("off_a")).cast(_DEC)
+    c_b = (F.col("cin_b") + F.col("off_b")).cast(_DEC)
+    d_num = F.abs(c_a * F.col("n_b") - c_b * F.col("n_a"))
+    return (
+        cum_in.join(F.broadcast(offsets), "bucket")
+        .select(
+            F.col("cents").alias("at_value_cents"),
+            d_num.cast("long").alias("d_num"),
+            F.floor(
+                d_num
+                * F.lit(1000000)
+                / (F.col("n_a").cast(_DEC) * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("d_e6"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+        .orderBy(F.desc("d_num"), F.asc("at_value_cents"))
+        .limit(1)
+    )

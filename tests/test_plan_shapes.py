@@ -211,6 +211,10 @@ EXCHANGE_BUDGET = {
     # same hash64_band_pairs shape over the audio energy fingerprints;
     # waveforms never shuffle
     "q_dedup_audio_fingerprint": 1,
+    # two-level CDF cumsum: per-value agg + in-bucket window + bucket
+    # summary agg touch unbounded data (3); the remaining two are
+    # single-partition exchanges over the <=40-row bucket summary only
+    "q_drift_ks_report": 5,
 }
 
 
