@@ -742,6 +742,34 @@ def hash64_band_pairs(
     left_id < right_id, hamming <= max_hamming, exact (the join
     condition re-checks true hamming, so bands add no false positives).
     """
+    bands = _hash64_banded(hashes, id_col, hi_col, lo_col, max_hamming)
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            _hash64_hamming().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _hash64_banded(
+    hashes: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """(id, hi, lo) -> exploded (band_idx, band_val) rows carrying the
+    hash halves, bands = max_hamming + 1 equal slices of the 64 bits."""
     n_bands = max_hamming + 1
     if 64 % n_bands or 32 % (64 // n_bands):
         raise ValueError(
@@ -750,7 +778,7 @@ def hash64_band_pairs(
         )
     width = 64 // n_bands
     per_half = 32 // width
-    bands = hashes.select(
+    return hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hi_col).alias("_hi"),
         F.col(lo_col).alias("_lo"),
@@ -773,22 +801,62 @@ def hash64_band_pairs(
         ).alias("band"),
     ).select("_id", "_hi", "_lo", "band.band_idx", "band.band_val")
 
-    left, right = bands.alias("l"), bands.alias("r")
-    ham = F.bit_count(F.col("l._hi").bitwiseXOR(F.col("r._hi"))) + F.bit_count(
-        F.col("l._lo").bitwiseXOR(F.col("r._lo"))
-    )
+
+def _hash64_hamming() -> Column:
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l._id") < F.col("r._id")),
+        F.bit_count(F.col("l._hi").bitwiseXOR(F.col("r._hi")))
+        + F.bit_count(F.col("l._lo").bitwiseXOR(F.col("r._lo")))
+    ).cast("long")
+
+
+def hash64_band_pairs_incremental(
+    index: DataFrame,
+    new_hashes: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup the ARRIVING batch of 64-bit fingerprints against a
+    persisted index without re-pairing history — the image/audio twin
+    of minhash_lsh_incremental_pairs. The index is just (id, hi, lo):
+    24 bytes per asset, the cheapest dedup index in the repo — a
+    pipeline persists it at ingest and every later batch pairs in
+    O(|batch| x collision rate), never |corpus|^2. Candidates are
+    (new x history) band collisions plus (new x new); the
+    history x history quadrant is never generated because those pairs
+    were emitted when their batches arrived. Ids must be disjoint
+    between index and batch. Output: id_a = the NEW asset, id_b = its
+    match (history id, or the larger new id for new-new pairs).
+    Union with history's own pairs reproduces EXACTLY the full
+    hash64_band_pairs run over history ∪ batch — pinned as a law in
+    tests (exactness holds because the join re-checks true hamming, so
+    the quadrant split cannot add or lose a pair)."""
+    bn = _hash64_banded(new_hashes, id_col, hi_col, lo_col, max_hamming)
+    bh = _hash64_banded(index, id_col, hi_col, lo_col, max_hamming)
+
+    nh = bn.alias("l").join(
+        bh.alias("r"),
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_val") == F.col("r.band_val")),
+    )
+    nn = bn.alias("l").join(
+        bn.alias("r"),
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_val") == F.col("r.band_val"))
+        & (F.col("l._id") < F.col("r._id")),
+    )
+    out = [
+        q.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            _hash64_hamming().alias("hamming"),
         )
-        .select(
-            F.col("l._id").alias("left_id"),
-            F.col("r._id").alias("right_id"),
-            ham.cast("long").alias("hamming"),
-        )
+        for q in (nh, nn)
+    ]
+    return (
+        out[0]
+        .unionByName(out[1])
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

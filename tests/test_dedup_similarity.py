@@ -584,3 +584,52 @@ def test_hash64_band_pairs_rejects_bad_split(spark):
     )
     with pytest.raises(ValueError):
         hash64_band_pairs(df, "i", "h", "l", max_hamming=2)
+
+
+def test_hash64_incremental_equals_full(spark):
+    """Law: incremental(index=history, batch) ∪ full(history) ==
+    full(history ∪ batch), as unordered pair sets with identical
+    hamming — the quadrant split loses and invents nothing. Uses the
+    image-dHash staging (even/odd twins + incidental collisions), with
+    the history/batch split cutting ACROSS twin pairs (doc 299|300) so
+    the cross-quadrant path is exercised."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        image_dhash,
+        synthesize_dhash_assets,
+    )
+    from datawarehouse1_spark.operators.dedup import (
+        hash64_band_pairs,
+        hash64_band_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 400")
+    hashes = image_dhash(synthesize_dhash_assets(docs)).localCheckpoint()
+    hist = hashes.filter("asset_id < 300")
+    batch = hashes.filter("asset_id >= 300")
+
+    full = {
+        (r.left_id, r.right_id): r.hamming
+        for r in hash64_band_pairs(
+            hashes, "asset_id", "dhash_hi", "dhash_lo"
+        ).collect()
+    }
+    hist_pairs = {
+        (r.left_id, r.right_id): r.hamming
+        for r in hash64_band_pairs(
+            hist, "asset_id", "dhash_hi", "dhash_lo"
+        ).collect()
+    }
+    incr = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.hamming
+        for r in hash64_band_pairs_incremental(
+            hist, batch, "asset_id", "dhash_hi", "dhash_lo"
+        ).collect()
+    }
+    # disjoint quadrants: incremental never re-emits a history pair
+    assert not set(incr) & set(hist_pairs)
+    # every incremental pair touches the batch
+    assert all(b >= 300 for _a, b in incr)
+    combined = {**hist_pairs, **incr}
+    assert combined == full
