@@ -440,3 +440,74 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
     hashes = audio_energy_fingerprint(synthesize_audio_fp_assets(docs))
     return hash64_band_pairs(hashes, "asset_id", "afp_hi", "afp_lo", max_hamming=3)
+
+
+_VIDEO_FP_ORACLE = """
+    WITH params AS (
+      SELECT doc_id,
+             doc_id - doc_id % 2 AS base,
+             doc_id % 2 AS noisy
+      FROM documents WHERE doc_id < 200
+    ),
+    frames AS (SELECT range AS f FROM range(65)),
+    grays AS (
+      SELECT p.doc_id, fr.f,
+             (((((fr.f + 1) * (fr.f + 1)) % 2147483648)
+                * ((p.base * 2654435761 + 40503) % 2147483648))
+              % 2147483648 >> 7) % 256
+             + CASE WHEN p.noisy = 1 AND fr.f = 20 THEN 96 ELSE 0 END
+               AS g0
+      FROM params p, frames fr
+    ),
+    px AS (SELECT doc_id, f, g0 % 256 AS gray FROM grays),
+    bits AS (
+      SELECT l.doc_id, l.f,
+             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+      FROM px l JOIN px r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN f >= 32
+                           THEN (CAST(bit AS BIGINT) << (f - 32))
+                           ELSE 0 END) AS BIGINT) AS vfp_hi,
+             CAST(SUM(CASE WHEN f < 32
+                           THEN (CAST(bit AS BIGINT) << f)
+                           ELSE 0 END) AS BIGINT) AS vfp_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           CAST(bit_count(xor(l.vfp_hi, r.vfp_hi))
+                + bit_count(xor(l.vfp_lo, r.vfp_lo)) AS BIGINT) AS hamming
+    FROM hashes l JOIN hashes r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.vfp_hi, r.vfp_hi))
+          + bit_count(xor(l.vfp_lo, r.vfp_lo)) <= 3
+"""
+
+
+@declared("q_dedup_video_temporal", oracle=_VIDEO_FP_ORACLE)
+def q_dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection — the fourth and final modality
+    rung of the dedup battery (text shingles, image dHash, audio
+    energy hash, now video): a shot-level TEMPORAL signature in the
+    video-copy-detection tradition (sign of successive frame-feature
+    deltas). The full chain is REAL: Spark demuxes the MP4 sample
+    table, slices every frame out of mdat, entropy-decodes each JPEG
+    through the in-repo T.81 codec, and compares the recovered gray
+    levels — while DuckDB computes the same 64 bits from the
+    generating formulas (frames are solid-gray at quality 96, where
+    the codec round trip is bit-exact, so decode-vs-formula is an
+    equality, not an approximation). Odd ids re-render ONE frame of
+    their even twin (<= 2 bit flips); pairs surface through the same
+    pigeonhole banding (hash64_band_pairs) as the image/audio tiers.
+    At 100 TB: containers never shuffle — the payload fans out to
+    frames inside the decode task and only (band, asset_id, 2x8-byte
+    hash) rows move (SCALE.md rules 6, 8)."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_video_fp_assets,
+        video_temporal_fingerprint,
+    )
+    from datawarehouse1_spark.operators.dedup import hash64_band_pairs
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    hashes = video_temporal_fingerprint(synthesize_video_fp_assets(docs))
+    return hash64_band_pairs(hashes, "asset_id", "vfp_hi", "vfp_lo", max_hamming=3)

@@ -101,6 +101,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dedup_image_dhash",
     "q_dedup_audio_fingerprint",
     "q_drift_ks_report",
+    "q_dedup_video_temporal",
     # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
     # queries displace from the TAIL of this section --
     "q_events_sessionize",
@@ -111,11 +112,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention_weekly",
     "q_join_asof",
-    "q_route_filter",
     # ---- graded window ends here (first 50) ----
-    # displaced from section (d) by the 9 r8 profiling/layout/dhash/
-    # audio-fp/ks queries; these lead the r9 re-grade front together
+    # displaced from section (d) by the 10 r8 profiling/layout/dedup-
+    # tier/ks queries; these lead the r9 re-grade front together
     # with the earlier displacements noted in ROUND_NOTES
+    "q_route_filter",
     "q_upsert_latest",
     "q_excel_serial_date",
     "q_null_semantics",
