@@ -172,6 +172,23 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
     print(json.dumps(out))
+    # VERDICT r8 #3: the driver captures only a ~2 KB stdout tail, and
+    # the full record outgrew it once the section spreads landed
+    # (BENCH_r07/r08 recorded "parsed": null with the headline truncated
+    # away). A totals-only compact record as the FINAL line keeps the
+    # artifact parseable no matter how many sections the full line grows.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+    }
+    for key in ("tpch_total", "llm_total"):
+        if key in out:
+            compact[key] = out[key]
+    if errors:
+        compact["incomplete"] = True
+    print(json.dumps(compact))
     spark.stop()
     # non-zero exit still signals the driver, but the artifact above is
     # complete for every query that ran

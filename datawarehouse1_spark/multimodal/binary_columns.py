@@ -795,8 +795,10 @@ _DHASH_SCHEMA = StructType(
 def image_dhash(assets: DataFrame) -> DataFrame:
     """payload -> 64-bit dHash via real decode (multimodal/codecs.py
     decode_bmp — works for any decodable image payload via
-    stdlib pixel decode), split into two int32-range halves so every
-    engine's signed 64-bit arithmetic stays overflow-free. Bit i
+    stdlib pixel decode), split into two uint32-range halves (each in
+    [0, 2^32), so they need 64-bit storage — the point is that every
+    engine's signed 64-bit arithmetic stays overflow-free; do NOT
+    store them in int32 columns). Bit i
     (i = y*8 + x) is 1 iff pixel(y, x+1) > pixel(y, x)."""
     from datawarehouse1_spark.multimodal.codecs import decode_bmp
 

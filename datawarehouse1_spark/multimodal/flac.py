@@ -135,7 +135,11 @@ def _encode_coded_number(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
     for extra, lead in ((1, 0xC0), (2, 0xE0), (3, 0xF0), (4, 0xF8), (5, 0xFC)):
-        if n < (1 << (5 * extra + 6 - extra)):
+        # capacity: (5 - (extra - 1)) lead-byte bits + 6 per continuation
+        # byte = 5*extra + 6 usable bits (2-byte form holds 11 bits);
+        # using a smaller bound writes overlong encodings that strict
+        # UTF-8-style validators reject.
+        if n < (1 << (5 * extra + 6)):
             out = [lead | (n >> (6 * extra))]
             for i in range(extra - 1, -1, -1):
                 out.append(0x80 | ((n >> (6 * i)) & 0x3F))
@@ -234,15 +238,18 @@ def encode_flac(
         block = x[start : start + blocksize]
         frames += _encode_frame(block, frame_no, stereo, lpc_order)
 
-    last = min(blocksize, n) if n else blocksize
     word = (
         (sample_rate << 44)
         | ((channels - 1) << 41)
         | ((16 - 1) << 36)
         | (n & ((1 << 36) - 1))
     )
+    # min-blocksize == blocksize for a fixed-blocksize encoder: the
+    # spec excludes the (possibly short) last frame from the minimum,
+    # and recording a short-stream value below the 16-sample floor
+    # makes strict validators reject the stream.
     streaminfo = (
-        min(last, blocksize).to_bytes(2, "big")
+        blocksize.to_bytes(2, "big")
         + blocksize.to_bytes(2, "big")
         + (0).to_bytes(3, "big") * 2
         + word.to_bytes(8, "big")

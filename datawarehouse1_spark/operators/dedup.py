@@ -733,7 +733,8 @@ def hash64_band_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs over 64-bit fingerprints (dHash, audio energy
-    hashes, ...) stored as two int32-range halves, via pigeonhole
+    hashes, ...) stored as two uint32-range halves (values in
+    [0, 2^32) inside 64-bit columns — NOT signed-int32-safe), via pigeonhole
     banding: the 64 bits split into (max_hamming + 1) equal bands, so
     any pair within `max_hamming` bit flips MUST share at least one
     band verbatim — the banded equi-join provably equals the all-pairs

@@ -509,5 +509,12 @@ def q_dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehouse1_spark.operators.dedup import hash64_band_pairs
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
-    hashes = video_temporal_fingerprint(synthesize_video_fp_assets(docs))
+    # localCheckpoint (the minhash pattern, SCALE.md rule 12): the
+    # banded join self-joins the fingerprints, and without the cut the
+    # 65-frame-per-asset JPEG decode chain re-executes on BOTH join
+    # sides — checkpointing runs the decode once and drops the decode
+    # lineage (incl. its widen repartition) out of the joined plan.
+    hashes = video_temporal_fingerprint(
+        synthesize_video_fp_assets(docs)
+    ).localCheckpoint()
     return hash64_band_pairs(hashes, "asset_id", "vfp_hi", "vfp_lo", max_hamming=3)

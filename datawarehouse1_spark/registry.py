@@ -41,81 +41,23 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r07
-# each contain exactly queries()[:50] in dict order). Round-8 window
-# (VERDICT r7 "Next round" #1+#2): section (a) fronts the 4 r7-tail
-# queries that have NEVER held a driver verdict (declared after the r7
-# window was set; pytest-parity hash-green vs their DuckDB oracles
-# every run); (b) the 22 r4-vintage re-grades — the oldest held
-# verdicts in the registry; (c) the oldest-r5 re-grades in registry
-# order, filling the window to exactly 50. New r8 queries are inserted
-# at the FRONT of section (c) (never-graded outranks re-grade),
-# displacing r5 slots from its tail; after this round every latest
-# verdict is r5+ and the r9 window finishes the r5 refresh. Behind the
-# window: freshest-last (r5 remainder, r6-graded, r7-graded). Vintages
-# computed from CORRECTNESS_r0{1..7}.json. Window structure pinned by
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r08
+# each contain exactly queries()[:50] in dict order). Round-9 window
+# (VERDICT r8 "Next round" #2 / ROUND_NOTES r9 rotation): section (a)
+# fronts the 12 r5-green slots the r8 queries displaced from the r8
+# window; (b) the r5-vintage remainder — together the full set of 41
+# r5 verdicts, the oldest held in the registry; (c) oldest-r6 re-grades
+# filling the window to exactly 50. New r9 queries are inserted at the
+# FRONT of section (c) (never-graded outranks re-grade), displacing r6
+# fills from its tail; after this round no latest verdict is older
+# than r6 and the refresh cycle is one round deep again. Behind the
+# window: freshest-last (r6 remainder, r7-graded, r8-graded). Vintages
+# computed from CORRECTNESS_r0{1..8}.json. Window structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) r7-tail, never driver-graded (VERDICT r7 #1): grade first --
-    "q_join_interval_overlap",
-    "q_drift_tvd_report",
-    "q_curation_chunk_sliding",
-    "q_curation_decontaminate",
-    # -- (b) r4-vintage re-grades (VERDICT r7 #2): the oldest held
-    # verdicts in the registry --
-    "q_tpch_q18_large_volume_customer",
-    "q_tpch_q19_discounted_revenue",
-    "q_tpch_q20_part_promotion",
-    "q_tpch_q22_global_sales_opportunity",
-    "q_embedding_neardup",
-    "q_agg_cube",
-    "q_profile_columns",
-    "q_pandas_udf_scalar",
-    "q_array_agg_sorted",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_metadata",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_set_intersect",
-    "q_set_except",
-    "q_pivot_status_by_priority",
-    "q_join_range_bands",
-    "q_join_salted_skew",
-    "q_builtin_charge",
-    "q_udtf_bigrams",
-    "q_upsert_partition_rollup",
-    # -- (c) new in r8 — never graded, they outrank re-grades --
-    "q_dedup_url_normalize",
-    "q_curation_shard_assign",
-    "q_join_bloom_prefilter",
-    "q_multimodal_flac_decode",
-    "q_curation_funnel_report",
-    "q_dedup_exact_substring",
-    "q_drift_chisq_report",
-    "q_stats_corr_matrix",
-    "q_text_char_gini",
-    "q_curation_dsir_affinity",
-    "q_stats_regression",
-    "q_layout_zorder_cells",
-    "q_dedup_image_dhash",
-    "q_dedup_audio_fingerprint",
-    "q_drift_ks_report",
-    "q_dedup_video_temporal",
-    # -- (d) oldest-r5 re-grades, registry order, filling to 50; new r8
-    # queries displace from the TAIL of this section --
-    "q_events_sessionize",
-    "q_events_tumbling_window",
-    "q_events_session_stats",
-    "q_events_json_extract",
-    "q_events_transition_matrix",
-    "q_events_funnel",
-    "q_events_retention_weekly",
-    "q_join_asof",
-    # ---- graded window ends here (first 50) ----
-    # displaced from section (d) by the 10 r8 profiling/layout/dedup-
-    # tier/ks queries; these lead the r9 re-grade front together
-    # with the earlier displacements noted in ROUND_NOTES
+    # -- (a) r5-vintage re-grades (VERDICT r8 #2 / ROUND_NOTES r9
+    # rotation): the 12 slots the r8 queries displaced from the r8
+    # window — the oldest held verdicts in the registry --
     "q_route_filter",
     "q_upsert_latest",
     "q_excel_serial_date",
@@ -128,7 +70,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_window_first_last",
     "q_window_moving_avg",
     "q_stats_moments",
-    # -- r5-vintage remainder (re-grade in r9) --
+    # -- (b) the r5-vintage remainder (the rest of the 41 r5 verdicts) --
     "q_stats_mode_deterministic",
     "q_events_variant_extract",
     "q_date_gapfill_months",
@@ -158,7 +100,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_sample_hash_mixture",
     "q_dedup_ngram_jaccard",
-    # -- r6-graded (CORRECTNESS_r06, all green) --
+    # -- (c) oldest-r6 re-grades filling the window to exactly 50;
+    # new r9 queries insert at the FRONT of this section
+    # (never-graded outranks re-grade), displacing fills from its tail --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
@@ -168,6 +112,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (refresh after r9) --
     "q_warc_extract_text",
     "q_sketch_count_min",
     "q_merge_cdc_apply",
@@ -209,7 +155,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",
-    # -- r7-graded (CORRECTNESS_r07, all green): the freshest verdicts --
+    # -- r7-graded (CORRECTNESS_r07, all green) --
     "q_hierarchy_sql_recursive",
     "q_unpivot_metrics",
     "q_events_anomaly_days",
@@ -260,6 +206,57 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q15_top_supplier",
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
+    # -- r8-graded (CORRECTNESS_r08, all green): the freshest verdicts --
+    "q_join_interval_overlap",
+    "q_drift_tvd_report",
+    "q_curation_chunk_sliding",
+    "q_curation_decontaminate",
+    "q_tpch_q18_large_volume_customer",
+    "q_tpch_q19_discounted_revenue",
+    "q_tpch_q20_part_promotion",
+    "q_tpch_q22_global_sales_opportunity",
+    "q_embedding_neardup",
+    "q_agg_cube",
+    "q_profile_columns",
+    "q_pandas_udf_scalar",
+    "q_array_agg_sorted",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_metadata",
+    "q_agg_grouping_sets",
+    "q_agg_percentile",
+    "q_set_intersect",
+    "q_set_except",
+    "q_pivot_status_by_priority",
+    "q_join_range_bands",
+    "q_join_salted_skew",
+    "q_builtin_charge",
+    "q_udtf_bigrams",
+    "q_upsert_partition_rollup",
+    "q_dedup_url_normalize",
+    "q_curation_shard_assign",
+    "q_join_bloom_prefilter",
+    "q_multimodal_flac_decode",
+    "q_curation_funnel_report",
+    "q_dedup_exact_substring",
+    "q_drift_chisq_report",
+    "q_stats_corr_matrix",
+    "q_text_char_gini",
+    "q_curation_dsir_affinity",
+    "q_stats_regression",
+    "q_layout_zorder_cells",
+    "q_dedup_image_dhash",
+    "q_dedup_audio_fingerprint",
+    "q_drift_ks_report",
+    "q_dedup_video_temporal",
+    "q_events_sessionize",
+    "q_events_tumbling_window",
+    "q_events_session_stats",
+    "q_events_json_extract",
+    "q_events_transition_matrix",
+    "q_events_funnel",
+    "q_events_retention_weekly",
+    "q_join_asof",
 )
 
 

@@ -61,13 +61,24 @@ def chisq_vs_reference(
     """Per-bin rational chi-square contributions of (batch vs
     reference), full-outer on bin with absent-as-zero; returns
     (bin, cnt_batch, cnt_ref, chisq_e6). Shared by the sink and by
-    ad-hoc backfills so both produce the identical number."""
-    joined = batch_counts.join(
-        F.broadcast(reference), "bin", "full_outer"
+    ad-hoc backfills so both produce the identical number.
+
+    The join is NULL-SAFE on bin: groupBy upstream collapses NULL bin
+    values into one bin in both the batch counts and the reference
+    profile, so a plain-equality full outer join would split that bin
+    into two disjoint rows (cnt_batch=0 / cnt_ref=0), maximally
+    inflating the statistic and breaking parity with
+    q_drift_chisq_report whenever bin_fn yields NULLs."""
+    b = batch_counts.alias("b")
+    r = reference.alias("r")
+    joined = b.join(
+        F.broadcast(r),
+        F.col("b.bin").eqNullSafe(F.col("r.bin")),
+        "full_outer",
     ).select(
-        "bin",
-        F.coalesce(F.col("cnt_batch"), F.lit(0)).alias("cnt_batch"),
-        F.coalesce(F.col("cnt_ref"), F.lit(0)).alias("cnt_ref"),
+        F.coalesce(F.col("b.bin"), F.col("r.bin")).alias("bin"),
+        F.coalesce(F.col("b.cnt_batch"), F.lit(0)).alias("cnt_batch"),
+        F.coalesce(F.col("r.cnt_ref"), F.lit(0)).alias("cnt_ref"),
     )
     w = Window.partitionBy()
     n_b = F.sum("cnt_batch").over(w)

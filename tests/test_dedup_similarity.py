@@ -576,6 +576,53 @@ def test_audio_fingerprint_recall_and_wav_roundtrip(spark):
     assert len(got) == 200, sorted(set(got) - {(b, b + 1) for b in range(0, 400, 2)})[:5]
 
 
+def test_video_temporal_recall_and_container_exactness(spark):
+    """Video-tier laws (mirrors the image/audio tiers, VERDICT r8 #1):
+    (a) container exactness — the temporal signature computed through
+    the FULL chain (MP4 demux -> mdat frame slice -> in-repo JPEG
+    decode) equals the signature computed straight from the staged
+    gray levels, because solid-gray frames at quality 96 round-trip
+    bit-exactly; (b) recall — every even/odd twin (one re-rendered
+    frame, <= 2 bit flips of the 64-bit delta-sign hash) survives the
+    pigeonhole banding; (c) separation — unrelated bases don't
+    collapse into a giant near-dup cluster."""
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        synthesize_video_fp_assets,
+        video_temporal_fingerprint,
+    )
+    from datawarehouse1_spark.queries.multimodal_ext import (
+        q_dedup_video_temporal,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # (a) decode-vs-formula exactness on one noisy twin (doc 7, base 6)
+    row = video_temporal_fingerprint(
+        synthesize_video_fp_assets(docs.filter("doc_id = 7"))
+    ).collect()[0]
+    m = 2147483648
+    f = np.arange(65, dtype=np.int64)
+    g = ((((f + 1) * (f + 1)) % m) * ((6 * 2654435761 + 40503) % m) % m >> 7) % 256
+    g[20] += 96  # doc 7 re-renders frame 20 of its even twin
+    g %= 256
+    bits = (g[1:] > g[:-1]).astype(np.int64)
+    lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    assert (row.vfp_hi, row.vfp_lo) == (hi, lo)
+
+    pairs = q_dedup_video_temporal(spark, "/root/testdata/sf0.001")
+    got = {(r.left_id, r.right_id): r.hamming for r in pairs.collect()}
+    # (b) all 100 staged twins present within the designed 2 bits
+    for base in range(0, 200, 2):
+        assert (base, base + 1) in got, f"missing twin pair {base}"
+        assert got[(base, base + 1)] <= 2
+    # (c) incidental (non-twin) collisions stay a small minority
+    incidental = [p for p in got if p[1] != p[0] + 1]
+    assert len(incidental) < 50, len(incidental)
+
+
 def test_hash64_band_pairs_rejects_bad_split(spark):
     from datawarehouse1_spark.operators.dedup import hash64_band_pairs
 

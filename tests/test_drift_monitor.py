@@ -51,6 +51,30 @@ def test_chisq_flags_skew_and_missing_bins(spark):
     assert total > 500_000  # way over any sane threshold
 
 
+def test_chisq_null_bin_matches_null_bin(spark):
+    """ADVICE r8 (medium): a NULL bin in the batch must pair with the
+    NULL bin of the reference (null-safe join), not split into two
+    disjoint absent-as-zero rows. A batch exactly proportional to a
+    reference that CONTAINS a NULL bin must still score 0."""
+    rows = [(b, 0) for b in ["a", "b", None] for _ in range(100)]
+    ref = reference_profile(
+        spark.createDataFrame(rows, "bin_val string, i long"), F.col("bin_val")
+    )
+    batch = (
+        spark.createDataFrame(
+            [(b,) for b in ["a", "b", None] for _ in range(25)],
+            "bin string",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_batch"))
+    )
+    per_bin = chisq_vs_reference(batch, ref).collect()
+    assert len(per_bin) == 3  # NULL bin is ONE row, not two
+    by_bin = {r["bin"]: r for r in per_bin}
+    assert by_bin[None]["cnt_batch"] == 25 and by_bin[None]["cnt_ref"] == 100
+    assert sum(r["chisq_e6"] for r in per_bin) == 0
+
+
 def test_sink_appends_one_row_and_replay_is_skipped(spark, tmp_path):
     ref = _ref(spark)
     report_path = str(tmp_path / "drift_log")

@@ -187,3 +187,63 @@ def test_round_trip_property_stereo_modes(pairs, mode, lpc):
     st_ = np.array(pairs, np.int16)
     pcm, _, _ = decode_flac(encode_flac(st_, 16000, stereo=mode, lpc_order=lpc))
     assert np.array_equal(pcm, st_)
+
+
+def test_coded_number_boundaries_minimal_length():
+    """ADVICE r8 (low): the 2-byte UTF-8-style form holds 11 bits
+    (n < 2048), not 10 — frame numbers in [1024, 2047] must encode in
+    2 bytes (strict decoders reject overlong forms), and every
+    boundary must round-trip through the bit reader."""
+    from datawarehouse1_spark.multimodal.flac import (
+        _BitReader,
+        _decode_coded_number,
+        _encode_coded_number,
+    )
+
+    expect_len = [
+        (0x7F, 1),
+        (0x80, 2),
+        (1023, 2),
+        (1024, 2),  # previously emitted an overlong 3-byte form
+        (2047, 2),
+        (2048, 3),
+        ((1 << 16) - 1, 3),
+        (1 << 16, 4),
+        ((1 << 21) - 1, 4),
+        (1 << 21, 5),
+        ((1 << 26) - 1, 5),
+        (1 << 26, 6),
+        ((1 << 31) - 1, 6),
+    ]
+    for n, ln in expect_len:
+        enc = _encode_coded_number(n)
+        assert len(enc) == ln, (n, len(enc), ln)
+        assert _decode_coded_number(_BitReader(enc)) == n
+
+
+def test_round_trip_thousands_of_frames():
+    """Streams with >=1024 frames exercise the 2-byte frame-number
+    form end-to-end (~the regime ADVICE r8 flagged as overlong)."""
+    rng = np.random.default_rng(17)
+    blocksize = 16
+    nframes = 1500
+    x = rng.integers(-30000, 30000, blocksize * nframes).astype(np.int16)
+    blob = encode_flac(x, 8000, blocksize=blocksize)
+    pcm, rate, info = decode_flac(blob)
+    assert rate == 8000
+    assert np.array_equal(pcm[:, 0], x)
+
+
+def test_streaminfo_min_blocksize_is_blocksize_for_short_stream():
+    """ADVICE r8 (low): the spec excludes the short last frame from
+    min-blocksize; a fixed-blocksize encoder writes min == max ==
+    blocksize even for a sub-block stream (never below the 16-sample
+    floor)."""
+    x = np.arange(10, dtype=np.int16)  # shorter than one block
+    blob = encode_flac(x, 44100)
+    streaminfo = blob[8:]  # 'fLaC' + 4-byte block header
+    min_bs = int.from_bytes(streaminfo[0:2], "big")
+    max_bs = int.from_bytes(streaminfo[2:4], "big")
+    assert min_bs == max_bs == _BLOCKSIZE
+    pcm, _, _ = decode_flac(blob)
+    assert np.array_equal(pcm[:, 0], x)

@@ -211,6 +211,9 @@ EXCHANGE_BUDGET = {
     # same hash64_band_pairs shape over the audio energy fingerprints;
     # waveforms never shuffle
     "q_dedup_audio_fingerprint": 1,
+    # same hash64_band_pairs shape over the video temporal signatures;
+    # containers/frames never shuffle — decode fans out inside the task
+    "q_dedup_video_temporal": 1,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only

@@ -124,36 +124,52 @@ def test_registry_window_structure():
     assert names == list(DRIVER_CHECK_ORDER)
     assert len(names) == len(set(names))
     window = names[:50]
-    # the r8 must-grades: the 4 r7-tail queries that have never held a
-    # driver verdict (VERDICT r7 #1) + the 22 r4-vintage re-grades
-    # (VERDICT r7 #2) — these MUST all sit inside the first-50 window
+    # the r9 must-grades (VERDICT r8 #2 / ROUND_NOTES r9 rotation): the
+    # 41 r5-vintage re-grades — the oldest held verdicts — MUST all sit
+    # inside the first-50 window (the r6 fills behind them flex as new
+    # r9 queries land)
     for q in (
-        "q_join_interval_overlap",
-        "q_drift_tvd_report",
-        "q_curation_chunk_sliding",
-        "q_curation_decontaminate",
-        "q_tpch_q18_large_volume_customer",
-        "q_tpch_q19_discounted_revenue",
-        "q_tpch_q20_part_promotion",
-        "q_tpch_q22_global_sales_opportunity",
-        "q_embedding_neardup",
-        "q_agg_cube",
-        "q_profile_columns",
-        "q_pandas_udf_scalar",
-        "q_array_agg_sorted",
-        "q_multimodal_features",
-        "q_multimodal_frame_sample",
-        "q_multimodal_metadata",
-        "q_agg_grouping_sets",
-        "q_agg_percentile",
-        "q_set_intersect",
-        "q_set_except",
-        "q_pivot_status_by_priority",
-        "q_join_range_bands",
-        "q_join_salted_skew",
-        "q_builtin_charge",
-        "q_udtf_bigrams",
-        "q_upsert_partition_rollup",
+        "q_route_filter",
+        "q_upsert_latest",
+        "q_excel_serial_date",
+        "q_null_semantics",
+        "q_window_lag_delta",
+        "q_dedup_simhash_neardup",
+        "q_dedup_simhash",
+        "q_window_ntile_quartile",
+        "q_window_percent_rank",
+        "q_window_first_last",
+        "q_window_moving_avg",
+        "q_stats_moments",
+        "q_stats_mode_deterministic",
+        "q_events_variant_extract",
+        "q_date_gapfill_months",
+        "q_events_hourly_heatmap",
+        "q_events_gap_histogram",
+        "q_events_dau_wau",
+        "q_scd2_user_state",
+        "q_rfm_segmentation",
+        "q_orders_pareto",
+        "q_hierarchy_recursive_cte",
+        "q_text_bigram_topk",
+        "q_text_tfidf_topterms",
+        "q_text_contamination_overlap",
+        "q_text_token_histogram",
+        "q_text_posexplode_tokens",
+        "q_docs_length_percentiles",
+        "q_curation_pack_chunks",
+        "q_docs_dup_rate_by_source",
+        "q_text_repetition_score",
+        "q_embedding_quantize_error",
+        "q_embedding_norm_stats",
+        "q_llm_curation_pipeline",
+        "q_llm_pipeline_packed",
+        "q_curation_topk_per_lang",
+        "q_dedup_clusters",
+        "q_dedup_fuzzy_names",
+        "q_heavy_hitters",
+        "q_sample_hash_mixture",
+        "q_dedup_ngram_jaccard",
     ):
         assert q in window, f"{q} fell out of the graded window"
     # every declared query resolves to a callable, and every oracle

@@ -155,6 +155,78 @@ def test_beeline_star_join_matches_duckdb(tmp_path):
         proc.wait(timeout=30)
 
 
+def test_endpoint_survives_bad_sql_and_streams_large_results(tmp_path):
+    """Serving hardening (VERDICT r8 #7), one server boot for both laws:
+    (a) negative path — malformed SQL and a missing-table query each
+    return a client-side ERROR without killing the endpoint (the server
+    process stays up and keeps answering); (b) large-result fetch — a
+    full unaggregated lineitem SELECT streams through beeline's
+    incremental fetch (serving.py's no-driver-materialization claim):
+    every row arrives and the row count equals the table count."""
+    import pyspark
+
+    beeline = os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", SERVER_SCRIPT.format(repo=REPO, sf_dir=SF_DIR, port=port)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=str(tmp_path),
+    )
+
+    def run_sql(sql: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [beeline, "-u", f"jdbc:hive2://127.0.0.1:{port}/default",
+             "-n", "test", "--outputformat=csv2", "--silent=true",
+             "--incremental=true", "-e", sql],
+            capture_output=True, text=True, timeout=180,
+        )
+
+    try:
+        deadline = time.monotonic() + 180
+        for line in proc.stdout:
+            if "ENDPOINT_READY" in line:
+                break
+            if time.monotonic() > deadline or proc.poll() is not None:
+                pytest.fail("sql endpoint subprocess did not come up")
+
+        # (a) parse error and analysis error: beeline exits non-zero,
+        # the endpoint process must remain alive
+        for bad in (
+            "SELEC broken FROM",
+            "SELECT * FROM warehouse.no_such_table",
+        ):
+            r = run_sql(bad)
+            assert r.returncode != 0, f"bad SQL unexpectedly succeeded: {bad}"
+            assert proc.poll() is None, "endpoint died on a bad query"
+
+        # ... and the endpoint still answers real queries afterwards
+        r = run_sql("SELECT count(*) AS n FROM warehouse.lineitem")
+        assert r.returncode == 0, f"endpoint broken after bad SQL: {r.stderr[-500:]}"
+
+        duck = duckdb.connect()
+        n_lineitem = duck.execute(
+            f"SELECT count(*) FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert f"{n_lineitem}" in r.stdout
+
+        # (b) full-table fetch: every lineitem row crosses the wire
+        r = run_sql(
+            "SELECT l_orderkey, l_linenumber FROM warehouse.lineitem"
+        )
+        assert r.returncode == 0, f"large fetch failed: {r.stderr[-500:]}"
+        data_rows = 0
+        for line in r.stdout.splitlines():
+            parts = line.strip().split(",")
+            if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+                data_rows += 1
+        assert data_rows == n_lineitem, (data_rows, n_lineitem)
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
+
+
 def test_concurrent_jdbc_sessions_share_catalog(tmp_path):
     """A BI deployment means several dashboards hitting the endpoint at
     once: two beeline clients connect CONCURRENTLY (distinct HiveServer2
