@@ -132,6 +132,12 @@ def main() -> None:
         "q_curation_gopher_rules",
         "q_curation_quality_verdict",
         "q_dedup_minhash_incremental",
+        # r9: the non-text dedup tiers + the unicode tier join the
+        # section (llm_total grows — compare r9 per-query, not totals)
+        "q_dedup_image_dhash",
+        "q_dedup_audio_fingerprint",
+        "q_dedup_video_temporal",
+        "q_dedup_unicode_normalize",
     )
     llm: dict[str, float] = {}
     llm_spread: dict[str, float] = {}

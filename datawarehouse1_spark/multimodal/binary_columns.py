@@ -1038,3 +1038,78 @@ def video_temporal_fingerprint(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "vfp_hi": his, "vfp_lo": los})
 
     return assets.mapInPandas(run, schema=_VFP_SCHEMA)
+
+
+# --- EXIF metadata extraction -------------------------------------------------
+
+_EXIF_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", LongType()),
+        StructField("shot_at", StringType()),
+    ]
+)
+
+
+def synthesize_exif_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic camera JPEGs: an 8x8 gray image (in-repo encoder)
+    with a REAL Exif APP1 segment spliced after SOI, fields staged in
+    closed form from doc_id (make/model/orientation/DateTime) so the
+    oracle recomputes them without touching bytes."""
+    from datawarehouse1_spark.multimodal.exif import (
+        encode_exif_app1,
+        insert_app1,
+    )
+    from datawarehouse1_spark.multimodal.jpeg import encode_jpeg
+    from datawarehouse1_spark.operators.scale import widen_if_narrow
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                img = np.full((8, 8, 3), (aid * 37) % 256, dtype=np.uint8)
+                app1 = encode_exif_app1(
+                    make=f"Cam{aid % 5}",
+                    model=f"M-{aid % 3}",
+                    orientation=aid % 8 + 1,
+                    datetime_str=f"2026:01:{aid % 28 + 1:02d} 12:00:00",
+                )
+                ids.append(aid)
+                payloads.append(insert_app1(encode_jpeg(img, quality=96), app1))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return widen_if_narrow(docs.select("doc_id")).mapInPandas(
+        gen,
+        schema=StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def exif_scan(assets: DataFrame) -> DataFrame:
+    """payload -> (make, model, orientation, shot_at) via the real
+    marker walk + TIFF IFD parse (multimodal/exif.py). Bytes never
+    shuffle; the scan emits only the metadata columns — the image
+    pipeline's routing/filtering step (orientation fix-ups, per-camera
+    caps, capture-date range selection) reads exactly these."""
+    from datawarehouse1_spark.multimodal.exif import parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "make", "model", "orientation", "shot_at")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                tags = parse_exif(bytes(payload))
+                rows["asset_id"].append(int(aid))
+                rows["make"].append(tags.get("make"))
+                rows["model"].append(tags.get("model"))
+                rows["orientation"].append(tags.get("orientation"))
+                rows["shot_at"].append(tags.get("datetime"))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=_EXIF_SCHEMA)

@@ -29,6 +29,8 @@ _MODULES = (
     "curation_r7",
     "curation_r8",
     "profiling_r8",
+    "curation_r9",
+    "profiling_r9",
 )
 
 

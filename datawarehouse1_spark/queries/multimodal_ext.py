@@ -518,3 +518,36 @@ def q_dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_video_fp_assets(docs)
     ).localCheckpoint()
     return hash64_band_pairs(hashes, "asset_id", "vfp_hi", "vfp_lo", max_hamming=3)
+
+
+@declared(
+    "q_multimodal_exif_scan",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'M-' || CAST(doc_id % 3 AS VARCHAR) AS model,
+           doc_id % 8 + 1 AS orientation,
+           '2026:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS shot_at
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_multimodal_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction — the routing/filtering step an image
+    collection pipeline runs before any pixel work (orientation
+    fix-ups, per-camera caps, capture-date range selection). The chain
+    is REAL: Spark splices a spec-shaped Exif APP1 (little-endian TIFF
+    IFD0 written by multimodal/exif.py) into genuine JPEG streams,
+    then the scan walks the marker stream and parses the IFD through
+    the repo's own TIFF reader — while DuckDB recomputes the staged
+    fields from doc_id in closed form. Bytes never shuffle; the scan
+    emits only (asset_id, make, model, orientation, shot_at).
+    Reference parity: the reference has no image tier (SURVEY.md §2D
+    extension inventory, multimodal metadata)."""
+    from datawarehouse1_spark.multimodal.binary_columns import (
+        exif_scan,
+        synthesize_exif_assets,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 400")
+    return exif_scan(synthesize_exif_assets(docs))

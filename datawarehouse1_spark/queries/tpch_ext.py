@@ -554,10 +554,23 @@ def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     clauses (columns absent) are dropped from each band, keeping the
     brand + size + quantity structure. The part side reduces to three
     brands (scan-pushed p_brand IN) and broadcasts; the mixed OR applies
-    post-join."""
-    li = table(spark, sf_dir, "lineitem")
+    post-join.
+
+    r9 envelope pushdown: Catalyst cannot push the cross-side OR below
+    the join, but each side's disjunct ENVELOPE is a single-side
+    implication of it — l_quantity ∈ [1,30] (the union of the three
+    quantity bands) and p_size ∈ [1,15] — so both push into their scans
+    (parquet min/max pruning + pre-probe row drop) while the exact OR
+    still applies post-join. At sf0.1 this removes ~40% of lineitem
+    rows before the broadcast-hash probe; at 100 TB the quantity
+    envelope is the difference between scanning every row group and
+    skipping the ones the bands cannot touch."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
     p = table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
+        & F.col("p_size").between(1, 15)
     )
     band = (
         (F.col("p_brand") == "Brand#12")

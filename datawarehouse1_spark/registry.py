@@ -103,17 +103,24 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- (c) oldest-r6 re-grades filling the window to exactly 50;
     # new r9 queries insert at the FRONT of this section
     # (never-graded outranks re-grade), displacing fills from its tail --
+    "q_curation_domain_stats",
+    "q_curation_length_buckets",
+    "q_dedup_unicode_normalize",
+    "q_sample_pps_systematic",
+    "q_layout_compaction_plan",
+    "q_profile_skew_report",
+    "q_multimodal_exif_scan",
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
+    # ---- graded window ends here (first 50) ----
     "q_dedup_paragraphs",
     "q_text_pii_redact",
     "q_expectations_orders",
+    # -- r6-graded remainder (refresh after r9) --
     "q_bpe_learn_merges",
     "q_graph_pagerank",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (refresh after r9) --
     "q_warc_extract_text",
     "q_sketch_count_min",
     "q_merge_cdc_apply",

