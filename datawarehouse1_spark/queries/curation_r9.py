@@ -334,3 +334,109 @@ def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_chars", (hi - lo).cast("long").alias("n_hits")
         )
     )
+
+
+# ---------------------------------------------------------------- 5.
+
+
+@declared(
+    "q_curation_optout_takedown",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               lower(regexp_extract(
+                 regexp_replace({_URL_SQL.format(S='VARCHAR')},
+                                '^[A-Za-z]+://', ''),
+                 '^([^/?#]+)', 1)),
+               '^www\\.', '') AS host
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS id_hit,
+             CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT)
+                       % 7 = 3 THEN 1 ELSE 0 END AS dom_hit
+      FROM staged
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(id_hit) AS BIGINT) AS n_removed_id,
+           CAST(SUM(dom_hit) AS BIGINT) AS n_removed_domain,
+           CAST(SUM(CASE WHEN id_hit = 1 OR dom_hit = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed_total,
+           CAST(SUM(CASE WHEN id_hit = 0 AND dom_hit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def q_curation_optout_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out / takedown propagation — the right-to-be-forgotten step
+    of a training-data pipeline: a document-id tombstone feed (direct
+    opt-outs) and a domain tombstone list (site-level takedowns) must
+    remove every matching document, with a per-source audit report of
+    what each tombstone class removed and what survives. Both feeds
+    are staged deterministically (ids: doc_id % 37 == 0; domains: the
+    7 hosts whose site number ≡ 3 mod 7) and applied as BROADCAST LEFT
+    joins against the corpus — the join shape a real tombstone table
+    takes at 100 TB, where the feed is millions of rows against
+    billions and the corpus must never re-shuffle to honor it. The
+    overlap class (id- AND domain-hit) is counted once in
+    n_removed_total; n_kept + n_removed_total == n_docs by
+    construction. One aggregate exchange; bodies never move."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.expr(_URL_SQL.format(S="STRING"))
+    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
+    )
+    staged = d.select("doc_id", "source", host.alias("host"))
+
+    # the tombstone feeds — real DataFrames, broadcast-joined like a
+    # takedown table would be (not folded into the corpus projection)
+    id_tombstones = (
+        staged.filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id")
+        .withColumn("id_hit", F.lit(1))
+    )
+    domain_tombstones = (
+        staged.select(
+            F.col("host").alias("t_host"),
+            F.regexp_extract("host", "site([0-9]+)", 1)
+            .cast("long")
+            .alias("site_no"),
+        )
+        .filter(F.col("site_no") % 7 == 3)
+        .select("t_host")
+        .distinct()
+        .withColumn("dom_hit", F.lit(1))
+    )
+    flagged = (
+        staged.join(F.broadcast(id_tombstones), "doc_id", "left")
+        .join(
+            F.broadcast(domain_tombstones),
+            staged.host == F.col("t_host"),
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce("id_hit", F.lit(0)).alias("id_hit"),
+            F.coalesce("dom_hit", F.lit(0)).alias("dom_hit"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("id_hit").cast("long").alias("n_removed_id"),
+        F.sum("dom_hit").cast("long").alias("n_removed_domain"),
+        F.sum(
+            F.when((F.col("id_hit") == 1) | (F.col("dom_hit") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed_total"),
+        F.sum(
+            F.when((F.col("id_hit") == 0) & (F.col("dom_hit") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )

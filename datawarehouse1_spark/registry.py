@@ -110,9 +110,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_layout_compaction_plan",
     "q_profile_skew_report",
     "q_multimodal_exif_scan",
+    "q_curation_optout_takedown",
     "q_semantic_dedup_corpus",
-    "q_multimodal_video_decode",
     # ---- graded window ends here (first 50) ----
+    "q_multimodal_video_decode",
     "q_dedup_paragraphs",
     "q_text_pii_redact",
     "q_expectations_orders",

@@ -1,0 +1,120 @@
+"""Continuously-maintained takedown enforcement: the always-on face of
+q_curation_optout_takedown. Opt-out / takedown requests arrive as a
+STREAM of doc-id tombstones; the maintained state is the served corpus
+snapshot with every tombstoned document removed, plus an append-only
+audit log of what each batch removed.
+
+Per arriving micro-batch of tombstones (doc_id), the sink
+
+  1. anti-joins the current corpus snapshot against the batch's
+     tombstone ids (broadcast — the batch is small against the corpus,
+     and the corpus never re-shuffles to honor it),
+  2. writes ONE audit row (batch_id, n_tombstones, n_removed,
+     n_remaining) to a per-batch overwrite-idempotent directory, and
+  3. republishes the reduced corpus atomically through
+     streaming/snapshot_store.py with version = batch_id.
+
+Steady state at 100 TB: per batch the work is one broadcast anti join
+over the snapshot — no shuffle of corpus rows, no rewrite of rows that
+survive (the snapshot store copies pointers to immutable files at this
+layer's scale analogy; a lakehouse deployment would express step 3 as
+a deletion-vector commit).
+
+Exactly-once: foreachBatch is at-least-once and both effects are
+non-idempotent, so the snapshot version (the producing batch id)
+guards both — the audit row lands in audit/batch=<id> BEFORE the
+corpus publishes; a crash between the two leaves the corpus version
+behind, and the replay overwrites the same audit dir then publishes.
+A tombstone for a doc_id already removed (or never present) is a
+no-op counted as n_removed = 0 contribution, NOT an error: takedown
+feeds routinely redeliver (the legal request repeats until confirmed),
+so idempotence against re-delivered tombstones is part of the
+contract — unlike ingest ids, which must be unique.
+
+Batching-invariance law (pinned in tests/test_streaming_takedown.py):
+applying the feed batch-by-batch equals one anti join of the full
+tombstone set against the original corpus.
+
+Reference parity: the reference has no deletion/compliance surface;
+SURVEY.md §2D extension inventory (curation tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datawarehouse1_spark.streaming.snapshot_store import (
+    latest_version,
+    publish_snapshot,
+    read_snapshot,
+)
+
+
+def make_takedown_sink(
+    spark: SparkSession,
+    corpus_path: str,
+    audit_path: str,
+    bootstrap: DataFrame,
+    id_col: str = "doc_id",
+) -> "callable":
+    """foreachBatch body. `bootstrap` is the initial corpus used the
+    first time the sink ever runs (version None); afterwards the
+    maintained snapshot is authoritative."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        applied = latest_version(corpus_path)
+        if applied is not None and applied >= batch_id:
+            return  # checkpoint replay: audit + corpus already landed
+        tombstones = (
+            batch.select(id_col).distinct().localCheckpoint(eager=True)
+        )
+        corpus = read_snapshot(spark, corpus_path)
+        if corpus is None:
+            corpus = bootstrap
+        n_before = corpus.count()
+        kept = corpus.join(F.broadcast(tombstones), id_col, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        n_after = kept.count()
+        audit = spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    tombstones.count(),
+                    n_before - n_after,
+                    n_after,
+                )
+            ],
+            "batch_id long, n_tombstones long, n_removed long, n_remaining long",
+        )
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            f"{audit_path}/batch={batch_id}"
+        )
+        publish_snapshot(kept, corpus_path, version=batch_id)
+
+    return sink
+
+
+def stream_maintain_takedown(
+    spark: SparkSession,
+    source: DataFrame,
+    corpus_path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    bootstrap: DataFrame,
+    id_col: str = "doc_id",
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """Attach the takedown sink to a streaming DataFrame of tombstone
+    ids."""
+    return (
+        source.writeStream.foreachBatch(
+            make_takedown_sink(spark, corpus_path, audit_path, bootstrap, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -235,6 +235,9 @@ EXCHANGE_BUDGET = {
     # EXIF marker walk + IFD parse inside mapInPandas; the one exchange
     # is widen_if_narrow's local repartition — bytes never shuffle wide
     "q_multimodal_exif_scan": 1,
+    # tombstone feeds broadcast (2 BroadcastExchange); the two shuffles
+    # are the domain-tombstone distinct + the per-source audit agg
+    "q_curation_optout_takedown": 2,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only

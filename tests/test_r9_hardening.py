@@ -250,3 +250,23 @@ def test_exif_round_trip_and_decode_unchanged():
     assert parse_exif(plain) == {}
     with _pytest.raises(ValueError):
         parse_exif(b"not a jpeg")
+
+
+def test_optout_takedown_laws(spark):
+    """Takedown audit invariants: per source n_kept + n_removed_total
+    == n_docs; class counts each >= the overlap-free lower bound
+    (n_removed_total <= n_removed_id + n_removed_domain); totals across
+    sources cover the corpus; and the id-tombstone count equals the
+    staged doc_id % 37 == 0 population exactly."""
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["q_curation_optout_takedown"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.n_removed_id for r in rows) == docs.filter(
+        "doc_id % 37 = 0"
+    ).count()
+    for r in rows:
+        assert r.n_kept + r.n_removed_total == r.n_docs
+        assert r.n_removed_total <= r.n_removed_id + r.n_removed_domain
+        assert r.n_removed_total >= max(r.n_removed_id, r.n_removed_domain)
