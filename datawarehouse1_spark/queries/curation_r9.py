@@ -440,3 +440,165 @@ def q_curation_optout_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------- 6.
+
+# The shared tokenizer (same as text_r5) — token count feeds the
+# quality gate and the shard summary.
+_MIXTURE_CASE = """
+    CASE lang
+      WHEN 'en' THEN '7fffffff'
+      WHEN 'zh' THEN 'cccccccc'
+      WHEN 'es' THEN '33333333'
+      WHEN 'de' THEN '33333333'
+      WHEN 'fr' THEN 'ffffffff'
+      ELSE '00000000' END
+"""
+
+
+@declared(
+    "q_curation_master_pipeline",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, lang, text,
+             {_URL_SQL.format(S='VARCHAR')} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, lang, text,
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                                    '^([^/?#]+)', 1)),
+               '^www\\.', '') AS host,
+             regexp_extract(url, '/docs/([0-9]+)', 1) AS page
+      FROM staged
+    ),
+    takedown AS (
+      SELECT * FROM canon
+      WHERE doc_id % 37 <> 0
+        AND CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) % 7 <> 3
+    ),
+    url_dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY host, page
+                                     ORDER BY doc_id) AS rn
+        FROM takedown
+      ) WHERE rn = 1
+    ),
+    exact_dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn2
+        FROM url_dedup
+      ) WHERE rn2 = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             len({_TOKENIZE_SQL}) AS n_tokens
+      FROM exact_dedup
+      WHERE len({_TOKENIZE_SQL}) BETWEEN 20 AND 1000
+    ),
+    mixture AS (
+      SELECT doc_id, lang, n_tokens FROM quality
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= {_MIXTURE_CASE}
+    ),
+    sharded AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % 8 AS shard
+      FROM mixture
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def q_curation_master_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data build — every curation tier the
+    battery certifies individually, chained in ONE declarative plan the
+    way a production corpus build runs them, in the canonical order
+    (cheapest-first so each tier shrinks the next tier's input):
+
+      takedown (id + domain tombstones) → URL-canonical dedup
+      (first occurrence per host+page) → exact-text dedup (md5) →
+      quality gate (token band 20..1000) → language hash-mixture
+      (md5-prefix thresholds) → shard assignment (md5 nibble mod 8)
+      → per-shard summary (docs, token mass, language breadth).
+
+    Catalyst fuses the narrow tiers (takedown, quality, mixture, shard)
+    into the scans around the three keyed operators, so the whole
+    six-stage build costs FOUR data exchanges — the two dedup windows
+    (host+page, md5(text)) and the two-phase shard aggregate (the
+    count-distinct expand) — and only (doc_id, lang, host, page,
+    text-hash, n_tokens) tuples ever shuffle; bodies stay columnar in
+    the scan. The standalone queries certify each tier's join/operator
+    form (q_curation_optout_takedown does tombstones as broadcast
+    joins; here they are the fused filter form) — this query certifies
+    the COMPOSITION: staging identical in both engines, the final
+    shard summary hash-matched."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from pyspark.sql import Window
+
+    url = F.expr(_URL_SQL.format(S="STRING"))
+    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
+    )
+    page = F.regexp_extract(url, "/docs/([0-9]+)", 1)
+    canon = d.select(
+        "doc_id", "lang", "text", host.alias("host"), page.alias("page")
+    )
+    takedown = canon.filter(
+        (F.col("doc_id") % 37 != 0)
+        & (
+            F.regexp_extract("host", "site([0-9]+)", 1).cast("long") % 7
+            != 3
+        )
+    )
+    w_url = Window.partitionBy("host", "page").orderBy("doc_id")
+    url_dedup = (
+        takedown.withColumn("rn", F.row_number().over(w_url))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    w_txt = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_dedup = (
+        url_dedup.withColumn("rn2", F.row_number().over(w_txt))
+        .filter("rn2 = 1")
+        .select("doc_id", "lang", "text")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    quality = exact_dedup.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens").between(20, 1000))
+    mixture = quality.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        <= F.expr(_MIXTURE_CASE)
+    )
+    shard = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+            )
+            - 1
+        ).cast("long")
+        % 8
+    ).alias("shard")
+    return (
+        mixture.select(shard, "lang", "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

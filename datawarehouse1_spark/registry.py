@@ -111,8 +111,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_profile_skew_report",
     "q_multimodal_exif_scan",
     "q_curation_optout_takedown",
-    "q_semantic_dedup_corpus",
+    "q_curation_master_pipeline",
     # ---- graded window ends here (first 50) ----
+    "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
     "q_text_pii_redact",

@@ -238,6 +238,10 @@ EXCHANGE_BUDGET = {
     # tombstone feeds broadcast (2 BroadcastExchange); the two shuffles
     # are the domain-tombstone distinct + the per-source audit agg
     "q_curation_optout_takedown": 2,
+    # the six-stage composed build: two dedup windows (host+page,
+    # md5(text)) + the two-phase shard aggregate (count-distinct
+    # expand); narrow tiers fuse into the scans around them
+    "q_curation_master_pipeline": 4,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only

@@ -270,3 +270,30 @@ def test_optout_takedown_laws(spark):
         assert r.n_kept + r.n_removed_total == r.n_docs
         assert r.n_removed_total <= r.n_removed_id + r.n_removed_domain
         assert r.n_removed_total >= max(r.n_removed_id, r.n_removed_domain)
+
+
+def test_master_pipeline_composes_consistently(spark):
+    """Composition laws: (a) the pipeline's takedown tier keeps exactly
+    the docs the standalone q_curation_optout_takedown audit reports as
+    kept (sum of n_kept across sources); (b) every surviving doc landed
+    in one of the 8 shards and the funnel is monotone (survivors <=
+    post-takedown population); (c) language breadth per shard never
+    exceeds the corpus's language count."""
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    shards = registry.QUERIES["q_curation_master_pipeline"](spark, sf).collect()
+    audit = registry.QUERIES["q_curation_optout_takedown"](spark, sf).collect()
+
+    kept_after_takedown = sum(r.n_kept for r in audit)
+    survivors = sum(r.n_docs for r in shards)
+    assert 0 < survivors <= kept_after_takedown
+    assert {r.shard for r in shards} <= set(range(8))
+    n_langs_corpus = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang")
+        .distinct()
+        .count()
+    )
+    for r in shards:
+        assert 1 <= r.n_langs <= n_langs_corpus
+        assert r.total_tokens >= 20 * r.n_docs  # quality band lower bound
