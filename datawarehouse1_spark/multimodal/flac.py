@@ -6,17 +6,20 @@ spec) for the subset a fixture-driven pipeline needs, with the same
 honesty discipline as the other in-repo codecs (jpeg.py, gif.py,
 tiff.py):
 
-  decoded for real: 16-bit PCM, mono + stereo in ALL four channel
-  layouts (independent, left/side, right/side, mid/side), CONSTANT /
+  decoded for real: 8/16/24-bit PCM (r9 closed the depth gate: decode
+  returns int16 for <=16-bit streams, int32 for 24-bit, and the
+  STREAMINFO MD5 is verified over the stream's true byte width), mono
+  + stereo in ALL four channel layouts (independent, left/side,
+  right/side, mid/side — the side channel at depth+1 bits), CONSTANT /
   VERBATIM / FIXED(0..4) / LPC(1..32) subframes, wasted bits, Rice
   methods 00 and 01 (incl. the escape code), all partition orders,
   UTF-8-coded frame numbers, CRC-8 (header) + CRC-16 (frame) +
-  STREAMINFO MD5 all VERIFIED — i.e. the full 16-bit layer a real
+  STREAMINFO MD5 all VERIFIED — i.e. the full fixed-point layer a real
   encoder (libFLAC at any compression level) actually emits;
 
-  honestly gated: non-16-bit depths (the decode contract returns
-  int16 PCM) — raises NotImplementedError with the depth named;
-  foreign streams fail loudly, never silently wrong.
+  honestly gated: 12/20/32-bit depths — raises NotImplementedError
+  with the depth named; foreign streams fail loudly, never silently
+  wrong.
 
 Losslessness makes the round trip the strongest possible law:
 decode(encode(pcm)) == pcm EXACTLY, pinned in pytest together with
@@ -49,6 +52,28 @@ def _crc8(data: bytes) -> int:
         for _ in range(8):
             crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
     return crc
+
+
+_SS_CODE = {8: 0b001, 16: 0b100, 24: 0b110}
+_SS_BITS = {v: k for k, v in _SS_CODE.items()}
+
+
+def _pcm_bytes(x: np.ndarray, bits: int) -> bytes:
+    """PCM samples -> the little-endian byte stream FLAC's STREAMINFO
+    MD5 covers (bytes-per-sample = bits/8, two's complement)."""
+    x64 = x.astype(np.int64)
+    if bits == 8:
+        return x64.astype("<i1").tobytes()
+    if bits == 16:
+        return x64.astype("<i2").tobytes()
+    if bits == 24:
+        flat = x64.reshape(-1)
+        out = np.empty((flat.size, 3), dtype=np.uint8)
+        out[:, 0] = flat & 0xFF
+        out[:, 1] = (flat >> 8) & 0xFF
+        out[:, 2] = (flat >> 16) & 0xFF
+        return out.tobytes()
+    raise NotImplementedError(f"FLAC {bits}-bit PCM bytes")
 
 
 def _crc16(data: bytes) -> int:
@@ -209,18 +234,29 @@ def encode_flac(
     blocksize: int = _BLOCKSIZE,
     stereo: str = "independent",
     lpc_order: int | None = None,
+    bits_per_sample: int = 16,
 ) -> bytes:
-    """Encode 16-bit PCM (int16 array; shape (n,) mono or (n, 2)
-    stereo) into a real FLAC stream: STREAMINFO (with the true PCM MD5)
-    + VORBIS_COMMENT + fixed-blocksize frames. Subframes pick the
-    cheapest of CONSTANT / FIXED(0..2) (or a quantized-Levinson LPC of
-    the given order when `lpc_order` is set) with a single-partition
-    Rice residual; `stereo` selects the channel layout (independent or
-    any of the three decorrelated pairs). Wasted bits are detected and
-    coded. Decodable by any conforming FLAC decoder."""
+    """Encode PCM (integer array; shape (n,) mono or (n, 2) stereo) at
+    8/16/24-bit depth into a real FLAC stream: STREAMINFO (with the
+    true PCM MD5 at the stream's byte width) + VORBIS_COMMENT +
+    fixed-blocksize frames. Subframes pick the cheapest of CONSTANT /
+    FIXED(0..2) (or a quantized-Levinson LPC of the given order when
+    `lpc_order` is set) with a single-partition Rice residual; `stereo`
+    selects the channel layout (independent or any of the three
+    decorrelated pairs). Wasted bits are detected and coded. Decodable
+    by any conforming FLAC decoder."""
+    bits = bits_per_sample
+    if bits not in _SS_CODE:
+        raise NotImplementedError(
+            f"FLAC {bits}-bit encode not supported (8/16/24)"
+        )
     x = np.asarray(samples)
-    if x.dtype != np.int16:
-        raise ValueError("encode_flac takes int16 PCM")
+    if not np.issubdtype(x.dtype, np.integer):
+        raise ValueError("encode_flac takes integer PCM")
+    x = x.astype(np.int64)
+    lim = 1 << (bits - 1)
+    if x.size and (x.max() >= lim or x.min() < -lim):
+        raise ValueError(f"PCM sample out of {bits}-bit range")
     if x.ndim == 1:
         x = x[:, None]
     n, channels = x.shape
@@ -231,17 +267,17 @@ def encode_flac(
     if stereo != "independent" and channels != 2:
         raise ValueError("decorrelated stereo needs 2 channels")
 
-    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pcm_bytes(x, bits)).digest()
 
     frames = bytearray()
     for frame_no, start in enumerate(range(0, n, blocksize)):
         block = x[start : start + blocksize]
-        frames += _encode_frame(block, frame_no, stereo, lpc_order)
+        frames += _encode_frame(block, frame_no, stereo, lpc_order, bits)
 
     word = (
         (sample_rate << 44)
         | ((channels - 1) << 41)
-        | ((16 - 1) << 36)
+        | ((bits - 1) << 36)
         | (n & ((1 << 36) - 1))
     )
     # min-blocksize == blocksize for a fixed-blocksize encoder: the
@@ -269,24 +305,25 @@ def _encode_frame(
     frame_no: int,
     stereo: str = "independent",
     lpc_order: int | None = None,
+    bits: int = 16,
 ) -> bytes:
     nsamples, channels = block.shape
     ch_code = _STEREO_MODES[stereo]
     if ch_code is None:
         ch_code = channels - 1
         subframes = [
-            (block[:, ch].astype(np.int64), 16) for ch in range(channels)
+            (block[:, ch].astype(np.int64), bits) for ch in range(channels)
         ]
     else:
         left = block[:, 0].astype(np.int64)
         right = block[:, 1].astype(np.int64)
         side = left - right
         if stereo == "left_side":
-            subframes = [(left, 16), (side, 17)]
+            subframes = [(left, bits), (side, bits + 1)]
         elif stereo == "right_side":
-            subframes = [(side, 17), (right, 16)]
+            subframes = [(side, bits + 1), (right, bits)]
         else:  # mid_side
-            subframes = [((left + right) >> 1, 16), (side, 17)]
+            subframes = [((left + right) >> 1, bits), (side, bits + 1)]
 
     header = bytearray()
     w = _BitWriter()
@@ -296,7 +333,7 @@ def _encode_frame(
     w.write(0b0111, 4)  # blocksize: explicit 16-bit at header end
     w.write(0b0000, 4)  # sample rate: from STREAMINFO
     w.write(ch_code, 4)  # channel assignment
-    w.write(0b100, 3)  # 16 bits/sample
+    w.write(_SS_CODE[bits], 3)  # sample size
     w.write(0, 1)  # reserved
     header += w.out
     header += _encode_coded_number(frame_no)
@@ -439,13 +476,14 @@ def _encode_subframe(
 
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int, FlacInfo]:
     """Decode a FLAC stream (subset documented in the module docstring)
-    to (int16 PCM array shape (n, channels), sample_rate, FlacInfo).
+    to (PCM array shape (n, channels) — int16 for 8/16-bit streams,
+    int32 for 24-bit — plus sample_rate and FlacInfo).
     Verifies every frame's CRC-8 + CRC-16 and the STREAMINFO MD5 of the
     decoded PCM — corruption fails loudly, never returns wrong audio."""
     info = scan_flac(payload)
-    if info.bits_per_sample != 16:
+    if info.bits_per_sample not in _SS_CODE:
         raise NotImplementedError(
-            f"FLAC {info.bits_per_sample}-bit depth not supported (16-bit subset)"
+            f"FLAC {info.bits_per_sample}-bit depth not supported (8/16/24)"
         )
     # skip metadata blocks to the first frame
     pos = 4
@@ -463,17 +501,18 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, FlacInfo]:
         block, pos = _decode_frame(payload, pos, info)
         chunks.append(block)
         total += block.shape[0]
+    dtype = np.int32 if info.bits_per_sample > 16 else np.int16
     pcm = (
         np.concatenate(chunks, axis=0)
         if chunks
-        else np.zeros((0, info.channels), np.int16)
+        else np.zeros((0, info.channels), dtype)
     )
     if pcm.shape[0] != info.total_samples:
         raise ValueError(
             f"decoded {pcm.shape[0]} samples, STREAMINFO promises {info.total_samples}"
         )
     if md5_expect != b"\x00" * 16:
-        got = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+        got = hashlib.md5(_pcm_bytes(pcm, info.bits_per_sample)).digest()
         if got != md5_expect:
             raise ValueError("FLAC MD5 mismatch: decoded PCM is corrupt")
     return pcm, info.sample_rate, info
@@ -514,8 +553,16 @@ def _decode_frame(payload: bytes, pos: int, info: FlacInfo) -> tuple[np.ndarray,
         # table codes: rate already known from STREAMINFO; nothing to read
     if ch_code > 0b1010:
         raise ValueError(f"reserved channel-assignment code {ch_code:#06b}")
-    if ss_code not in (0b000, 0b100):
-        raise NotImplementedError("only 16-bit sample-size subset supported")
+    bps = info.bits_per_sample
+    if ss_code != 0b000:
+        if ss_code not in _SS_BITS:
+            raise NotImplementedError(
+                f"sample-size code {ss_code:#05b} not supported (8/16/24)"
+            )
+        if _SS_BITS[ss_code] != bps:
+            raise ValueError(
+                f"frame depth {_SS_BITS[ss_code]} != STREAMINFO {bps}"
+            )
     r.align()
     # CRC-8 covers every header byte before the CRC byte itself
     if _crc8(payload[pos : r.byte_pos]) != payload[r.byte_pos]:
@@ -524,29 +571,30 @@ def _decode_frame(payload: bytes, pos: int, info: FlacInfo) -> tuple[np.ndarray,
 
     if ch_code < 0b1000:  # independent channels
         channels = ch_code + 1
-        chans = [_decode_subframe(r, nsamples, 16) for _ in range(channels)]
+        chans = [_decode_subframe(r, nsamples, bps) for _ in range(channels)]
         block64 = np.stack(chans, axis=1)
     else:
         # stereo decorrelation: the SIDE channel carries one extra bit
-        # (it holds left-right, range 17 bits); reconstruct per spec
+        # (it holds left-right); reconstruct per spec
         if ch_code == 0b1000:  # left/side
-            left = _decode_subframe(r, nsamples, 16)
-            side = _decode_subframe(r, nsamples, 17)
+            left = _decode_subframe(r, nsamples, bps)
+            side = _decode_subframe(r, nsamples, bps + 1)
             right = left - side
         elif ch_code == 0b1001:  # right/side
-            side = _decode_subframe(r, nsamples, 17)
-            right = _decode_subframe(r, nsamples, 16)
+            side = _decode_subframe(r, nsamples, bps + 1)
+            right = _decode_subframe(r, nsamples, bps)
             left = right + side
         else:  # 0b1010 mid/side
-            mid = _decode_subframe(r, nsamples, 16)
-            side = _decode_subframe(r, nsamples, 17)
+            mid = _decode_subframe(r, nsamples, bps)
+            side = _decode_subframe(r, nsamples, bps + 1)
             both = (mid << 1) | (side & 1)  # exact l+r
             left = (both + side) >> 1
             right = (both - side) >> 1
         block64 = np.stack([left, right], axis=1)
-    if block64.size and (block64.max() > 32767 or block64.min() < -32768):
-        raise ValueError("decoded sample out of 16-bit range")
-    block = block64.astype(np.int16)
+    lim = 1 << (bps - 1)
+    if block64.size and (block64.max() >= lim or block64.min() < -lim):
+        raise ValueError(f"decoded sample out of {bps}-bit range")
+    block = block64.astype(np.int32 if bps > 16 else np.int16)
     r.align()
     frame_end = r.byte_pos
     crc = int.from_bytes(payload[frame_end : frame_end + 2], "big")

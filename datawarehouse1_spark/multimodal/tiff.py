@@ -11,11 +11,16 @@ historical "early change" code-width rule, which differs from GIF),
 8/32946 (Deflate, both codes) and 7 (new-style JPEG-in-TIFF per
 Tech Note 2, incl. abbreviated streams against the shared
 tag-347 JPEGTables — decoded by the repo's own jpeg.py, strips and
-tiles), and Predictor 2 (horizontal differencing). The encoder
-writes little-endian fixtures in every combination so the decoder is
+tiles), Predictor 2 (horizontal differencing), and IEEE-float rasters
+(SampleFormat 3, 32-bit) with Predictor 3 (r9: floating-point
+horizontal differencing per TIFF Technical Note 3 — big-endian byte-
+plane split + per-row byte differencing; decode_tiff_float32 is exact,
+decode_tiff maps [0,1] to 8-bit gray). The encoder writes
+little-endian fixtures in every combination so the decoder is
 exercised on genuine container bytes at any SF, and 16-bit grayscale
 (scan depth) decodes with a downshift to 8-bit. Remaining gates raise
-loudly by name: 16-bit color/tiled-deep variants, predictor 3.
+loudly by name: 16-bit color/tiled-deep variants, tiled/multi-sample
+float rasters.
 
 Pure bytes+numpy — safe inside Arrow-batched executors.
 """
@@ -32,6 +37,7 @@ _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP, _TILE_WIDTH = 317, 320, 322
 _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 323, 324, 325
 _JPEG_TABLES = 347
+_SAMPLE_FORMAT = 339
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -213,6 +219,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     h = tags[_LENGTH][0]
     spp = tags.get(_SPP, [1])[0]
     bps = tags.get(_BPS, [1])
+    if tags.get(_SAMPLE_FORMAT, [1])[0] == 3:
+        # IEEE-float raster (SampleFormat 3): decode exactly, then map
+        # [0, 1] to 8-bit gray for this function's uint8-RGB contract
+        fimg = decode_tiff_float32(payload)
+        gray = np.rint(np.clip(fimg, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     if all(b == 16 for b in bps) and spp == 1:
         pass  # 16-bit grayscale: handled below (downshifted to 8-bit)
     elif any(b != 8 for b in bps):
@@ -638,4 +650,138 @@ def encode_tiff_gray16(
         raw = struct.pack(fmt + code * len(vals), *vals)
         out += struct.pack(fmt + "HHI", tag, typ, len(vals)) + raw.ljust(4, b"\x00")
     out += struct.pack(fmt + "I", 0)
+    return bytes(out)
+
+
+# --- IEEE-float rasters (SampleFormat 3) + predictor 3 ----------------
+#
+# TIFF Technical Note 3: floating-point data may use predictor 3
+# ("floating point horizontal differencing") — each row's float bytes
+# are first split into big-endian byte PLANES (all byte-0s of the row,
+# then all byte-1s, ...), then differenced with stride = samples-per-
+# pixel across the whole rearranged row, resetting per row. The split
+# puts the highly-correlated exponent bytes next to each other, which
+# is what makes Deflate/LZW bite on float rasters.
+
+
+def decode_tiff_float32(payload: bytes) -> np.ndarray:
+    """Float TIFF (SampleFormat 3, 32-bit, 1 sample/pixel, strips) ->
+    exact (H, W) float32 array. Supports predictor 1 (none) and 3
+    (floating-point horizontal differencing per TIFF Tech Note 3)."""
+    if payload[:4] == b"II*\x00":
+        fmt = "<"
+    elif payload[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    tags = _read_ifd(payload, fmt)
+    if tags.get(_SAMPLE_FORMAT, [1])[0] != 3:
+        raise ValueError("not a floating-point TIFF (SampleFormat != 3)")
+    w = tags[_WIDTH][0]
+    h = tags[_LENGTH][0]
+    spp = tags.get(_SPP, [1])[0]
+    bps = tags.get(_BPS, [1])
+    if spp != 1 or bps != [32]:
+        raise NotImplementedError(
+            f"float TIFF {bps}x{spp} unsupported (32-bit single-sample)"
+        )
+    compression = tags.get(_COMPRESSION, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 3):
+        raise NotImplementedError(
+            f"float TIFF predictor {predictor} unsupported (1 or 3)"
+        )
+    if _TILE_WIDTH in tags:
+        raise NotImplementedError("tiled float TIFF unsupported (strips)")
+
+    def decompress(chunk: bytes) -> bytes:
+        if compression == 1:
+            return chunk
+        if compression == 5:
+            return tiff_lzw_decode(chunk)
+        if compression in (8, 32946):
+            import zlib
+
+            return zlib.decompress(chunk)
+        raise NotImplementedError(
+            f"float TIFF compression {compression} unsupported"
+        )
+
+    raw = bytearray()
+    for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS]):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("TIFF strip truncated")
+        raw += decompress(strip)
+    row_bytes = w * 4
+    if len(raw) < h * row_bytes:
+        raise ValueError(f"float TIFF data short: {len(raw)} < {h * row_bytes}")
+    rows = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(
+        h, row_bytes
+    )
+    if predictor == 3:
+        # undo the per-row byte differencing, then un-split the planes
+        acc = np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+        planes = acc.reshape(h, 4, w)  # byte plane k of every pixel
+        be = np.ascontiguousarray(planes.transpose(0, 2, 1))  # (h, w, 4) MSB..LSB
+        return be.reshape(h, row_bytes).view(">f4").astype(np.float32).reshape(h, w)
+    # predictor 1: plain floats in container byte order
+    return (
+        rows.reshape(h, w, 4)
+        .copy()
+        .view(np.dtype(fmt + "f4"))
+        .astype(np.float32)
+        .reshape(h, w)
+    )
+
+
+def encode_tiff_float32(
+    img: np.ndarray, compression: str = "deflate", predictor3: bool = True
+) -> bytes:
+    """(H, W) float32 -> little-endian float TIFF (SampleFormat 3,
+    single strip) with optional predictor 3 — the fixture writer for
+    the geo/scan-raster layout. decode_tiff_float32(encode(x)) == x
+    bit-for-bit (the law pinned in tests)."""
+    if img.ndim != 2 or img.dtype != np.float32:
+        raise ValueError("encode_tiff_float32 expects (H, W) float32")
+    h, w = img.shape
+    if predictor3:
+        be = img.astype(">f4").view(np.uint8).reshape(h, w, 4)
+        planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(h, w * 4)
+        diffed = planes.astype(np.int64)
+        diffed[:, 1:] = diffed[:, 1:] - planes.astype(np.int64)[:, :-1]
+        data = (diffed & 0xFF).astype(np.uint8).tobytes()
+    else:
+        data = img.astype("<f4").tobytes()
+    if compression == "deflate":
+        import zlib
+
+        data = zlib.compress(data, 6)
+        comp_code = 8
+    elif compression == "none":
+        comp_code = 1
+    else:
+        raise ValueError("compression: 'deflate' or 'none'")
+    entries = [
+        (_WIDTH, 4, [w]),
+        (_LENGTH, 4, [h]),
+        (_BPS, 3, [32]),
+        (_COMPRESSION, 3, [comp_code]),
+        (_PHOTOMETRIC, 3, [1]),
+        (_STRIP_OFFSETS, 4, [8]),
+        (_SPP, 3, [1]),
+        (_ROWS_PER_STRIP, 4, [h]),
+        (_STRIP_COUNTS, 4, [len(data)]),
+        (_PREDICTOR, 3, [3 if predictor3 else 1]),
+        (_SAMPLE_FORMAT, 3, [3]),
+    ]
+    ifd_off = 8 + len(data)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += data
+    out += struct.pack("<H", len(entries))
+    for tag, typ, vals in sorted(entries):
+        code = {3: "H", 4: "I"}[typ]
+        raw = struct.pack("<" + code * len(vals), *vals)
+        out += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)
     return bytes(out)

@@ -102,12 +102,15 @@ def test_scanner_and_decoder_agree():
 def test_honest_gates_raise_by_name():
     x = np.zeros(100, np.int16)
     blob = bytearray(encode_flac(x, 8000))
-    # force 24-bit depth in STREAMINFO's packed word: flip bits-1 field
+    # force 20-bit depth in STREAMINFO's packed word: flip bits-1 field
+    # (8/16/24 decode for real since r9 — 12/20/32 remain gated)
     word = int.from_bytes(blob[18:26], "big")
-    word = (word & ~(0x1F << 36)) | ((24 - 1) << 36)
+    word = (word & ~(0x1F << 36)) | ((20 - 1) << 36)
     blob[18:26] = word.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(NotImplementedError, match="20-bit"):
         decode_flac(bytes(blob))
+    with pytest.raises(NotImplementedError, match="20-bit"):
+        encode_flac(x, 8000, bits_per_sample=20)
 
 
 def test_encoder_output_is_deterministic():
@@ -247,3 +250,68 @@ def test_streaminfo_min_blocksize_is_blocksize_for_short_stream():
     assert min_bs == max_bs == _BLOCKSIZE
     pcm, _, _ = decode_flac(blob)
     assert np.array_equal(pcm[:, 0], x)
+
+
+# ---- r9: 8-bit and 24-bit depths decode for real ----
+
+
+def test_round_trip_24bit_all_layouts():
+    """24-bit depth (the studio-master format): exact round trip as
+    int32 across mono, every stereo decorrelation (side channel at 25
+    bits), LPC, and the full-scale corners; MD5 verified over 3-byte
+    little-endian samples."""
+    rng = np.random.default_rng(9)
+    x = rng.integers(-(1 << 23), 1 << 23, 9000).astype(np.int64)
+    pcm, rate, info = decode_flac(encode_flac(x, 48000, bits_per_sample=24))
+    assert info.bits_per_sample == 24 and pcm.dtype == np.int32
+    assert np.array_equal(pcm[:, 0], x)
+
+    st = np.stack([x[:4000], (x[:4000] // 3 + 11)], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        for lpc in (None, 8):
+            pcm, _, _ = decode_flac(
+                encode_flac(
+                    st, 48000, stereo=mode, lpc_order=lpc, bits_per_sample=24
+                )
+            )
+            assert np.array_equal(pcm, st), (mode, lpc)
+
+    corners = np.array(
+        [0, 1, -1, (1 << 23) - 1, -(1 << 23), (1 << 23) - 1, -(1 << 23)],
+        np.int64,
+    )
+    pcm, _, _ = decode_flac(encode_flac(corners, 8000, bits_per_sample=24))
+    assert np.array_equal(pcm[:, 0], corners)
+
+
+def test_round_trip_8bit():
+    rng = np.random.default_rng(10)
+    x = rng.integers(-128, 128, 5000).astype(np.int64)
+    pcm, _, info = decode_flac(encode_flac(x, 8000, bits_per_sample=8))
+    assert info.bits_per_sample == 8 and pcm.dtype == np.int16
+    assert np.array_equal(pcm[:, 0], x)
+    st = np.stack([x[:2000], -x[:2000] - 1], axis=1)
+    for mode in ("left_side", "mid_side"):
+        pcm, _, _ = decode_flac(
+            encode_flac(st, 8000, stereo=mode, bits_per_sample=8)
+        )
+        assert np.array_equal(pcm, st), mode
+
+
+def test_depth_range_enforced_on_encode():
+    too_big = np.array([1 << 8], np.int64)
+    with pytest.raises(ValueError, match="8-bit range"):
+        encode_flac(too_big, 8000, bits_per_sample=8)
+    with pytest.raises(ValueError, match="24-bit range"):
+        encode_flac(np.array([1 << 23], np.int64), 8000, bits_per_sample=24)
+
+
+def test_md5_guard_24bit():
+    """The MD5 is computed over 3-byte samples for 24-bit streams: a
+    tampered sample trips it."""
+    x = np.arange(-500, 500, dtype=np.int64) * 4001
+    blob = bytearray(encode_flac(x, 8000, bits_per_sample=24))
+    # corrupt STREAMINFO MD5 (bytes 26..42 of the STREAMINFO block)
+    blob[30] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(blob))

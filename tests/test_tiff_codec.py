@@ -225,3 +225,66 @@ def test_jpeg_in_tiff_rejects_predictor_and_tiles():
         encode_tiff(img, compression="jpeg", predictor=True)
     with pytest.raises(ValueError, match="strips only"):
         encode_tiff(img, compression="jpeg", tile=16)
+
+
+def test_float32_predictor3_round_trip_exact():
+    """TIFF Tech Note 3 floating-point predictor: the byte-plane split
+    + per-row differencing must round-trip bit-for-bit for arbitrary
+    float32 rasters (NaN/inf payload bytes included), with predictor 3
+    materially out-compressing plain deflate on smooth rasters (the
+    reason the predictor exists)."""
+    import zlib
+
+    import numpy as np
+
+    from datawarehouse1_spark.multimodal.tiff import (
+        decode_tiff,
+        decode_tiff_float32,
+        encode_tiff_float32,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((13, 17)).astype(np.float32)
+    x[0, 0] = np.float32("nan")
+    x[1, 1] = np.float32("inf")
+    x[2, 2] = np.float32("-inf")
+    for comp in ("deflate", "none"):
+        for p3 in (True, False):
+            blob = encode_tiff_float32(x, compression=comp, predictor3=p3)
+            y = decode_tiff_float32(blob)
+            assert np.array_equal(
+                x.view(np.uint32), y.view(np.uint32)
+            ), (comp, p3)  # bit-level (NaN-safe) equality
+
+    # decode_tiff's uint8-RGB contract: [0,1] floats -> 8-bit gray
+    g = np.clip(rng.random((9, 9)).astype(np.float32), 0, 1)
+    rgb = decode_tiff(encode_tiff_float32(g))
+    assert rgb.shape == (9, 9, 3)
+    assert np.array_equal(rgb[:, :, 0], np.rint(g * 255).astype(np.uint8))
+
+    # compression rationale: smooth raster, predictor 3 wins big
+    smooth = np.linspace(0, 1, 64 * 64, dtype=np.float32).reshape(64, 64)
+    with_p3 = len(encode_tiff_float32(smooth, predictor3=True))
+    plain = len(zlib.compress(smooth.astype("<f4").tobytes(), 6))
+    assert with_p3 * 5 < plain  # >5x smaller on this fixture
+
+
+def test_float32_tiff_gates_raise_by_name():
+    import numpy as np
+    import pytest as _pytest
+
+    from datawarehouse1_spark.multimodal.tiff import (
+        decode_tiff_float32,
+        encode_tiff_float32,
+    )
+
+    with _pytest.raises(ValueError, match="float32"):
+        encode_tiff_float32(np.zeros((4, 4), dtype=np.float64))
+    blob = encode_tiff_float32(np.zeros((4, 4), dtype=np.float32))
+    # a non-float TIFF through the float decoder is a loud ValueError
+    from datawarehouse1_spark.multimodal.tiff import encode_tiff
+
+    rgb_blob = encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="SampleFormat"):
+        decode_tiff_float32(rgb_blob)
+    assert decode_tiff_float32(blob).shape == (4, 4)
