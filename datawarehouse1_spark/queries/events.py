@@ -169,3 +169,61 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+
+
+@declared(
+    "q_events_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def q_events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (open/high/low/close) per
+    event type and hour — the standard resample step for metric and
+    market-style series. First/last are made deterministic with the
+    explicit (ts, event_id) tiebreak (a bare first_value over ts ties
+    is engine-dependent); both row_number windows share one
+    (event_type, hour) exchange, the bar aggregate reuses it. At
+    100 TB: windows are per-(type, hour) partitions — bounded and
+    parallel, never global."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    base = e.select("event_type", bucket, "value", "ts", "event_id")
+    w_first = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    w_last = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -210,3 +210,70 @@ def q_profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p99_over_med_e6"),
     )
+
+
+@declared(
+    "q_profile_join_cardinality",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS key, COUNT(*) AS ca
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT o_orderkey AS key, COUNT(*) AS cb
+      FROM orders GROUP BY o_orderkey
+    ),
+    m AS (
+      SELECT a.key, a.ca, b.cb
+      FROM a FULL OUTER JOIN b ON a.key = b.key
+    )
+    SELECT CAST(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                         THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
+           CAST(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+           CAST(SUM(CASE WHEN cb IS NULL AND ca IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
+           CAST(SUM(CASE WHEN ca IS NULL AND cb IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
+           CAST(MAX(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                         THEN ca * cb END) AS BIGINT) AS max_key_rows
+    FROM m
+    """,
+)
+def q_profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality profile — the planning twin of
+    q_profile_skew_report: EXACT output size of lineitem ⋈ orders on
+    orderkey (Σ over matched keys of cA·cB), the matched / left-only /
+    right-only key containment split, and the heaviest single key's
+    output contribution — the numbers that predict whether a join
+    explodes and whether a runtime filter (bloom semi join, rule 17)
+    would pay, BEFORE running it. Cost: one count aggregate per side
+    (rows ∝ distinct keys) + one key-aligned full outer join of the
+    two count tables (the key exchange both aggregates already
+    produced) + a single-row summary. Per-row data never crosses more
+    than its own count exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    m = a.join(b, "key", "full_outer")
+    both = F.col("ca").isNotNull() & F.col("cb").isNotNull()
+    return m.agg(
+        F.sum(F.when(both, F.col("ca") * F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("join_rows"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("matched_keys"),
+        F.sum(F.when(F.col("cb").isNull() & F.col("ca").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("left_only_keys"),
+        F.sum(F.when(F.col("ca").isNull() & F.col("cb").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("right_only_keys"),
+        F.max(F.when(both, F.col("ca") * F.col("cb")))
+        .cast("long")
+        .alias("max_key_rows"),
+    )

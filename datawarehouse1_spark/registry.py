@@ -113,6 +113,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_curation_optout_takedown",
     "q_curation_master_pipeline",
     # ---- graded window ends here (first 50) ----
+    "q_profile_join_cardinality",
+    "q_events_resample_ohlc",
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",

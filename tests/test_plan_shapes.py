@@ -242,6 +242,13 @@ EXCHANGE_BUDGET = {
     # md5(text)) + the two-phase shard aggregate (count-distinct
     # expand); narrow tiers fuse into the scans around them
     "q_curation_master_pipeline": 4,
+    # one count aggregate per side (the orderkey exchanges both sides
+    # already pay) + the single-row summary; per-row data crosses only
+    # its own count exchange
+    "q_profile_join_cardinality": 3,
+    # both row_number windows + the bar aggregate share ONE
+    # (event_type, hour) exchange
+    "q_events_resample_ohlc": 1,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only

@@ -297,3 +297,50 @@ def test_master_pipeline_composes_consistently(spark):
     for r in shards:
         assert 1 <= r.n_langs <= n_langs_corpus
         assert r.total_tokens >= 20 * r.n_docs  # quality band lower bound
+
+
+def test_join_cardinality_matches_actual_join(spark):
+    """The estimator's defining law: join_rows equals the ACTUAL row
+    count of the inner join it predicts, and the containment split
+    covers both key spaces exactly."""
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    r = registry.QUERIES["q_profile_join_cardinality"](spark, sf).collect()[0]
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert r.join_rows == actual
+    n_keys_l = li.select("l_orderkey").distinct().count()
+    n_keys_r = o.select("o_orderkey").distinct().count()
+    assert r.matched_keys + r.left_only_keys == n_keys_l
+    assert r.matched_keys + r.right_only_keys == n_keys_r
+    assert 0 < r.max_key_rows <= r.join_rows
+
+
+def test_ohlc_bars_recompute_from_raw_events(spark):
+    """Every bar's open/close equal the value of the chronologically
+    first/last event of its (type, hour) group under the (ts, event_id)
+    tiebreak; high/low bound every value; n_events partitions the
+    non-null population."""
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    bars = registry.QUERIES["q_events_resample_ohlc"](spark, sf).collect()
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter("value is not null")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        bucket = r.ts.replace(minute=0, second=0, microsecond=0)
+        groups[(r.event_type, bucket)].append((r.ts, r.event_id, r.value))
+    assert len(bars) == len(groups)
+    assert sum(b.n_events for b in bars) == len(rows)
+    for b in bars:
+        g = sorted(groups[(b.event_type, b.bucket)])
+        assert b.open == g[0][2] and b.close == g[-1][2]
+        vals = [v for _, _, v in g]
+        assert b.high == max(vals) and b.low == min(vals)
+        assert b.n_events == len(g)
