@@ -278,11 +278,13 @@ def q_dedup_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum
     )
     SELECT doc_id, lang, n_chars,
-           CAST((cum_w // step) - ((cum_w - n_chars) // step)
+           CAST((cum_w // NULLIF(step, 0))
+                - ((cum_w - n_chars) // NULLIF(step, 0))
                 AS BIGINT) AS n_hits
     FROM stepped
     WHERE step > 0
-      AND (cum_w // step) > ((cum_w - n_chars) // step)
+      AND (cum_w // NULLIF(step, 0))
+          > ((cum_w - n_chars) // NULLIF(step, 0))
     """,
 )
 def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +327,12 @@ def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("total_w div 10").cast("long").alias("step"),
     )
     # true integer division (`div` / `//`): exact at ANY mass, where
-    # floor(double/double) would wobble past 2^53 total chars
+    # floor(double/double) would wobble past 2^53 total chars. The
+    # oracle guards the divisor with NULLIF: DuckDB's `//` ERRORS on a
+    # zero divisor even when the step > 0 conjunct would exclude the
+    # row (conjunct evaluation order is not guaranteed), while Spark's
+    # `div` yields NULL — NULLIF makes both engines yield NULL, and
+    # the step > 0 filter then drops the row in both.
     hi = F.expr("cum_w div step")
     lo = F.expr("(cum_w - n_chars) div step")
     return (

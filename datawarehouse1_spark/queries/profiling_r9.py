@@ -62,7 +62,8 @@ _FILES_SQL = """
     ),
     grouped AS (
       SELECT part, file_day, bytes,
-             CAST((cum_bytes - 1) // 100000000 AS BIGINT) AS group_id
+             CAST((GREATEST(cum_bytes, 1) - 1) // 100000000 AS BIGINT)
+               AS group_id
       FROM packed
     )
     SELECT part, group_id,
@@ -108,7 +109,12 @@ def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part",
         "file_day",
         "bytes",
-        F.expr("(cum_bytes - 1) div 100000000").cast("long").alias("group_id"),
+        # greatest(..., 1) guards the cum_bytes == 0 corner (an empty
+        # first file): DuckDB's `//` floors -1 // t to -1 while Spark's
+        # `div` truncates to 0 — clamping keeps both engines at group 0
+        F.expr("(greatest(cum_bytes, 1) - 1) div 100000000")
+        .cast("long")
+        .alias("group_id"),
     )
     return packed.groupBy("part", "group_id").agg(
         F.count(F.lit(1)).alias("n_files"),

@@ -344,3 +344,67 @@ def test_ohlc_bars_recompute_from_raw_events(spark):
         vals = [v for _, _, v in g]
         assert b.high == max(vals) and b.low == min(vals)
         assert b.n_events == len(g)
+
+
+def test_pps_zero_step_lang_excluded_not_error(spark, tmp_path):
+    """Corner pinned by the r9 self-review: a language whose total
+    char mass is below the sample count makes step = 0 — the oracle's
+    NULLIF guard and Spark's null-propagating `div` must both EXCLUDE
+    that language cleanly (DuckDB's bare `//` would error on the zero
+    divisor regardless of the WHERE conjunct order)."""
+    import duckdb
+
+    registry.load_all()
+    rows = [(i, "x" * 300, "en", "s", 300) for i in range(20)]
+    rows += [(100, "ab", "tiny", "s", 2), (101, "cd", "tiny", "s", 3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = registry.QUERIES["q_sample_pps_systematic"](
+        spark, str(tmp_path)
+    ).collect()
+    assert {r.lang for r in got} == {"en"}
+    assert sum(r.n_hits for r in got) == 10  # total=6000, step=600
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle_rows = con.execute(registry.ORACLES["q_sample_pps_systematic"]).fetchall()
+    assert {r[1] for r in oracle_rows} == {"en"}  # no div-by-zero error
+
+
+def test_compaction_zero_mass_first_day(spark, tmp_path):
+    """Corner pinned by the r9 self-review: a partition whose first
+    file has zero byte mass gives cum_bytes = 0 — GREATEST clamping
+    keeps both engines at group 0 (DuckDB's `//` floors -1 to group
+    -1 where Spark's `div` truncates to 0)."""
+    import datetime
+    import duckdb
+
+    registry.load_all()
+    rows = [
+        (1, 1, "O", 0.0, datetime.datetime(2026, 1, 1), "1-URGENT"),
+        (2, 1, "O", 10.0, datetime.datetime(2026, 1, 2), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = registry.QUERIES["q_layout_compaction_plan"](
+        spark, str(tmp_path)
+    ).collect()
+    assert {r.group_id for r in got} == {0}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(registry.ORACLES["q_layout_compaction_plan"]).fetchall()
+    assert {w[1] for w in want} == {0}
