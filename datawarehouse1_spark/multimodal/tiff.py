@@ -222,7 +222,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if tags.get(_SAMPLE_FORMAT, [1])[0] == 3:
         # IEEE-float raster (SampleFormat 3): decode exactly, then map
         # [0, 1] to 8-bit gray for this function's uint8-RGB contract
-        fimg = decode_tiff_float32(payload)
+        # (tags passed through — no second container parse per asset)
+        fimg = _decode_float32_from_tags(payload, fmt, tags)
         gray = np.rint(np.clip(fimg, 0.0, 1.0) * 255.0).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
     if all(b == 16 for b in bps) and spp == 1:
@@ -675,6 +676,14 @@ def decode_tiff_float32(payload: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF payload")
     tags = _read_ifd(payload, fmt)
+    return _decode_float32_from_tags(payload, fmt, tags)
+
+
+def _decode_float32_from_tags(
+    payload: bytes, fmt: str, tags: dict
+) -> np.ndarray:
+    """Inner form taking the already-parsed IFD so decode_tiff's
+    float route doesn't re-parse the container per asset."""
     if tags.get(_SAMPLE_FORMAT, [1])[0] != 3:
         raise ValueError("not a floating-point TIFF (SampleFormat != 3)")
     w = tags[_WIDTH][0]

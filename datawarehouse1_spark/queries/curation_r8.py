@@ -58,6 +58,28 @@ _URL_SQL = """
 """
 
 
+# Shared host canonicalization (r9 code review: one definition of
+# "host" for every tier that routes on it — url dedup, domain stats,
+# takedown, master pipeline). {url} is the staged URL expression.
+_HOST_SQL = """
+    regexp_replace(
+      lower(regexp_extract(regexp_replace({url}, '^[A-Za-z]+://', ''),
+                           '^([^/?#]+)', 1)),
+      '^www\\.', '')
+"""
+
+
+def host_expr(url_col):
+    """Spark twin of _HOST_SQL: lowercased, www-stripped host of a URL
+    column/expression."""
+    from pyspark.sql import functions as F
+
+    no_scheme = F.regexp_replace(url_col, "^[A-Za-z]+://", "")
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
+    )
+
+
 @declared(
     "q_dedup_url_normalize",
     oracle=f"""

@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
-from datawarehouse1_spark.queries.curation_r8 import _URL_SQL
+from datawarehouse1_spark.queries.curation_r8 import (
+    _HOST_SQL,
+    _URL_SQL,
+    host_expr,
+)
+from datawarehouse1_spark.queries.dedup_ext import MIXTURE_RATES
 from datawarehouse1_spark.registry import declared
 
 # ---------------------------------------------------------------- 1.
@@ -59,18 +64,15 @@ from datawarehouse1_spark.registry import declared
     ),
     parts AS (
       SELECT doc_id, lang, n_chars,
-             regexp_replace(
-               lower(regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
-                                    '^([^/?#]+)', 1)),
-               '^www\\.', '') AS host,
+             {_HOST_SQL.format(url='url')} AS host,
              regexp_extract(url, '/docs/([0-9]+)', 1) AS page
       FROM staged
     )
     SELECT host,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT page) AS n_pages,
-           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT page)) * 1000000.0
-                      / COUNT(*)) AS BIGINT) AS dup_share_e6,
+           CAST(((COUNT(*) - COUNT(DISTINCT page)) * 1000000)
+                // COUNT(*) AS BIGINT) AS dup_share_e6,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM parts
@@ -90,10 +92,7 @@ def q_curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     url = F.expr(_URL_SQL.format(S="STRING")).alias("url")
     staged = d.select("doc_id", "lang", "n_chars", url)
-    no_scheme = F.regexp_replace(F.col("url"), "^[A-Za-z]+://", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
-    ).alias("host")
+    host = host_expr(F.col("url")).alias("host")
     page = F.regexp_extract(F.col("url"), "/docs/([0-9]+)", 1).alias("page")
     n = F.count(F.lit(1))
     n_pages = F.countDistinct("page")
@@ -103,7 +102,10 @@ def q_curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("n_docs"),
             n_pages.alias("n_pages"),
-            F.floor((n - n_pages) * F.lit(1000000) / n)
+            # integer `div` (not floor(double)): exact at any corpus size
+            F.expr(
+                "(count(1) - count(distinct page)) * 1000000 div count(1)"
+            )
             .cast("long")
             .alias("dup_share_e6"),
             F.sum("n_chars").alias("total_chars"),
@@ -147,8 +149,8 @@ _BUCKET_SQL = """
     SELECT bucket,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-           CAST(FLOOR((bucket * COUNT(*) - SUM(n_tokens)) * 1000000.0
-                      / (bucket * COUNT(*))) AS BIGINT) AS pad_waste_e6
+           CAST(((bucket * COUNT(*) - SUM(n_tokens)) * 1000000)
+                // (bucket * COUNT(*)) AS BIGINT) AS pad_waste_e6
     FROM bucketed
     GROUP BY bucket
     """,
@@ -174,10 +176,10 @@ def q_curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("bucket").agg(
         n.alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
-        F.floor(
-            (F.col("bucket") * n - F.sum("n_tokens"))
-            * F.lit(1000000)
-            / (F.col("bucket") * n)
+        # integer `div` (not floor(double)): exact at any corpus size
+        F.expr(
+            "(bucket * count(1) - sum(n_tokens)) * 1000000"
+            " div (bucket * count(1))"
         )
         .cast("long")
         .alias("pad_waste_e6"),
@@ -349,15 +351,14 @@ def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q_curation_optout_takedown",
     oracle=f"""
-    WITH staged AS (
+    WITH urls AS (
       SELECT doc_id, source,
-             regexp_replace(
-               lower(regexp_extract(
-                 regexp_replace({_URL_SQL.format(S='VARCHAR')},
-                                '^[A-Za-z]+://', ''),
-                 '^([^/?#]+)', 1)),
-               '^www\\.', '') AS host
+             {_URL_SQL.format(S='VARCHAR')} AS url
       FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, source, {_HOST_SQL.format(url='url')} AS host
+      FROM urls
     ),
     flagged AS (
       SELECT doc_id, source,
@@ -394,11 +395,7 @@ def q_curation_optout_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. One aggregate exchange; bodies never move."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     url = F.expr(_URL_SQL.format(S="STRING"))
-    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
-    )
-    staged = d.select("doc_id", "source", host.alias("host"))
+    staged = d.select("doc_id", "source", host_expr(url).alias("host"))
 
     # the tombstone feeds — real DataFrames, broadcast-joined like a
     # takedown table would be (not folded into the corpus projection)
@@ -453,15 +450,14 @@ def q_curation_optout_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The shared tokenizer (same as text_r5) — token count feeds the
 # quality gate and the shard summary.
-_MIXTURE_CASE = """
-    CASE lang
-      WHEN 'en' THEN '7fffffff'
-      WHEN 'zh' THEN 'cccccccc'
-      WHEN 'es' THEN '33333333'
-      WHEN 'de' THEN '33333333'
-      WHEN 'fr' THEN 'ffffffff'
-      ELSE '00000000' END
-"""
+# Built from dedup_ext.MIXTURE_RATES — the SAME thresholds the
+# certified q_sample_hash_mixture tier uses (r9 code review: a
+# hardcoded copy here would silently diverge if the rates are retuned)
+_MIXTURE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in MIXTURE_RATES.items())
+    + " ELSE '00000000' END"
+)
 
 
 @declared(
@@ -474,10 +470,7 @@ _MIXTURE_CASE = """
     ),
     canon AS (
       SELECT doc_id, lang, text,
-             regexp_replace(
-               lower(regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
-                                    '^([^/?#]+)', 1)),
-               '^www\\.', '') AS host,
+             {_HOST_SQL.format(url='url')} AS host,
              regexp_extract(url, '/docs/([0-9]+)', 1) AS page
       FROM staged
     ),
@@ -553,13 +546,10 @@ def q_curation_master_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     url = F.expr(_URL_SQL.format(S="STRING"))
-    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(no_scheme, "^([^/?#]+)", 1)), r"^www\.", ""
-    )
     page = F.regexp_extract(url, "/docs/([0-9]+)", 1)
     canon = d.select(
-        "doc_id", "lang", "text", host.alias("host"), page.alias("page")
+        "doc_id", "lang", "text",
+        host_expr(url).alias("host"), page.alias("page"),
     )
     takedown = canon.filter(
         (F.col("doc_id") % 37 != 0)

@@ -20,16 +20,24 @@ survive (the snapshot store copies pointers to immutable files at this
 layer's scale analogy; a lakehouse deployment would express step 3 as
 a deletion-vector commit).
 
-Exactly-once: foreachBatch is at-least-once and both effects are
-non-idempotent, so the snapshot version (the producing batch id)
-guards both — the audit row lands in audit/batch=<id> BEFORE the
-corpus publishes; a crash between the two leaves the corpus version
-behind, and the replay overwrites the same audit dir then publishes.
-A tombstone for a doc_id already removed (or never present) is a
-no-op counted as n_removed = 0 contribution, NOT an error: takedown
-feeds routinely redeliver (the legal request repeats until confirmed),
-so idempotence against re-delivered tombstones is part of the
-contract — unlike ingest ids, which must be unique.
+Exactly-once — CONTENT-guarded, not id-guarded (r9 code review): a
+bare `version >= batch_id` replay guard cannot distinguish a
+checkpoint replay from a stream whose checkpoint was lost and whose
+batch numbering REBASED below the published version; for a compliance
+sink the second case must still apply (an id-guard would silently
+drop real takedowns forever). Takedown application is idempotent by
+algebra — anti-joining an already-removed id removes nothing — so the
+sink always computes the anti join and skips the effects only when
+the batch removes nothing AND the version says replay. The published
+version stays monotonic across a rebase (a rebased batch lands at
+applied+1), and the audit key is the published version. The audit row
+lands in its overwrite-idempotent dir BEFORE the corpus publishes; a
+crash between the two re-applies on redelivery. The only loss after a
+checkpoint rebase is the audit row of an all-no-op batch — the served
+corpus is correct in every scenario. A tombstone for a doc_id already
+removed (or never present) is a counted no-op, NOT an error: takedown
+feeds routinely redeliver (the legal request repeats until
+confirmed) — unlike ingest ids, which must be unique.
 
 Batching-invariance law (pinned in tests/test_streaming_takedown.py):
 applying the feed batch-by-batch equals one anti join of the full
@@ -67,8 +75,20 @@ def make_takedown_sink(
         if batch.isEmpty():
             return
         applied = latest_version(corpus_path)
-        if applied is not None and applied >= batch_id:
-            return  # checkpoint replay: audit + corpus already landed
+        # `applied >= batch_id` is AMBIGUOUS: a checkpoint replay of an
+        # already-landed batch, OR a stream whose checkpoint was lost
+        # and whose batch numbering REBASED below the published version
+        # (a routine ops event). A compliance sink must never let the
+        # replay guard silently drop real takedowns in the second case,
+        # so the guard here is CONTENT-based, exploiting that takedown
+        # application is idempotent by algebra (anti-joining an
+        # already-removed id removes nothing): always compute the anti
+        # join, and skip the effects only when this batch removes
+        # nothing AND the version says it could be a replay. The only
+        # loss after a checkpoint rebase is the audit row of a batch
+        # whose tombstones were all already absent — the corpus itself
+        # is correct in every scenario.
+        maybe_replay = applied is not None and applied >= batch_id
         tombstones = (
             batch.select(id_col).distinct().localCheckpoint(eager=True)
         )
@@ -79,10 +99,16 @@ def make_takedown_sink(
         kept = corpus.join(F.broadcast(tombstones), id_col, "left_anti")
         kept = kept.localCheckpoint(eager=True)
         n_after = kept.count()
+        if maybe_replay and n_before == n_after:
+            return  # true replay (or a rebased all-no-op batch): done
+        # audit + snapshot version: monotonic even across a rebase —
+        # the audit key is the published version, so a rebased batch 0
+        # lands at applied+1 and never collides with history
+        version = batch_id if applied is None or batch_id > applied else applied + 1
         audit = spark.createDataFrame(
             [
                 (
-                    batch_id,
+                    version,
                     tombstones.count(),
                     n_before - n_after,
                     n_after,
@@ -91,9 +117,9 @@ def make_takedown_sink(
             "batch_id long, n_tombstones long, n_removed long, n_remaining long",
         )
         audit.coalesce(1).write.mode("overwrite").parquet(
-            f"{audit_path}/batch={batch_id}"
+            f"{audit_path}/batch={version}"
         )
-        publish_snapshot(kept, corpus_path, version=batch_id)
+        publish_snapshot(kept, corpus_path, version=version)
 
     return sink
 

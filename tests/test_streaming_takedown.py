@@ -185,3 +185,35 @@ def test_takedown_stream_end_to_end_with_restart(spark, tmp_path):
         assert snap.filter("doc_id in (4, 8, 15)").count() == 0
     finally:
         q.stop()
+
+
+def test_takedown_survives_batch_id_rebase(spark, tmp_path):
+    """r9 code-review finding: after a checkpoint loss the restarted
+    stream re-numbers batches from 0. An id-based replay guard would
+    silently drop every takedown until batch_id outruns the published
+    version; the content-based guard must still APPLY rebased batches
+    that remove documents (publishing at a monotonically advanced
+    version), while a true replay stays a no-op."""
+    corpus_path = str(tmp_path / "corpus")
+    audit_path = str(tmp_path / "audit")
+    sink = tdm.make_takedown_sink(
+        spark, corpus_path, audit_path, _corpus(spark)
+    )
+    # original run reaches batch 5
+    sink(_tombstones(spark, [1]), 5)
+    assert latest_version(corpus_path) == 5
+    assert read_snapshot(spark, corpus_path).count() == 39
+
+    # checkpoint lost; restarted stream delivers NEW tombstones as batch 0
+    sink(_tombstones(spark, [2, 3]), 0)
+    snap = read_snapshot(spark, corpus_path)
+    assert snap.count() == 37, "rebased batch with real takedowns was dropped"
+    assert snap.filter("doc_id in (2, 3)").count() == 0
+    assert latest_version(corpus_path) == 6  # monotonic: applied+1
+    assert _audit(spark, audit_path)[6] == (2, 2, 37)
+
+    # true replay of the rebased batch: no-op on both effects
+    before = _audit(spark, audit_path)
+    sink(_tombstones(spark, [2, 3]), 0)
+    assert _audit(spark, audit_path) == before
+    assert latest_version(corpus_path) == 6
