@@ -39,6 +39,22 @@ vanish mid-read (the classic snapshot-store trade-off). Deployments
 with long-running concurrent readers should retain N>1 versions —
 prune keeps exactly the current one because the foreachBatch sinks it
 serves re-resolve per micro-batch.
+
+CHECKPOINT-COUPLING CONTRACT (r9 code review): using the version as
+the replay guard assumes the streaming CHECKPOINT and this store live
+and die together — batch ids are only meaningful relative to the
+checkpoint that numbered them. If the checkpoint is lost and the
+stream restarts with rebased batch ids while the store survives, the
+guard reads every early batch as "already applied". For sinks whose
+application is idempotent by algebra, a content-based guard removes
+the hazard (takedown_maintenance.py does this — it always applies and
+skips only no-op replays). For the NON-idempotent sinks (rollup
+merge, CDC apply, SCD2, near-dup/fingerprint indexes, drift log),
+re-applying would corrupt state, so no automatic recovery is correct:
+on checkpoint loss, restart those pipelines against a fresh store (or
+re-bootstrap from batch sources) — deleting the checkpoint but
+keeping the store is an operator error for them, documented here
+rather than guessed around.
 """
 
 from __future__ import annotations
