@@ -650,3 +650,122 @@ def test_keyed_interval_overlap_matches_brute_force(spark, case):
     )
     got = {(r.l_id, r.r_id) for r in out.collect()}
     assert got == want
+
+
+# ---- r9: hash64 pigeonhole completeness over ARBITRARY hashes ----
+#
+# The staged modality tests (image/audio/video twins) exercise the
+# shared band-pair operator on engineered inputs; this drives it with
+# arbitrary 64-bit values + planted near pairs and checks against a
+# pure-python all-pairs scan — the pigeonhole claim itself.
+
+
+@st.composite
+def hash64_case(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    base = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    # plant near-duplicates: flip 0..3 random bits of some bases
+    planted = []
+    for i, h in enumerate(base):
+        if draw(st.booleans()):
+            flips = draw(st.sets(st.integers(0, 63), min_size=0, max_size=3))
+            h2 = h
+            for b in flips:
+                h2 ^= 1 << b
+            planted.append(h2)
+    return base + planted
+
+
+HASH64_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(hash64_case())
+@HASH64_SETTINGS
+def test_hash64_band_pairs_equals_all_pairs(spark, case):
+    from datawarehouse1_spark.operators.dedup import hash64_band_pairs
+
+    hashes = list(dict.fromkeys(case))  # dedupe values, keep order
+    rows = [
+        (i, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF)
+        for i, h in enumerate(hashes)
+    ]
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 3:
+                want.add((i, j, d))
+    df = spark.createDataFrame(rows, "id long, hi long, lo long")
+    got = {
+        (r.left_id, r.right_id, r.hamming)
+        for r in hash64_band_pairs(df, "id", "hi", "lo", max_hamming=3).collect()
+    }
+    assert got == want
+
+
+# ---- r9: systematic PPS vs a pure-python replay oracle ----
+
+
+@st.composite
+def pps_case(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    weights = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=5000), min_size=n, max_size=n
+        )
+    )
+    return weights
+
+
+@given(pps_case())
+@HASH64_SETTINGS
+def test_pps_systematic_matches_python_replay(spark, tmp_path_factory, weights):
+    """The sampler is a deterministic function of (weights, md5 order):
+    replaying the same cumulative-line arithmetic in plain python over
+    the same md5 ordering must select the identical multiset."""
+    import hashlib
+
+    from datawarehouse1_spark import registry
+
+    registry.load_all()
+    tmp = tmp_path_factory.mktemp("pps")
+    rows = [
+        (i, "t" * w, "en", "s", w) for i, w in enumerate(weights)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in registry.QUERIES["q_sample_pps_systematic"](
+            spark, str(tmp)
+        ).collect()
+    }
+
+    order = sorted(
+        range(len(weights)),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    total = sum(weights)
+    step = total // 10
+    want = set()
+    cum = 0
+    for i in order:
+        lo = cum
+        cum += weights[i]
+        if step > 0:
+            hits = cum // step - lo // step
+            if hits > 0:
+                want.add((i, hits))
+    assert got == want
