@@ -152,3 +152,45 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             " RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
         ).alias("n_within_1000"),
     )
+
+
+@declared(
+    "q_window_dense_rank_peers",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE)
+    )
+    SELECT priority, month, n_orders,
+           DENSE_RANK() OVER (PARTITION BY priority ORDER BY n_orders)
+             AS dense_rk,
+           CAST(RANK() OVER (PARTITION BY priority ORDER BY n_orders)
+                AS BIGINT) AS rk
+    FROM monthly
+    """,
+)
+def q_window_dense_rank_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank with GENUINE peer groups — the last window function
+    missing from the battery: months ranked within priority by their
+    (frequently tied) order counts, so dense_rank visibly collapses
+    gaps where rank jumps. Deterministic regardless of tie order
+    because both functions depend only on the ORDER value, not row
+    position. Two exchanges: the (priority, month) monthly aggregate
+    and the (priority) window repartition — both over the tiny
+    monthly-rollup tuples, never order rows."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("priority").orderBy("n_orders")
+    return monthly.select(
+        "priority",
+        "month",
+        "n_orders",
+        F.dense_rank().over(w).alias("dense_rk"),
+        F.rank().over(w).cast("long").alias("rk"),
+    )

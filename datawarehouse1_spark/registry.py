@@ -115,6 +115,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # ---- graded window ends here (first 50) ----
     "q_profile_join_cardinality",
     "q_events_resample_ohlc",
+    "q_window_dense_rank_peers",
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",

@@ -249,6 +249,9 @@ EXCHANGE_BUDGET = {
     # both row_number windows + the bar aggregate share ONE
     # (event_type, hour) exchange
     "q_events_resample_ohlc": 1,
+    # (priority, month) monthly agg + the (priority) window — both over
+    # monthly-rollup tuples only
+    "q_window_dense_rank_peers": 2,
     # two-level CDF cumsum: per-value agg + in-bucket window + bucket
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only
