@@ -81,12 +81,24 @@ def parse_exif(jpeg: bytes) -> dict:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
-    while pos + 4 <= len(jpeg):
+    while pos + 2 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ValueError(f"marker sync lost at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(jpeg):
+            break
         marker = jpeg[pos + 1]
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no APP1 found
             return {}
+        # Standalone markers carry no length field: TEM (0x01) and
+        # RSTn (0xD0-0xD7) are 2-byte markers per T.81 B.1.1.3.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(jpeg):
+            break
         (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
         body = jpeg[pos + 4 : pos + 2 + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":

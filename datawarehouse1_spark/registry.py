@@ -41,87 +41,34 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r08
-# each contain exactly queries()[:50] in dict order). Round-9 window
-# (VERDICT r8 "Next round" #2 / ROUND_NOTES r9 rotation): section (a)
-# fronts the 12 r5-green slots the r8 queries displaced from the r8
-# window; (b) the r5-vintage remainder — together the full set of 41
-# r5 verdicts, the oldest held in the registry; (c) oldest-r6 re-grades
-# filling the window to exactly 50. New r9 queries are inserted at the
-# FRONT of section (c) (never-graded outranks re-grade), displacing r6
-# fills from its tail; after this round no latest verdict is older
-# than r6 and the refresh cycle is one round deep again. Behind the
-# window: freshest-last (r6 remainder, r7-graded, r8-graded). Vintages
-# computed from CORRECTNESS_r0{1..8}.json. Window structure pinned by
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r09
+# each contain exactly queries()[:50] in dict order). Round-10 window
+# (ROUND_NOTES r10 rotation): section (a) fronts the 3 never-graded
+# r9-tail queries (landed at positions 51-53 after the r9 window
+# filled); (b) new r10 queries insert behind them (never-graded
+# outranks re-grade); (c) oldest-r6 re-grades fill the window to
+# exactly 50 — the oldest held verdicts after r9 graded all 50 of its
+# window green. Each new r10 query displaces one r6 fill from the
+# window tail into the post-window remainder (which fronts the r11
+# window). Behind the window: freshest-last (r6 remainder, r7-graded,
+# r8-graded, r9-graded). Vintages computed from
+# CORRECTNESS_r0{1..9}.json. Window structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) r5-vintage re-grades (VERDICT r8 #2 / ROUND_NOTES r9
-    # rotation): the 12 slots the r8 queries displaced from the r8
-    # window — the oldest held verdicts in the registry --
-    "q_route_filter",
-    "q_upsert_latest",
-    "q_excel_serial_date",
-    "q_null_semantics",
-    "q_window_lag_delta",
-    "q_dedup_simhash_neardup",
-    "q_dedup_simhash",
-    "q_window_ntile_quartile",
-    "q_window_percent_rank",
-    "q_window_first_last",
-    "q_window_moving_avg",
-    "q_stats_moments",
-    # -- (b) the r5-vintage remainder (the rest of the 41 r5 verdicts) --
-    "q_stats_mode_deterministic",
-    "q_events_variant_extract",
-    "q_date_gapfill_months",
-    "q_events_hourly_heatmap",
-    "q_events_gap_histogram",
-    "q_events_dau_wau",
-    "q_scd2_user_state",
-    "q_rfm_segmentation",
-    "q_orders_pareto",
-    "q_hierarchy_recursive_cte",
-    "q_text_bigram_topk",
-    "q_text_tfidf_topterms",
-    "q_text_contamination_overlap",
-    "q_text_token_histogram",
-    "q_text_posexplode_tokens",
-    "q_docs_length_percentiles",
-    "q_curation_pack_chunks",
-    "q_docs_dup_rate_by_source",
-    "q_text_repetition_score",
-    "q_embedding_quantize_error",
-    "q_embedding_norm_stats",
-    "q_llm_curation_pipeline",
-    "q_llm_pipeline_packed",
-    "q_curation_topk_per_lang",
-    "q_dedup_clusters",
-    "q_dedup_fuzzy_names",
-    "q_heavy_hitters",
-    "q_sample_hash_mixture",
-    "q_dedup_ngram_jaccard",
-    # -- (c) oldest-r6 re-grades filling the window to exactly 50;
-    # new r9 queries insert at the FRONT of this section
-    # (never-graded outranks re-grade), displacing fills from its tail --
-    "q_curation_domain_stats",
-    "q_curation_length_buckets",
-    "q_dedup_unicode_normalize",
-    "q_sample_pps_systematic",
-    "q_layout_compaction_plan",
-    "q_profile_skew_report",
-    "q_multimodal_exif_scan",
-    "q_curation_optout_takedown",
-    "q_curation_master_pipeline",
-    # ---- graded window ends here (first 50) ----
+    # -- (a) the 3 never-graded r9-tail queries (ROUND_NOTES r10
+    # rotation #1): landed after the r9 window filled; grade first --
     "q_profile_join_cardinality",
     "q_events_resample_ohlc",
     "q_window_dense_rank_peers",
+    # -- (b) new r10 queries insert HERE (never-graded outranks
+    # re-grade), displacing r6 re-grades from the window tail --
+    # -- (c) the 47 oldest r6-graded re-grades filling the window
+    # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
     "q_text_pii_redact",
     "q_expectations_orders",
-    # -- r6-graded remainder (refresh after r9) --
     "q_bpe_learn_merges",
     "q_graph_pagerank",
     "q_multimodal_mp4_demux",
@@ -164,6 +111,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_flagship_monthly_revenue",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",
@@ -218,7 +167,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q15_top_supplier",
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
-    # -- r8-graded (CORRECTNESS_r08, all green): the freshest verdicts --
+    # -- r8-graded (CORRECTNESS_r08, all green) --
     "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
@@ -269,6 +218,57 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention_weekly",
     "q_join_asof",
+    # -- r9-graded (CORRECTNESS_r09, all green): freshest verdicts --
+    "q_route_filter",
+    "q_upsert_latest",
+    "q_excel_serial_date",
+    "q_null_semantics",
+    "q_window_lag_delta",
+    "q_dedup_simhash_neardup",
+    "q_dedup_simhash",
+    "q_window_ntile_quartile",
+    "q_window_percent_rank",
+    "q_window_first_last",
+    "q_window_moving_avg",
+    "q_stats_moments",
+    "q_stats_mode_deterministic",
+    "q_events_variant_extract",
+    "q_date_gapfill_months",
+    "q_events_hourly_heatmap",
+    "q_events_gap_histogram",
+    "q_events_dau_wau",
+    "q_scd2_user_state",
+    "q_rfm_segmentation",
+    "q_orders_pareto",
+    "q_hierarchy_recursive_cte",
+    "q_text_bigram_topk",
+    "q_text_tfidf_topterms",
+    "q_text_contamination_overlap",
+    "q_text_token_histogram",
+    "q_text_posexplode_tokens",
+    "q_docs_length_percentiles",
+    "q_curation_pack_chunks",
+    "q_docs_dup_rate_by_source",
+    "q_text_repetition_score",
+    "q_embedding_quantize_error",
+    "q_embedding_norm_stats",
+    "q_llm_curation_pipeline",
+    "q_llm_pipeline_packed",
+    "q_curation_topk_per_lang",
+    "q_dedup_clusters",
+    "q_dedup_fuzzy_names",
+    "q_heavy_hitters",
+    "q_sample_hash_mixture",
+    "q_dedup_ngram_jaccard",
+    "q_curation_domain_stats",
+    "q_curation_length_buckets",
+    "q_dedup_unicode_normalize",
+    "q_sample_pps_systematic",
+    "q_layout_compaction_plan",
+    "q_profile_skew_report",
+    "q_multimodal_exif_scan",
+    "q_curation_optout_takedown",
+    "q_curation_master_pipeline",
 )
 
 

@@ -68,11 +68,18 @@ def chisq_vs_reference(
     profile, so a plain-equality full outer join would split that bin
     into two disjoint rows (cnt_batch=0 / cnt_ref=0), maximally
     inflating the statistic and breaking parity with
-    q_drift_chisq_report whenever bin_fn yields NULLs."""
+    q_drift_chisq_report whenever bin_fn yields NULLs.
+
+    No broadcast hint (ADVICE r9): Spark cannot execute a FULL OUTER
+    join as broadcast-hash (neither side can be the streamed side for
+    both null-extensions), so a hint here would be silently ignored
+    and misdocument the plan. Both sides are bounded bin summaries
+    (one row per distinct bin), so the fallback shuffle/sort-merge
+    moves only bin-count tuples — negligible at any corpus scale."""
     b = batch_counts.alias("b")
     r = reference.alias("r")
     joined = b.join(
-        F.broadcast(r),
+        r,
         F.col("b.bin").eqNullSafe(F.col("r.bin")),
         "full_outer",
     ).select(

@@ -32,8 +32,11 @@ the batch removes nothing AND the version says replay. The published
 version stays monotonic across a rebase (a rebased batch lands at
 applied+1), and the audit key is the published version. The audit row
 lands in its overwrite-idempotent dir BEFORE the corpus publishes; a
-crash between the two re-applies on redelivery. The only loss after a
-checkpoint rebase is the audit row of an all-no-op batch — the served
+crash between the two re-applies on redelivery. An all-no-op batch on
+the skip path still writes a DURABLE no-op proof row (batch_id = -1,
+n_removed = 0) keyed by a content hash of its tombstone set — replays
+of the same request overwrite the same dir, so the compliance trail
+records every (re)delivered request exactly once and the served
 corpus is correct in every scenario. A tombstone for a doc_id already
 removed (or never present) is a counted no-op, NOT an error: takedown
 feeds routinely redeliver (the legal request repeats until
@@ -100,7 +103,34 @@ def make_takedown_sink(
         kept = kept.localCheckpoint(eager=True)
         n_after = kept.count()
         if maybe_replay and n_before == n_after:
-            return  # true replay (or a rebased all-no-op batch): done
+            # ADVICE r9: a (redelivered or rebased) batch whose
+            # tombstones are all already absent still leaves DURABLE
+            # proof it was processed — the audit trail is the artifact
+            # regulators ask for. The row is keyed by a content hash of
+            # the tombstone batch, so replays of the same request
+            # overwrite the same dir (idempotent) instead of piling up,
+            # and never collide with a versioned row. batch_id = -1
+            # marks the no-op-proof class; n_removed = 0 by definition.
+            # The hash aggregate is a 1-row collect bounded by the
+            # tombstone batch (small by contract — it broadcasts).
+            fp = tombstones.agg(
+                F.count("*").alias("n"),
+                F.sha2(
+                    F.concat_ws(
+                        ",", F.sort_array(F.collect_list(id_col))
+                    ),
+                    256,
+                ).alias("key"),
+            ).collect()[0]
+            noop = spark.createDataFrame(
+                [(-1, fp["n"], 0, n_after)],
+                "batch_id long, n_tombstones long, n_removed long,"
+                " n_remaining long",
+            )
+            noop.coalesce(1).write.mode("overwrite").parquet(
+                f"{audit_path}/batch=noop-{fp['key'][:16]}"
+            )
+            return
         # audit + snapshot version: monotonic even across a rebase —
         # the audit key is the published version, so a rebased batch 0
         # lands at applied+1 and never collides with history

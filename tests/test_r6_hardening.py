@@ -110,8 +110,18 @@ def test_bpe_ish_stays_jvm_side(spark):
 
 def test_registry_window_structure():
     """The driver grades queries()[:50]; pin the structural facts the
-    rotation docs claim so an r7 edit that accidentally reorders or
-    shrinks the window fails here, not in the graded artifact."""
+    rotation docs claim so an edit that accidentally reorders or
+    shrinks the window fails here, not in the graded artifact.
+
+    r10 window (ROUND_NOTES r10 rotation): (a) the 3 never-graded
+    r9-tail queries grade FIRST; (b) new r10 queries behind them
+    (never-graded outranks re-grade); (c) oldest-r6 re-grades fill to
+    exactly 50, drawn as a PREFIX of the r6-vintage list in registry
+    order so each new query displaces exactly one fill from the tail.
+    """
+    import json
+    import pathlib
+
     from datawarehouse1_spark.registry import (
         DRIVER_CHECK_ORDER,
         ORACLES,
@@ -124,64 +134,33 @@ def test_registry_window_structure():
     assert names == list(DRIVER_CHECK_ORDER)
     assert len(names) == len(set(names))
     window = names[:50]
-    # the r9 must-grades (VERDICT r8 #2 / ROUND_NOTES r9 rotation): the
-    # 41 r5-vintage re-grades — the oldest held verdicts — MUST all sit
-    # inside the first-50 window (the r6 fills behind them flex as new
-    # r9 queries land)
-    for q in (
-        "q_route_filter",
-        "q_upsert_latest",
-        "q_excel_serial_date",
-        "q_null_semantics",
-        "q_window_lag_delta",
-        "q_dedup_simhash_neardup",
-        "q_dedup_simhash",
-        "q_window_ntile_quartile",
-        "q_window_percent_rank",
-        "q_window_first_last",
-        "q_window_moving_avg",
-        "q_stats_moments",
-        "q_stats_mode_deterministic",
-        "q_events_variant_extract",
-        "q_date_gapfill_months",
-        "q_events_hourly_heatmap",
-        "q_events_gap_histogram",
-        "q_events_dau_wau",
-        "q_scd2_user_state",
-        "q_rfm_segmentation",
-        "q_orders_pareto",
-        "q_hierarchy_recursive_cte",
-        "q_text_bigram_topk",
-        "q_text_tfidf_topterms",
-        "q_text_contamination_overlap",
-        "q_text_token_histogram",
-        "q_text_posexplode_tokens",
-        "q_docs_length_percentiles",
-        "q_curation_pack_chunks",
-        "q_docs_dup_rate_by_source",
-        "q_text_repetition_score",
-        "q_embedding_quantize_error",
-        "q_embedding_norm_stats",
-        "q_llm_curation_pipeline",
-        "q_llm_pipeline_packed",
-        "q_curation_topk_per_lang",
-        "q_dedup_clusters",
-        "q_dedup_fuzzy_names",
-        "q_heavy_hitters",
-        "q_sample_hash_mixture",
-        "q_dedup_ngram_jaccard",
-        # the 9 never-graded r9 queries complete the 50-slot window
-        "q_curation_domain_stats",
-        "q_curation_length_buckets",
-        "q_dedup_unicode_normalize",
-        "q_sample_pps_systematic",
-        "q_layout_compaction_plan",
-        "q_profile_skew_report",
-        "q_multimodal_exif_scan",
-        "q_curation_optout_takedown",
-        "q_curation_master_pipeline",
-    ):
-        assert q in window, f"{q} fell out of the graded window"
+
+    NEVER_GRADED_R9_TAIL = [
+        "q_profile_join_cardinality",
+        "q_events_resample_ohlc",
+        "q_window_dense_rank_peers",
+    ]
+    NEW_R10 = [
+        # extend as r10 queries land; each displaces one r6 fill
+    ]
+    assert window[:3] == NEVER_GRADED_R9_TAIL
+    assert window[3 : 3 + len(NEW_R10)] == NEW_R10
+
+    # the fills are the oldest held verdicts: the r6-vintage queries in
+    # registry order, taken as a prefix (computed from the artifacts so
+    # the pin can't drift from the data it claims to reflect)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    vintage = {}
+    for r in range(1, 10):
+        for k in json.loads((root / f"CORRECTNESS_r0{r}.json").read_text()):
+            vintage[k] = r
+    r6_order = [n for n in names if vintage.get(n) == 6]
+    n_fills = 50 - 3 - len(NEW_R10)
+    assert window[3 + len(NEW_R10) :] == r6_order[:n_fills]
+    # nothing never-graded may sit OUTSIDE the window
+    assert not [n for n in names[50:] if n not in vintage], (
+        "never-graded query left outside the graded window"
+    )
     # every declared query resolves to a callable, and every oracle
     # belongs to a declared query
     assert set(ORACLES) <= set(QUERIES)

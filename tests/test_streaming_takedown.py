@@ -66,11 +66,24 @@ def test_takedown_sink_cumulative_and_noop_redelivery(spark, tmp_path):
     assert snap.filter("doc_id = 11").count() == 0
     assert _audit(spark, audit_path)[1] == (3, 1, 37)
 
-    # replay of batch 1: strict no-op on both effects
+    # replay of batch 1: corpus + versioned audit untouched, but the
+    # skip path leaves a DURABLE no-op proof row (ADVICE r9) keyed by
+    # the tombstone content hash — batch_id = -1, n_removed = 0
     before = _audit(spark, audit_path)
     sink(_tombstones(spark, [7, 11, 999]), 1)
-    assert _audit(spark, audit_path) == before
+    after = _audit(spark, audit_path)
+    assert after[-1] == (3, 0, 37)
+    assert {k: v for k, v in after.items() if k != -1} == before
     assert read_snapshot(spark, corpus_path).count() == 37
+    assert latest_version(corpus_path) == 1
+
+    # replaying the SAME request again is byte-idempotent: the proof
+    # row overwrites its own content-hash dir, nothing accumulates
+    noop_dirs = glob.glob(f"{audit_path}/batch=noop-*")
+    assert len(noop_dirs) == 1
+    sink(_tombstones(spark, [7, 11, 999]), 1)
+    assert _audit(spark, audit_path) == after
+    assert glob.glob(f"{audit_path}/batch=noop-*") == noop_dirs
 
 
 def test_takedown_batching_invariance(spark, tmp_path):
@@ -212,8 +225,11 @@ def test_takedown_survives_batch_id_rebase(spark, tmp_path):
     assert latest_version(corpus_path) == 6  # monotonic: applied+1
     assert _audit(spark, audit_path)[6] == (2, 2, 37)
 
-    # true replay of the rebased batch: no-op on both effects
+    # true replay of the rebased batch: corpus + versioned audit
+    # untouched; the skip path records its no-op proof row (ADVICE r9)
     before = _audit(spark, audit_path)
     sink(_tombstones(spark, [2, 3]), 0)
-    assert _audit(spark, audit_path) == before
+    after = _audit(spark, audit_path)
+    assert after[-1] == (2, 0, 37)
+    assert {k: v for k, v in after.items() if k != -1} == before
     assert latest_version(corpus_path) == 6
