@@ -31,6 +31,9 @@ _MODULES = (
     "profiling_r8",
     "curation_r9",
     "profiling_r9",
+    "curation_r10",
+    "layout_r10",
+    "analytics_r10",
 )
 
 

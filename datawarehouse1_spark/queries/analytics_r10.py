@@ -1,0 +1,310 @@
+"""Round-10 analytics: cohort lifetime-value matrix, cumulative
+distribution windows, user-lifecycle growth accounting, and embedding
+centroid drift.
+
+Four reporting shapes every analytics serving layer runs that were
+missing from the battery:
+
+* **Cohort LTV matrix** — customers grouped by first-order month,
+  revenue tracked by months-since-first (the retention/LTV triangle
+  every subscription dashboard renders). Two exchanges: the
+  first-order window on o_custkey, then the (cohort, age) aggregate —
+  both narrow; revenue exact via the DECIMAL(18,2) money discipline.
+
+* **cume_dist + revenue share** — the "what fraction of orders sit at
+  or below this price" curve per priority class, with the cumulative
+  revenue share beside it (the Lorenz/Pareto view). cume_dist depends
+  only on the ORDER value so it is deterministic under ties; the
+  running revenue uses the default RANGE frame (peers included) in
+  both engines, from exact decimal sums.
+
+* **User lifecycle (growth accounting)** — per day: new / retained /
+  resurrected active users (the standard DAU decomposition: first-ever
+  day, consecutive-day return, gap return). Per-user day sequences via
+  one (user, day) distinct + a lag window sharing the user exchange;
+  the day-level rollup is the third narrow shuffle.
+
+* **Embedding centroid drift** — per-label centroid vs the global
+  centroid, as cosine in exact micro-units: every component is
+  quantized to floor(v * 1e6) FIRST, so all sums are integers (exact,
+  order-independent in both engines — the same reason money goes
+  through DECIMAL) and the only float ops are one sqrt + one divide at
+  the end. The report a curation pipeline reads to see whether one
+  slice of the corpus is drifting away from the population in
+  embedding space.
+
+Reference parity: the reference ETL (etl/app.py) has no analytics
+surface; SURVEY.md §2C/§2D extension inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import money_sum, sql_money_sum
+from datawarehouse1_spark.registry import declared
+
+_DEC = "decimal(38,0)"
+
+# ---------------------------------------------------------------- 1.
+
+
+@declared(
+    "q_orders_cohort_ltv",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+             CAST(MIN(date_trunc('month', o_orderdate))
+                    OVER (PARTITION BY o_custkey) AS DATE) AS cm
+      FROM orders
+    )
+    SELECT cm AS cohort_month,
+           CAST(datediff('month', cm, om) AS INT) AS age_months,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           {sql_money_sum('o_totalprice', 'revenue')}
+    FROM base
+    GROUP BY cm, datediff('month', cm, om)
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers bucketed by the month
+    of their FIRST order (the cohort), revenue and activity tracked by
+    months elapsed since that first month — the (cohort x age)
+    triangle behind every retention/LTV dashboard. age is exact
+    calendar months between month-start dates, so months_between /
+    datediff('month') agree as whole integers. TWO exchanges: the
+    min-over-customer window on o_custkey, then the (cohort, age)
+    aggregate — at 100 TB both shuffles carry only
+    (custkey, month, price) tuples, and the first could be removed
+    entirely by bucketing orders on o_custkey."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("om"),
+        F.min(F.date_trunc("month", "o_orderdate"))
+        .over(w)
+        .cast("date")
+        .alias("cm"),
+    )
+    age = F.months_between(F.col("om"), F.col("cm")).cast("int")
+    return (
+        base.select("o_custkey", "o_totalprice", "cm", age.alias("age_months"))
+        .groupBy(F.col("cm").alias("cohort_month"), "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- 2.
+
+
+@declared(
+    "q_window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(cume_dist() OVER
+                   (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+                 6) AS cd6,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                        (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                          (PARTITION BY o_orderpriority)
+                        AS DOUBLE), 6) AS rev_share6
+    FROM orders
+    """,
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per priority class over order value, with the
+    cumulative revenue share beside it — together the Lorenz view
+    ("orders at or below this price carry X% of revenue"). cume_dist
+    and the default RANGE frame both depend only on the ORDER value,
+    so ties are deterministic in both engines; the running and total
+    revenue are exact decimal sums divided once in IEEE doubles. ONE
+    exchange: all three windows share the o_orderpriority partition
+    (the ordered windows sort within it; the total-revenue window
+    needs no order)."""
+    o = table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    wo = wp.orderBy("o_totalprice")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.cume_dist().over(wo), 6).alias("cd6"),
+        F.round(
+            F.sum(money).over(wo).cast("double")
+            / F.sum(money).over(wp).cast("double"),
+            6,
+        ).alias("rev_share6"),
+    )
+
+
+# ---------------------------------------------------------------- 3.
+
+
+@declared(
+    "q_events_user_lifecycle",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+             MIN(d) OVER (PARTITION BY user_id) AS first_d
+      FROM days
+    )
+    SELECT d AS day,
+           COUNT(*) AS n_active,
+           CAST(COUNT(*) FILTER (WHERE d = first_d) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE datediff('day', prev_d, d) = 1)
+                AS BIGINT) AS n_retained,
+           CAST(COUNT(*) FILTER (WHERE datediff('day', prev_d, d) > 1)
+                AS BIGINT) AS n_resurrected
+    FROM seq
+    GROUP BY d
+    """,
+)
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle report: per day, active users split
+    into NEW (first-ever active day), RETAINED (also active the
+    previous calendar day), and RESURRECTED (returning after a gap) —
+    the standard DAU decomposition, and the classes partition
+    n_active exactly (law pinned in pytest). Exchanges: the
+    (user, day) distinct, the per-user windows (lag + min share one
+    user exchange), and the day rollup — three, all narrow; event
+    payloads never shuffle."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("d")
+    seq = days.select(
+        "d",
+        F.lag("d").over(wo).alias("prev_d"),
+        F.min("d").over(wu).alias("first_d"),
+    )
+    diff = F.datediff(F.col("d"), F.col("prev_d"))
+    return seq.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias("n_new"),
+        F.count(F.when(diff == 1, 1)).alias("n_retained"),
+        F.count(F.when(diff > 1, 1)).alias("n_resurrected"),
+    )
+
+
+# ---------------------------------------------------------------- 4.
+
+
+@declared(
+    "q_embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT label, CAST(i AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    lab AS (
+      SELECT label, dim,
+             CAST(SUM(qv) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM q GROUP BY label, dim
+    ),
+    gdim AS (
+      SELECT dim, CAST(SUM(s) AS HUGEINT) AS g FROM lab GROUP BY dim
+    ),
+    gn AS (
+      SELECT SUM(g * g) AS g2 FROM gdim
+    ),
+    per AS (
+      SELECT label,
+             SUM(s * g) AS dot,
+             SUM(s * s) AS l2,
+             MAX(n_rows) AS n_vecs
+      FROM lab JOIN gdim USING (dim)
+      GROUP BY label
+    )
+    SELECT label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(floor(CAST(dot AS DOUBLE) * 1000000
+                      / sqrt(CAST(l2 AS DOUBLE) * CAST(g2 AS DOUBLE)))
+                AS BIGINT) AS cos_e6
+    FROM per, gn
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift against the global centroid, as cosine
+    similarity in exact micro-units — the slice-health report a
+    curation pipeline reads to catch a corpus subset drifting in
+    embedding space. Exactness: components quantize to
+    floor(v * 1e6) integers BEFORE any aggregation, so every sum is
+    exact and order-independent in both engines (the money-discipline
+    argument applied to vectors); scale cancels in the cosine, so the
+    centroids' 1/n never needs to materialize; the only float ops are
+    one sqrt and one divide on the final 10 rows. Plan: quantized
+    components aggregate per (label, dim) — the ONLY exchange that
+    sees per-row data; the global centroid re-aggregates the 640-row
+    label sums; the cosine assembles from a dim-aligned join of two
+    bounded summaries plus a 1-row broadcast of the global norm. At
+    100 TB nothing wider than (label, dim, int64) ever shuffles, and
+    the DECIMAL(38,0) co-moments hold to ~1e9 vectors x 1e6 quanta
+    without overflow."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000000).alias("qv"),
+    )
+    # lab is bounded (|labels| x |dims| rows) and feeds BOTH the global
+    # centroid and the per-label co-moments; localCheckpoint runs the
+    # wide posexplode aggregate ONCE instead of once per consumer (the
+    # minhash/video-temporal pattern, SCALE.md rule 12).
+    lab = (
+        q.groupBy("label", "dim")
+        .agg(
+            F.sum("qv").cast(_DEC).alias("s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    glob = (
+        lab.groupBy("dim")
+        .agg(F.sum("s").cast(_DEC).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    gn = glob.agg(F.sum(F.col("g") * F.col("g")).alias("g2"))
+    per = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).alias("dot"),
+            F.sum(F.col("s") * F.col("s")).alias("l2"),
+            F.max("n_rows").alias("n_vecs"),
+        )
+    )
+    return per.crossJoin(F.broadcast(gn)).select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.floor(
+            F.col("dot").cast("double")
+            * 1000000
+            / F.sqrt(F.col("l2").cast("double") * F.col("g2").cast("double"))
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )

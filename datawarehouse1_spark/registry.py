@@ -60,9 +60,18 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_profile_join_cardinality",
     "q_events_resample_ohlc",
     "q_window_dense_rank_peers",
-    # -- (b) new r10 queries insert HERE (never-graded outranks
-    # re-grade), displacing r6 re-grades from the window tail --
-    # -- (c) the 47 oldest r6-graded re-grades filling the window
+    # -- (b) new r10 queries (never-graded outranks re-grade),
+    # displacing r6 re-grades from the window tail --
+    "q_split_train_holdout",
+    "q_text_zipf_fit",
+    "q_text_trigram_lang_profile",
+    "q_layout_file_prune_stats",
+    "q_layout_vacuum_plan",
+    "q_orders_cohort_ltv",
+    "q_window_cume_dist",
+    "q_events_user_lifecycle",
+    "q_embedding_centroid_drift",
+    # -- (c) the 38 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -102,6 +111,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_join_multi_star",
     "q_similarity_cosine_topk",
     "q_scan_project",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_cast_types",
     "q_filter_pred",
     "q_join_inner_fact_dim",
@@ -111,8 +122,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_flagship_monthly_revenue",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
     "q_multimodal_real_decode",

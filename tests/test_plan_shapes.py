@@ -256,6 +256,34 @@ EXCHANGE_BUDGET = {
     # summary agg touch unbounded data (3); the remaining two are
     # single-partition exchanges over the <=40-row bucket summary only
     "q_drift_ks_report": 5,
+    # -- r10 additions --
+    # hash-distinct of train text-hashes + the hash equi-join + the
+    # 3-row split aggregate; only (hash, split) tuples shuffle
+    "q_split_train_holdout": 3,
+    # (lang, term) count + per-lang rank window (the per-lang OLS sums
+    # fold into the window's lang exchange)
+    "q_text_zipf_fit": 2,
+    # (lang, trigram) count + per-lang top-16 window; trigrams explode
+    # map-side and partial-aggregate before the exchange
+    "q_text_trigram_lang_profile": 2,
+    # two manifest aggregates (one per layout) + two 1-row summary
+    # aggregates over <=O(files) rows
+    "q_layout_file_prune_stats": 4,
+    # manifest aggregate + 1-row retention-horizon aggregate (joined
+    # back as a broadcast, no manifest re-shuffle)
+    "q_layout_vacuum_plan": 2,
+    # first-order window on o_custkey + (cohort, age) aggregate
+    "q_orders_cohort_ltv": 2,
+    # all three windows share the single o_orderpriority partition
+    "q_window_cume_dist": 1,
+    # (user, day) distinct + per-user lag/min windows + day rollup
+    "q_events_user_lifecycle": 3,
+    # post-checkpoint: the 64-row global-centroid aggregate + the
+    # 10-row per-label co-moment aggregate (the (label, dim) quantized
+    # sum — the only exchange that sees per-row data — runs once
+    # behind a localCheckpoint; its 1 exchange is pinned by the law
+    # test in test_r10_hardening.py)
+    "q_embedding_centroid_drift": 2,
 }
 
 

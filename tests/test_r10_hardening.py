@@ -121,3 +121,274 @@ def test_drift_monitor_full_outer_join_has_no_broadcast(spark):
     assert rows[None] == (3, 2)
     assert rows["a"] == (10, 12)
     assert rows["b"] == (0, 4)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 query laws
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from datawarehouse1_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _py_split(doc_id: int) -> str:
+    """The test's independent copy of the split rule (pure function of
+    doc_id): md5 hex-prefix thresholds ~90/5/5."""
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+    if h < "e6666666":
+        return "train"
+    if h < "f3333333":
+        return "val"
+    return "test"
+
+
+def test_split_train_holdout_laws(spark, tmp_path):
+    """Split laws: (a) the three classes PARTITION the corpus exactly;
+    (b) a staged exact duplicate straddling train/val is counted as
+    holdout leakage while a val-only duplicate pair is NOT (leakage is
+    against TRAIN, not within-split); (c) the split is the documented
+    pure function of doc_id."""
+    # find ids landing in each split via the independent python rule
+    train_ids = [i for i in range(1000) if _py_split(i) == "train"]
+    val_ids = [i for i in range(1000) if _py_split(i) == "val"]
+    test_ids = [i for i in range(1000) if _py_split(i) == "test"]
+    assert len(val_ids) >= 2 and test_ids
+
+    rows = []
+    # leaked pair: same text in a train doc and a val doc
+    rows.append((train_ids[0], "leaked text", "en", "s", 11))
+    rows.append((val_ids[0], "leaked text", "en", "s", 11))
+    # val-only duplicate pair: NOT leakage (train never saw it)
+    rows.append((val_ids[1], "val only dup", "fr", "s", 12))
+    # unique fillers in every split
+    for i in train_ids[1:20]:
+        rows.append((i, f"train unique {i}", "en", "s", 10))
+    rows.append((test_ids[0], "test unique", "de", "s", 11))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = {
+        r.split: r
+        for r in registry.QUERIES["q_split_train_holdout"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["train"].n_docs == 20
+    assert got["val"].n_docs == 2
+    assert got["test"].n_docs == 1
+    assert got["train"].n_leaked_from_train == 0  # by definition
+    assert got["val"].n_leaked_from_train == 1  # the straddling dup only
+    assert got["test"].n_leaked_from_train == 0
+    assert sum(r.n_docs for r in got.values()) == len(rows)
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """On a staged corpus whose rank/frequency table is an EXACT
+    doubling law (freq = 16 >> floor(log2(rank))), the fit must return
+    slope6 == -1.0 and r2_6 == 1.0 — integer-exact, no float wobble."""
+    words = []
+    freq_of_rank = {1: 16, 2: 8, 3: 8}
+    freq_of_rank.update({r: 4 for r in range(4, 8)})
+    freq_of_rank.update({r: 2 for r in range(8, 16)})
+    for r, f in freq_of_rank.items():
+        words += [f"w{r:02d}"] * f
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = registry.QUERIES["q_text_zipf_fit"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.n_terms == 15
+    assert row.slope6 == -1.0
+    assert row.r2_6 == 1.0
+
+
+def test_trigram_profile_hand_computed(spark, tmp_path):
+    """Trigram profile on a hand-computable corpus: counts exact, the
+    alphabet filter drops digit-bearing trigrams, ranking is
+    (count desc, trigram asc)."""
+    spark.createDataFrame(
+        [
+            (1, "aaab", "en", "s", 4),   # aaa, aab
+            (2, "aaa9", "en", "s", 4),   # aaa, (aa9 filtered)
+            (3, "ab", "en", "s", 2),     # too short: no trigrams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = [
+        (r.rnk, r.trigram, r.n)
+        for r in registry.QUERIES["q_text_trigram_lang_profile"](
+            spark, str(tmp_path)
+        )
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [(1, "aaa", 2), (2, "aab", 1)]
+
+
+def test_layout_prune_stats_laws(spark):
+    """Pruning-simulation laws on the real table: both layouts see the
+    same corpus and the same matching rows; the month-partitioned
+    layout scans EXACTLY the matching rows (the window is
+    month-aligned); the keyrange layout scans everything (every file
+    spans the full date range) — the quantified motivation for
+    clustering."""
+    rows = {
+        r.layout: r
+        for r in registry.QUERIES["q_layout_file_prune_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    kr, dp = rows["keyrange"], rows["datepart"]
+    assert kr.total_rows == dp.total_rows > 0
+    assert kr.rows_matching == dp.rows_matching > 0
+    assert dp.rows_scanned == dp.rows_matching
+    assert kr.rows_scanned == kr.total_rows
+    assert dp.files_scanned == 6  # six month partitions in the window
+    assert kr.files_scanned == kr.n_files
+
+
+def test_layout_vacuum_plan_first_principles(spark):
+    """Vacuum law recomputed from first principles: a file is
+    deletable iff NO retained snapshot v in [live_min, vmax]
+    references it, where v references a file iff
+    created_v <= v < deleted_v. The query's closed-form flag
+    (deleted_v <= live_min) must agree file-by-file.
+
+    Runs at sf0.01 (the driver's grading SF): the sf0.001 manifest has
+    only 3 files, all still referenced — too small to exercise the
+    deletable branch non-vacuously."""
+    out = registry.QUERIES["q_layout_vacuum_plan"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert out
+    vmax = max(
+        max(r.created_v, r.deleted_v if r.deleted_v is not None else r.created_v)
+        for r in out
+    )
+    live_min = out[0].live_min
+    assert live_min == vmax - 3 + 1
+    n_deletable = 0
+    for r in out:
+        referenced = any(
+            r.created_v <= v and (r.deleted_v is None or v < r.deleted_v)
+            for v in range(live_min, vmax + 1)
+        )
+        assert r.deletable == (0 if referenced else 1), r
+        n_deletable += r.deletable
+    assert 0 < n_deletable < len(out)  # non-vacuous both ways
+
+
+def test_cohort_ltv_laws(spark):
+    """Cohort matrix laws: age-0 customer counts across cohorts sum to
+    the total distinct customers; total revenue over the matrix equals
+    the exact-decimal revenue of the orders table; ages are
+    non-negative and every cohort has an age-0 cell."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse1_spark.catalog import table
+
+    out = registry.QUERIES["q_orders_cohort_ltv"](spark, SF_DIR)
+    rows = out.collect()
+    o = table(spark, SF_DIR, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    total_rev = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+
+    age0 = [r for r in rows if r.age_months == 0]
+    assert sum(r.n_customers for r in age0) == n_cust
+    assert {r.cohort_month for r in age0} == {r.cohort_month for r in rows}
+    assert min(r.age_months for r in rows) == 0
+    # revenue closes exactly: each summand is an exact decimal sum
+    # rendered to double; compare at cent precision
+    assert abs(sum(r.revenue for r in rows) - total_rev) < 0.01 * len(rows)
+
+
+def test_cume_dist_laws(spark):
+    """cume_dist laws: row count preserved; within every priority
+    class the maximum cd6 and rev_share6 are exactly 1.0 and both are
+    monotone along o_totalprice."""
+    from collections import defaultdict
+
+    out = registry.QUERIES["q_window_cume_dist"](spark, SF_DIR).collect()
+    by_prio = defaultdict(list)
+    for r in out:
+        by_prio[r.o_orderpriority].append(r)
+    assert sum(len(v) for v in by_prio.values()) == len(out)
+    for prio, rows in by_prio.items():
+        rows.sort(key=lambda r: r.o_totalprice)
+        assert rows[-1].cd6 == 1.0, prio
+        assert rows[-1].rev_share6 == 1.0, prio
+        for a, b in zip(rows, rows[1:]):
+            assert a.cd6 <= b.cd6 and a.rev_share6 <= b.rev_share6
+
+
+def test_user_lifecycle_partition_law(spark):
+    """Growth-accounting laws: per day the three classes PARTITION the
+    actives (new + retained + resurrected == active); summed n_new
+    over all days equals the distinct user count; the first day is
+    all-new."""
+    from datawarehouse1_spark.catalog import table
+
+    out = registry.QUERIES["q_events_user_lifecycle"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active, r
+    e = table(spark, SF_DIR, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_new for r in out) == n_users
+    first = min(out, key=lambda r: r.day)
+    assert first.n_new == first.n_active
+
+
+def test_centroid_drift_staged_geometry(spark, tmp_path):
+    """Centroid drift on staged geometry: a label aligned with the
+    global centroid scores ~1e6; an orthogonal label scores ~0; the
+    exact expected integers are recomputed from the query's own
+    quantize-floor algebra in pure python."""
+    import math
+
+    vecs = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+        (4, [1.0, 0.0], 0),
+        (5, [0.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.label: r
+        for r in registry.QUERIES["q_embedding_centroid_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # python twin of the integer algebra
+    s = {0: (4_000_000, 0), 1: (0, 1_000_000)}
+    g = (4_000_000, 1_000_000)
+    g2 = g[0] * g[0] + g[1] * g[1]
+    for label, (sx, sy) in s.items():
+        dot = sx * g[0] + sy * g[1]
+        l2 = sx * sx + sy * sy
+        want = math.floor(dot * 1_000_000 / math.sqrt(l2 * g2))
+        assert got[label].cos_e6 == want, label
+    assert got[0].n_vecs == 4 and got[1].n_vecs == 1
+    assert got[0].cos_e6 > 950_000  # aligned with the population
+    assert got[1].cos_e6 < 300_000  # the drifting slice

@@ -142,6 +142,15 @@ def test_registry_window_structure():
     ]
     NEW_R10 = [
         # extend as r10 queries land; each displaces one r6 fill
+        "q_split_train_holdout",
+        "q_text_zipf_fit",
+        "q_text_trigram_lang_profile",
+        "q_layout_file_prune_stats",
+        "q_layout_vacuum_plan",
+        "q_orders_cohort_ltv",
+        "q_window_cume_dist",
+        "q_events_user_lifecycle",
+        "q_embedding_centroid_drift",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
