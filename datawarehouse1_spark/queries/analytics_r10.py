@@ -308,3 +308,177 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_e6"),
     )
+
+
+# ---------------------------------------------------------------- 5.
+
+
+@declared(
+    "q_orders_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    totals AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+    ),
+    part_n AS (
+      SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST((CAST(n_ab AS HUGEINT) * t.n_orders * 1000000)
+                // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_e6
+    FROM pairs
+    JOIN part_n na ON pairs.part_a = na.l_partkey
+    JOIN part_n nb ON pairs.part_b = nb.l_partkey
+    CROSS JOIN totals t
+    WHERE n_ab >= 3
+    ORDER BY n_ab DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over lineitem: the top-20 part pairs
+    co-purchased in the same order (support >= 3), with exact lift in
+    floored micro-units — lift = N * n_ab / (n_a * n_b), the
+    association-rule statistic, computed entirely in integer
+    arithmetic (HUGEINT/DECIMAL products, integer div) so both engines
+    emit identical values. Plan: pair generation is an equi-self-join
+    on l_orderkey (bounded fan-out: k items per order produce k²/2
+    pairs, k is small by construction of a retail basket), pair and
+    per-part counts aggregate narrowly, the per-part counts broadcast
+    back onto the 20-row candidate set, and the top-20 is
+    TakeOrderedAndProject — no global sort. At 100 TB the orderkey
+    self-join co-partitions both sides on the same key (one shuffle
+    each) and nothing wider than (orderkey, partkey) moves."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    totals = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = F.expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    ).cast("long")
+    return (
+        out.select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b", lift.alias("lift_e6")
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- 6.
+
+_CENTS38 = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"
+
+
+@declared(
+    "q_stats_welch_ttest",
+    oracle=f"""
+    WITH sums AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_a,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 <> 0) AS BIGINT) AS n_b,
+        CAST(SUM({_CENTS38}) FILTER (WHERE o_orderkey % 2 = 0)
+             AS DOUBLE) AS s_a,
+        CAST(SUM({_CENTS38}) FILTER (WHERE o_orderkey % 2 <> 0)
+             AS DOUBLE) AS s_b,
+        CAST(SUM({_CENTS38} * {_CENTS38}) FILTER (WHERE o_orderkey % 2 = 0)
+             AS DOUBLE) AS q_a,
+        CAST(SUM({_CENTS38} * {_CENTS38}) FILTER (WHERE o_orderkey % 2 <> 0)
+             AS DOUBLE) AS q_b
+      FROM orders
+    )
+    SELECT n_a, n_b,
+           round((s_a / n_a - s_b / n_b)
+                 / sqrt((q_a - s_a * (s_a / n_a)) / (n_a - 1) / n_a
+                        + (q_b - s_b * (s_b / n_b)) / (n_b - 1) / n_b)
+                 , 6) AS t6,
+           round((s_a / n_a - s_b / n_b) / 100, 2) AS mean_diff_dollars
+    FROM sums
+    """,
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic between the even/odd orderkey
+    halves of o_totalprice (the same A/B split the drift battery
+    uses) — the hypothesis-testing rung between the chi-square
+    (categorical) and KS (distributional) reports. All moments are
+    EXACT integer-cents sums (DECIMAL(38,0)); the t statistic then
+    assembles with a fixed parenthesization of IEEE double ops that
+    both engines evaluate identically, rounded to 6dp. ONE exchange:
+    a single partial-aggregated scan collects all six moments (the
+    FILTER clauses fold into one aggregate). A true A/B difference in
+    means shows as |t| >> 2; the staged halves of a uniform synthetic
+    table sit near 0."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(_DEC)
+    even = F.col("o_orderkey") % 2 == 0
+    sums = o.agg(
+        F.count(F.when(even, 1)).alias("n_a"),
+        F.count(F.when(~even, 1)).alias("n_b"),
+        F.sum(F.when(even, cents)).cast("double").alias("s_a"),
+        F.sum(F.when(~even, cents)).cast("double").alias("s_b"),
+        F.sum(F.when(even, cents * cents)).cast("double").alias("q_a"),
+        F.sum(F.when(~even, cents * cents)).cast("double").alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_term_a = (
+        (F.col("q_a") - F.col("s_a") * mean_a)
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    var_term_b = (
+        (F.col("q_b") - F.col("s_b") * mean_b)
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(
+            (mean_a - mean_b) / F.sqrt(var_term_a + var_term_b), 6
+        ).alias("t6"),
+        F.round((mean_a - mean_b) / 100, 2).alias("mean_diff_dollars"),
+    )

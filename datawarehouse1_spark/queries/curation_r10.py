@@ -301,3 +301,140 @@ def q_text_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 16)
         .select("lang", "rnk", "trigram", "n")
     )
+
+
+# ---------------------------------------------------------------- 4.
+
+# The classifier applies the SAME profile the previous query trains:
+# top-16 trigrams per language, raw counts as weights.
+_PROFILE_SQL = """
+    txt AS (
+      SELECT doc_id, lang, lower(text) AS t FROM documents
+      WHERE len(text) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS trigram
+      FROM txt, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    valid AS (
+      SELECT doc_id, lang, trigram FROM tri
+      WHERE regexp_matches(trigram, '^[a-z ]{3}$')
+    ),
+    profile AS (
+      SELECT lang AS model_lang, trigram, n FROM (
+        SELECT lang, trigram, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, trigram ASC) AS rnk
+        FROM valid GROUP BY lang, trigram
+      ) WHERE rnk <= 16
+    )
+"""
+
+
+@declared(
+    "q_text_lang_classify_confusion",
+    oracle=f"""
+    WITH {_PROFILE_SQL},
+    doc_tri AS (
+      SELECT doc_id, lang, trigram, COUNT(*) AS c
+      FROM valid GROUP BY doc_id, lang, trigram
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, p.model_lang,
+             SUM(d.c * p.n) AS score
+      FROM doc_tri d JOIN profile p ON d.trigram = p.trigram
+      GROUP BY d.doc_id, d.lang, p.model_lang
+    ),
+    best AS (
+      SELECT doc_id, lang, model_lang AS predicted FROM (
+        SELECT doc_id, lang, model_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, model_lang ASC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    labeled AS (
+      SELECT t.doc_id, t.lang,
+             COALESCE(b.predicted, 'unknown') AS predicted
+      FROM txt t LEFT JOIN best b ON t.doc_id = b.doc_id
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM labeled GROUP BY lang, predicted
+    """,
+)
+def q_text_lang_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID APPLICATION step: score every document's trigrams
+    against each language's top-16 trigram profile (trained in-query —
+    the q_text_trigram_lang_profile model), predict the argmax
+    language (ties broken lang-asc; profile-miss docs 'unknown'), and
+    report the (actual, predicted) confusion matrix — the evaluation
+    artifact a routing pipeline reads before trusting the classifier.
+    All scores are exact integer sums (count x count), so prediction
+    is deterministic in both engines. Plan: the profile is a bounded
+    table (|langs| x 16) that BROADCASTS to the per-doc trigram
+    counts; per-doc scores and the argmax window share the doc_id
+    exchange; the confusion aggregate is |langs|² rows. The wide
+    trigram explode is map-side — at 100 TB the only per-row shuffles
+    carry (doc_id, trigram-count) and (doc_id, lang, score) tuples."""
+    d = table(spark, sf_dir, "documents")
+    txt = d.filter(F.length("text") >= 3).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    )
+    valid = txt.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, length(t) - 2),"
+            " i -> substring(t, i, 3)))"
+        ).alias("trigram"),
+    ).filter(F.col("trigram").rlike("^[a-z ]{3}$"))
+
+    # One wide explode, not two: per-doc trigram counts are computed
+    # once (localCheckpoint — the SCALE.md rule-12 pattern) and the
+    # corpus-level profile DERIVES from them (sum of per-doc counts ==
+    # count of all occurrences), so the training and scoring sides
+    # share the expensive subtree instead of re-exploding the corpus.
+    doc_tri = (
+        valid.groupBy("doc_id", "lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("trigram").asc()
+    )
+    profile = (
+        doc_tri.groupBy("lang", "trigram")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            F.col("lang").alias("model_lang"),
+            "trigram",
+            "n",
+            F.row_number().over(w_prof).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 16)
+        .drop("rnk")
+    )
+    scored = (
+        doc_tri.join(F.broadcast(profile), "trigram")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.sum(F.col("c") * F.col("n")).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("model_lang").asc()
+    )
+    best = (
+        scored.select(
+            "doc_id",
+            F.col("model_lang").alias("predicted"),
+            F.row_number().over(w_best).alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    labeled = txt.join(best, "doc_id", "left").select(
+        "lang", F.coalesce("predicted", F.lit("unknown")).alias("predicted")
+    )
+    return labeled.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -284,6 +284,17 @@ EXCHANGE_BUDGET = {
     # behind a localCheckpoint; its 1 exchange is pinned by the law
     # test in test_r10_hardening.py)
     "q_embedding_centroid_drift": 2,
+    # post-checkpoint shuffles over the bounded per-doc trigram-count
+    # table (the single wide explode runs once behind a localCheckpoint):
+    # profile agg + rank window, per-doc score agg + argmax window, the
+    # labeled left join, the |langs|² confusion agg
+    "q_text_lang_classify_confusion": 6,
+    # (order, part) distinct + both self-join sides co-partition on
+    # l_orderkey + pair agg + the 1-row totals agg; top-20 is
+    # TakeOrderedAndProject, per-part counts broadcast
+    "q_orders_market_basket": 5,
+    # all six Welch moments fold into ONE partial-aggregated scan
+    "q_stats_welch_ttest": 1,
 }
 
 

@@ -392,3 +392,123 @@ def test_centroid_drift_staged_geometry(spark, tmp_path):
     assert got[0].n_vecs == 4 and got[1].n_vecs == 1
     assert got[0].cos_e6 > 950_000  # aligned with the population
     assert got[1].cos_e6 < 300_000  # the drifting slice
+
+
+def test_lang_classify_confusion_laws(spark, tmp_path):
+    """Classifier laws on a separable staged corpus: (a) the confusion
+    matrix row-sums equal the per-language doc counts; (b) languages
+    with DISJOINT trigram alphabets classify perfectly (diagonal
+    matrix); (c) a doc whose trigrams miss every profile lands in
+    'unknown'."""
+    rows = []
+    # two separable languages: disjoint character sets
+    for i in range(6):
+        rows.append((i, "abc abc abd", "aa", "s", 11))
+    for i in range(6, 12):
+        rows.append((i, "xyz xyz xyw", "bb", "s", 11))
+    # a doc of digits only: no valid trigrams -> unknown
+    rows.append((99, "123 456 789", "aa", "s", 11))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.lang, r.predicted): r.n_docs
+        for r in registry.QUERIES["q_text_lang_classify_confusion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        ("aa", "aa"): 6,
+        ("bb", "bb"): 6,
+        ("aa", "unknown"): 1,
+    }
+
+
+def test_market_basket_lift_first_principles(spark, tmp_path):
+    """Market-basket laws on a staged order set: pair support counted
+    once per order (duplicate lines collapse), part order canonical
+    (a < b), and lift_e6 equals the hand-computed
+    floor(N * n_ab * 1e6 / (n_a * n_b))."""
+    import datetime
+
+    li = []
+    # orders 1..4 contain {10,20}; order 5 contains {10}; order 6 {20,30}
+    base = dict(qty=1.0, price=1.0, disc=0.0, tax=0.0)
+    d = datetime.datetime(1996, 1, 1)
+    ln = 0
+    def line(ok, pk):
+        nonlocal ln
+        ln += 1
+        return (ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+    for ok in (1, 2, 3, 4):
+        li += [line(ok, 10), line(ok, 20), line(ok, 20)]  # dup line: 20 twice
+    li.append(line(5, 10))
+    li += [line(6, 20), line(6, 30)]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = registry.QUERIES["q_orders_market_basket"](
+        spark, str(tmp_path)
+    ).collect()
+    # only (10,20) reaches support >= 3: n_ab=4, n_a=5, n_b=5, N=6
+    assert len(got) == 1
+    r = got[0]
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (10, 20, 4, 5, 5)
+    assert r.lift_e6 == (4 * 6 * 1_000_000) // (5 * 5)
+
+
+def test_welch_ttest_detects_separated_groups(spark, tmp_path):
+    """Welch laws: identical halves give t exactly 0; a staged mean
+    shift gives the hand-computed t (exact integer moments, one IEEE
+    assembly) and a large |t|."""
+    import datetime
+    import math
+
+    d = datetime.datetime(1996, 1, 1)
+
+    def orders(rows):
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+
+    # (a) mirrored halves: identical samples -> t == 0
+    rows = []
+    for i in range(50):
+        price = 100.0 + i
+        rows.append((2 * i, 1, "O", price, d, "1"))      # even: group A
+        rows.append((2 * i + 1, 1, "O", price, d, "1"))  # odd: group B
+    orders(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = registry.QUERIES["q_stats_welch_ttest"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (50, 50)
+    assert r.t6 == 0.0 and r.mean_diff_dollars == 0.0
+
+    # (b) shifted halves: hand-compute Welch t from the same cents
+    a = [10000 + 100 * i for i in range(20)]  # cents
+    b = [20000 + 100 * i for i in range(20)]
+    rows = [(2 * i, 1, "O", a[i] / 100.0, d, "1") for i in range(20)]
+    rows += [(2 * i + 1, 1, "O", b[i] / 100.0, d, "1") for i in range(20)]
+    orders(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = registry.QUERIES["q_stats_welch_ttest"](spark, str(tmp_path)).collect()[0]
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+    va = (qa - sa * (sa / na)) / (na - 1) / na
+    vb = (qb - sb * (sb / nb)) / (nb - 1) / nb
+    want = round((sa / na - sb / nb) / math.sqrt(va + vb), 6)
+    assert r.t6 == want
+    assert abs(r.t6) > 10  # clearly separated

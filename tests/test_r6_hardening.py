@@ -151,6 +151,9 @@ def test_registry_window_structure():
         "q_window_cume_dist",
         "q_events_user_lifecycle",
         "q_embedding_centroid_drift",
+        "q_text_lang_classify_confusion",
+        "q_orders_market_basket",
+        "q_stats_welch_ttest",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
