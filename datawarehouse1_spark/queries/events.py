@@ -203,9 +203,20 @@ def q_events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-dependent); both row_number windows share one
     (event_type, hour) exchange, the bar aggregate reuses it. At
     100 TB: windows are per-(type, hour) partitions — bounded and
-    parallel, never global."""
+    parallel, never global.
+
+    TZ hardening (r10): Spark's date_trunc coerces TIMESTAMP_NTZ input
+    to session-zoned TIMESTAMP; when the session timezone (pinned UTC
+    by the tuned session) differs from the PROCESS timezone, collect()
+    renders the bucket shifted by the offset. Casting straight back to
+    timestamp_ntz round-trips through the same session zone, so the
+    bucket stays the naive wall-clock hour under every (session,
+    process) timezone combination — pinned by
+    tests/test_r10_hardening.py::test_ohlc_bucket_stays_ntz."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    bucket = (
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket")
+    )
     base = e.select("event_type", bucket, "value", "ts", "event_id")
     w_first = Window.partitionBy("event_type", "bucket").orderBy(
         "ts", "event_id"

@@ -85,7 +85,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q12_shipping_priority_class": 1,
     "q_tpch_q15_top_supplier": 2,  # checkpointed revenue view + sort
     "q_tpch_q16_parts_supplier": 2,  # two-level distinct-count agg
-    "q_tpch_q17_small_quantity_revenue": 2,  # per-part avg agg + global agg
+    # r10 window rewrite: ONE exchange on l_partkey (bounded by the
+    # brand selectivity) + the single-row final agg; the second
+    # lineitem scan and join-back are gone
+    "q_tpch_q17_small_quantity_revenue": 2,
     "q_tpch_q19_discounted_revenue": 1,
     "q_tpch_q20_part_promotion": 2,  # suppkey HAVING agg feeding semi join
     # r8 window shape: pair agg + per-order window + orders join + name

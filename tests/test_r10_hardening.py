@@ -512,3 +512,29 @@ def test_welch_ttest_detects_separated_groups(spark, tmp_path):
     want = round((sa / na - sb / nb) / math.sqrt(va + vb), 6)
     assert r.t6 == want
     assert abs(r.t6) > 10  # clearly separated
+
+
+def test_ohlc_bucket_stays_ntz(spark):
+    """TZ-hardening regression (r10): date_trunc coerces the NTZ events
+    timestamp to session-zoned TIMESTAMP; under a session timezone
+    (pinned UTC) that differs from the process timezone, collect()
+    would render the bucket shifted. The query must cast the bucket
+    back to timestamp_ntz so every (session, process) timezone
+    combination renders the same naive wall-clock hour."""
+    from pyspark.sql.types import TimestampNTZType
+
+    df = registry.QUERIES["q_events_resample_ohlc"](spark, SF_DIR)
+    bucket_type = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[
+        "bucket"
+    ]
+    assert isinstance(bucket_type, TimestampNTZType), bucket_type
+    # no other declared query leaks a session-zoned timestamp either:
+    # every timestamp-typed output column across the surface is NTZ
+    from pyspark.sql.types import TimestampType
+
+    leaky = []
+    for name, fn in registry.QUERIES.items():
+        for f in fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                leaky.append(f"{name}.{f.name}")
+    assert not leaky, leaky
