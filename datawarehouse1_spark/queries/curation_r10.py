@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.operators.scale import widen_if_narrow
 from datawarehouse1_spark.registry import declared
 
 # ---------------------------------------------------------------- 1.
@@ -198,7 +199,8 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     token text never travels past the first partial aggregate."""
     d = table(spark, sf_dir, "documents")
     tf = (
-        d.select("lang", F.explode(_tokens()).alias("term"))
+        widen_if_narrow(d.select("lang", "text"))
+        .select("lang", F.explode(_tokens()).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -280,8 +282,14 @@ def q_text_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries at most |langs| x 27^3 distinct keys — bounded by
     the alphabet, not the corpus."""
     d = table(spark, sf_dir, "documents")
-    txt = d.filter(F.length("text") >= 3).select(
-        "lang", F.lower(F.col("text")).alias("t")
+    # widen BEFORE the ~len(text)-fold explode: a narrow scan (one fat
+    # file / few row groups) would serialize the trigram generation on
+    # 1-2 cores; at production split counts this is a no-op
+    # (operators/scale.py::widen_if_narrow — the minhash-fold pattern)
+    txt = widen_if_narrow(
+        d.filter(F.length("text") >= 3).select(
+            "lang", F.lower(F.col("text")).alias("t")
+        )
     )
     tri = txt.select(
         "lang",
@@ -377,8 +385,11 @@ def q_text_lang_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     trigram explode is map-side — at 100 TB the only per-row shuffles
     carry (doc_id, trigram-count) and (doc_id, lang, score) tuples."""
     d = table(spark, sf_dir, "documents")
-    txt = d.filter(F.length("text") >= 3).select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    # widen before the explode (see q_text_trigram_lang_profile)
+    txt = widen_if_narrow(
+        d.filter(F.length("text") >= 3).select(
+            "doc_id", "lang", F.lower(F.col("text")).alias("t")
+        )
     )
     valid = txt.select(
         "doc_id",

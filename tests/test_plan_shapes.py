@@ -264,11 +264,13 @@ EXCHANGE_BUDGET = {
     # 3-row split aggregate; only (hash, split) tuples shuffle
     "q_split_train_holdout": 3,
     # (lang, term) count + per-lang rank window (the per-lang OLS sums
-    # fold into the window's lang exchange)
-    "q_text_zipf_fit": 2,
-    # (lang, trigram) count + per-lang top-16 window; trigrams explode
-    # map-side and partial-aggregate before the exchange
-    "q_text_trigram_lang_profile": 2,
+    # fold into the window's lang exchange) + the widen_if_narrow
+    # repartition (taken only at small split counts; no-op at scale)
+    "q_text_zipf_fit": 3,
+    # (lang, trigram) count + per-lang top-16 window + the conditional
+    # widen_if_narrow repartition; trigrams explode map-side and
+    # partial-aggregate before the exchange
+    "q_text_trigram_lang_profile": 3,
     # two manifest aggregates (one per layout) + two 1-row summary
     # aggregates over <=O(files) rows
     "q_layout_file_prune_stats": 4,
@@ -290,8 +292,9 @@ EXCHANGE_BUDGET = {
     # post-checkpoint shuffles over the bounded per-doc trigram-count
     # table (the single wide explode runs once behind a localCheckpoint):
     # profile agg + rank window, per-doc score agg + argmax window, the
-    # labeled left join, the |langs|² confusion agg
-    "q_text_lang_classify_confusion": 6,
+    # labeled left join, the |langs|² confusion agg (+ the conditional
+    # widen_if_narrow repartition feeding the checkpointed explode)
+    "q_text_lang_classify_confusion": 7,
     # (order, part) distinct + both self-join sides co-partition on
     # l_orderkey + pair agg + the 1-row totals agg; top-20 is
     # TakeOrderedAndProject, per-part counts broadcast
