@@ -482,3 +482,218 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t6"),
         F.round((mean_a - mean_b) / 100, 2).alias("mean_diff_dollars"),
     )
+
+
+# ---------------------------------------------------------------- 7.
+
+
+@declared(
+    "q_supplier_scorecard",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') * 1000000
+                  // COUNT(*) AS BIGINT) AS return_share_e6
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n.n_name AS nation, s.s_name AS supplier,
+           p.n_lines, p.revenue, p.return_share_e6,
+           CAST(row_number() OVER
+                  (PARTITION BY n.n_name
+                   ORDER BY p.revenue DESC, s.s_suppkey ASC)
+                AS INT) AS nation_rank
+    FROM per_supp p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: per supplier — line count, exact-decimal
+    discounted revenue, return-rate in floored micro-units
+    (returnflag='R' share), and the supplier's revenue rank within its
+    nation — the vendor-management report a procurement dashboard
+    serves. Plan: ONE lineitem pass partial-aggregates per suppkey
+    (the only exchange that sees fact rows); supplier and nation
+    broadcast onto the bounded per-supplier table; the nation ranking
+    window rides a second narrow exchange. Rank ties break on suppkey
+    so the row set is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.expr(
+            "count(case when l_returnflag = 'R' then 1 end) * 1000000"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("return_share_e6"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    joined = per_supp.join(
+        F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey")
+    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey").asc()
+    )
+    return joined.select(
+        F.col("n_name").alias("nation"),
+        F.col("s_name").alias("supplier"),
+        "n_lines",
+        "revenue",
+        "return_share_e6",
+        F.row_number().over(w).cast("int").alias("nation_rank"),
+    )
+
+
+# ---------------------------------------------------------------- 8.
+
+_LAT_BUCKET = """
+    CASE WHEN {d} <= 7 THEN '0-7d'
+         WHEN {d} <= 30 THEN '8-30d'
+         WHEN {d} <= 90 THEN '31-90d'
+         ELSE '90d+' END
+"""
+
+
+@declared(
+    "q_orders_ship_latency",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS gap_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    bucketed AS (
+      SELECT o_orderpriority,
+             {_LAT_BUCKET.format(d='gap_days')} AS bucket
+      FROM gaps
+    ),
+    counts AS (
+      SELECT o_orderpriority, bucket, COUNT(*) AS n_lines
+      FROM bucketed GROUP BY o_orderpriority, bucket
+    )
+    SELECT o_orderpriority, bucket,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines * 1000000
+                // SUM(n_lines) OVER (PARTITION BY o_orderpriority)
+                AS BIGINT) AS share_e6
+    FROM counts
+    """,
+)
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: line items bucketed by days
+    between order date and ship date, per order priority, with each
+    bucket's share of its priority class in floored micro-units — the
+    operational SLA report. Day gaps are date-boundary counts
+    (identical semantics both engines); shares are integer `div`
+    against the priority total carried by a window over the bounded
+    (priority, bucket) count table. Exchanges: the orderkey fact join
+    (both sides) + the bucket aggregate + the tiny share window — only
+    (orderkey, date) tuples cross the fact shuffles."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    gaps = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("gap_days"),
+    )
+    bucketed = gaps.select(
+        "o_orderpriority",
+        F.expr(_LAT_BUCKET.format(d="gap_days")).alias("bucket"),
+    )
+    counts = bucketed.groupBy("o_orderpriority", "bucket").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return counts.select(
+        "o_orderpriority",
+        "bucket",
+        "n_lines",
+        F.expr("n_lines * 1000000").cast("long").alias("_num"),
+        F.sum("n_lines").over(w).alias("_den"),
+    ).select(
+        "o_orderpriority",
+        "bucket",
+        "n_lines",
+        F.expr("_num div _den").cast("long").alias("share_e6"),
+    )
+
+
+# ---------------------------------------------------------------- 9.
+
+
+@declared(
+    "q_events_interarrival_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
+           CAST(CAST(COUNT(gap_us) AS HUGEINT) * 3600000000 * 1000000
+                // NULLIF(SUM(gap_us), 0) AS BIGINT) AS rate_per_hour_e6
+    FROM seq
+    GROUP BY event_type
+    """,
+)
+def q_events_interarrival_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event inter-arrival rate: gaps measured per
+    (user, type) stream (a per-TYPE total order would funnel each
+    type through one task — the window partitions by user instead,
+    bounded and parallel), aggregated into exact integer microsecond sums;
+    the arrival rate is the rational lambda = n/sum in events-per-hour
+    micro-units via integer `div` (NULLIF-guarded for the all-ties
+    corner). Wall-clock microsecond diffs on the NTZ column are
+    timezone-independent by construction (SCALE.md rule 25). Two
+    exchanges: the (user, type) window and the per-type aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # microsecond gaps: the NTZ values are microsecond-quantized, so
+    # the "complete microseconds" (Spark timestampdiff) and
+    # "microsecond boundaries crossed" (DuckDB date_diff) conventions
+    # coincide exactly — second-level diffs would NOT (0.9s -> 1.1s is
+    # one crossed boundary but zero complete seconds)
+    seq = e.select(
+        "event_type",
+        F.timestamp_diff(
+            "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+        ).alias("gap_us"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "sum_gap_us",
+        F.expr("sum_gap_us div n_gaps").cast("long").alias("mean_gap_us"),
+        # n * (3.6e9 us/hour) * 1e6 overflows int64 -> DECIMAL(38,0)
+        F.expr(
+            "cast(n_gaps as decimal(38,0)) * 3600000000 * 1000000"
+            " div nullif(sum_gap_us, 0)"
+        )
+        .cast("long")
+        .alias("rate_per_hour_e6"),
+    )

@@ -74,7 +74,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_lang_classify_confusion",
     "q_orders_market_basket",
     "q_stats_welch_ttest",
-    # -- (c) the 35 oldest r6-graded re-grades filling the window
+    "q_supplier_scorecard",
+    "q_orders_ship_latency",
+    "q_events_interarrival_rate",
+    # -- (c) the 32 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -108,11 +111,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_tokenize_wordcount",
     "q_text_token_count",
     "q_text_quality_score",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_text_lang_score",
     "q_text_fingerprint",
     "q_dedup_exact_hash",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_join_multi_star",
     "q_similarity_cosine_topk",
     "q_scan_project",

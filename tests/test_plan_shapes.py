@@ -301,6 +301,15 @@ EXCHANGE_BUDGET = {
     "q_orders_market_basket": 5,
     # all six Welch moments fold into ONE partial-aggregated scan
     "q_stats_welch_ttest": 1,
+    # one suppkey fact aggregate + the nation ranking window over the
+    # bounded per-supplier table (dims broadcast)
+    "q_supplier_scorecard": 2,
+    # orderkey fact join (sides co-partition; AQE may broadcast at
+    # test SF) + bucket aggregate; the share window rides the tiny
+    # (priority, bucket) table
+    "q_orders_ship_latency": 4,
+    # (user, type) lag window + per-type aggregate
+    "q_events_interarrival_rate": 2,
 }
 
 

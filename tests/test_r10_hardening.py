@@ -538,3 +538,88 @@ def test_ohlc_bucket_stays_ntz(spark):
             if isinstance(f.dataType, TimestampType):
                 leaky.append(f"{name}.{f.name}")
     assert not leaky, leaky
+
+
+def test_supplier_scorecard_laws(spark):
+    """Scorecard laws: ranks within each nation are a 1..k permutation
+    ordered by revenue (ties impossible to misorder: suppkey
+    tie-break); return shares sit in [0, 1e6]; every supplier with
+    lineitem activity appears exactly once."""
+    from collections import defaultdict
+
+    rows = registry.QUERIES["q_supplier_scorecard"](spark, SF_DIR).collect()
+    assert rows
+    by_nation = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.return_share_e6 <= 1_000_000, r
+        by_nation[r.nation].append(r)
+    names = [r.supplier for r in rows]
+    assert len(names) == len(set(names))
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r.nation_rank)
+        assert [r.nation_rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.revenue >= b.revenue, (nation, a, b)
+
+
+def test_ship_latency_shares_close(spark):
+    """Latency histogram laws: per priority the bucket line counts sum
+    to that priority's lineitem count and the floored micro-unit
+    shares sum to within len(buckets) of exactly 1e6."""
+    from collections import defaultdict
+
+    from datawarehouse1_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["q_orders_ship_latency"](spark, SF_DIR).collect()
+    by_prio = defaultdict(list)
+    for r in rows:
+        by_prio[r.o_orderpriority].append(r)
+    li = table(spark, SF_DIR, "lineitem").join(
+        table(spark, SF_DIR, "orders"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    want = {
+        r.o_orderpriority: r.n
+        for r in li.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for prio, rs in by_prio.items():
+        assert sum(r.n_lines for r in rs) == want[prio]
+        total_share = sum(r.share_e6 for r in rs)
+        assert 1_000_000 - len(rs) <= total_share <= 1_000_000
+
+
+def test_interarrival_rate_hand_computed(spark, tmp_path):
+    """Inter-arrival laws on a staged stream: gaps are counted per
+    (user, type) — never across users; the rate is the exact integer
+    rational floor(n * 3.6e9us * 1e6 / sum_gap_us)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    # user 1, type a: events at 0s, 10s, 30s -> gaps 10s, 20s
+    for i, off in enumerate([0, 10, 30]):
+        rows.append((i, base + datetime.timedelta(seconds=off), 1, "a", 1.0, "{}"))
+    # user 2, type a: single event -> no gap
+    rows.append((10, base, 2, "a", 1.0, "{}"))
+    # user 1, type b: events at 0s, 5s -> gap 5s
+    rows.append((20, base, 1, "b", 1.0, "{}"))
+    rows.append((21, base + datetime.timedelta(seconds=5), 1, "b", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["q_events_interarrival_rate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a.n_gaps, a.sum_gap_us, a.mean_gap_us) == (2, 30_000_000, 15_000_000)
+    assert a.rate_per_hour_e6 == (2 * 3_600_000_000 * 1_000_000) // 30_000_000
+    assert (b.n_gaps, b.sum_gap_us) == (1, 5_000_000)
+    assert b.rate_per_hour_e6 == (1 * 3_600_000_000 * 1_000_000) // 5_000_000

@@ -154,6 +154,9 @@ def test_registry_window_structure():
         "q_text_lang_classify_confusion",
         "q_orders_market_basket",
         "q_stats_welch_ttest",
+        "q_supplier_scorecard",
+        "q_orders_ship_latency",
+        "q_events_interarrival_rate",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
