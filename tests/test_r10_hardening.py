@@ -623,3 +623,30 @@ def test_interarrival_rate_hand_computed(spark, tmp_path):
     assert a.rate_per_hour_e6 == (2 * 3_600_000_000 * 1_000_000) // 30_000_000
     assert (b.n_gaps, b.sum_gap_us) == (1, 5_000_000)
     assert b.rate_per_hour_e6 == (1 * 3_600_000_000 * 1_000_000) // 5_000_000
+
+
+def test_every_declared_query_survives_an_empty_corpus(spark, tmp_path):
+    """Degenerate-input law (r10): every declared query must evaluate
+    cleanly over a corpus where EVERY table has zero rows — the state
+    of a freshly-provisioned warehouse, and the regression net for
+    divide-by-zero / empty-aggregate / empty-broadcast corners (the
+    NULLIF/GREATEST guards the r9 self-review added are exactly what
+    this sweeps). Schemas are preserved; only the rows are gone."""
+    import duckdb
+
+    from tests.conftest import SF_DIR, TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f" WHERE 1=0) TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            fn(spark, str(tmp_path)).count()
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {str(ex).splitlines()[0][:140]}")
+    assert not failures, failures
