@@ -697,3 +697,94 @@ def q_events_interarrival_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_per_hour_e6"),
     )
+
+
+# ---------------------------------------------------------------- 10.
+
+
+@declared(
+    "q_events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT event_type,
+             SUM(n) AS total_n,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.day, d.n,
+             SUM(CAST(d.n AS DECIMAL(38,0)) * t.n_days - t.total_n)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS s
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    best AS (
+      SELECT event_type, day, n, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, day ASC) AS r
+      FROM cusum
+    )
+    SELECT event_type,
+           day AS changepoint_day,
+           CAST(n AS BIGINT) AS day_events,
+           CAST(s AS BIGINT) AS s_scaled,
+           CAST(abs(s) AS BIGINT) AS s_abs
+    FROM best WHERE r = 1
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume per type —
+    the sequential-monitoring rung of the drift battery (TVD /
+    chi-square / KS test DISTRIBUTIONS; CUSUM finds WHEN a rate
+    shifted): the day maximizing |Σ_{d<=k} (n_d - mean)| marks the
+    most likely level change. Exactness: the partial sums are scaled
+    by n_days (S_k = Σ (n_d * D - N), an integer multiple of the
+    textbook CUSUM that preserves the argmax), so every value is an
+    exact DECIMAL integer and the argmax + earliest-day tie-break is
+    deterministic in both engines. Plan: the daily aggregate is the
+    only exchange that sees event rows; the per-type totals join back
+    onto the bounded (type, day) table and the cumulative/argmax
+    windows ride its per-type partitions (bounded: |types| x |days|
+    rows)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    joined = daily.join(F.broadcast(tot), "event_type")
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    cusum = joined.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum(
+            F.col("n").cast(_DEC) * F.col("n_days") - F.col("total_n")
+        )
+        .over(w_cum)
+        .alias("s"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.select(
+            "event_type",
+            "day",
+            "n",
+            "s",
+            F.row_number().over(w_best).alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("n").alias("day_events"),
+            F.col("s").cast("long").alias("s_scaled"),
+            F.abs(F.col("s")).cast("long").alias("s_abs"),
+        )
+    )

@@ -449,3 +449,85 @@ def q_text_lang_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     return labeled.groupBy("lang", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------- 5.
+
+
+_DOMAIN_CAP_ORACLE_TEMPLATE = """
+    WITH staged AS (
+      SELECT doc_id, n_chars,
+             {url} AS url
+      FROM documents
+    ),
+    hosted AS (
+      SELECT doc_id, n_chars,
+             {host} AS host
+      FROM staged
+    ),
+    ranked AS (
+      SELECT host, doc_id, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rnk
+      FROM hosted
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rnk <= 3) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rnk > 3) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_chars) FILTER (WHERE rnk <= 3) AS BIGINT)
+             AS kept_chars
+    FROM ranked
+    GROUP BY host
+"""
+
+
+def _domain_cap_oracle() -> str:
+    from datawarehouse1_spark.queries.curation_r8 import _HOST_SQL, _URL_SQL
+
+    return _DOMAIN_CAP_ORACLE_TEMPLATE.format(
+        url=_URL_SQL.format(S="VARCHAR"), host=_HOST_SQL.format(url="url")
+    )
+
+
+@declared("q_curation_domain_cap_apply", oracle=_domain_cap_oracle())
+def q_curation_domain_cap_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap APPLICATION — the action half of the decision
+    q_curation_domain_stats informs (RefinedWeb/C4 cap the documents
+    any one host contributes so boilerplate-heavy domains cannot
+    dominate the corpus): keep at most 3 documents per lowercased
+    www-stripped host, selected by md5(doc_id) rank (deterministic,
+    uniform, identity-only — re-partitioning or re-ingesting never
+    changes the survivor set), and report kept/dropped counts and the
+    surviving char mass per host. ONE exchange: the rank window and
+    the host aggregate share the host partitioning (Catalyst reuses
+    the exchange). Bodies never shuffle — at 100 TB only
+    (host, doc_id, n_chars) tuples move, and the kept set feeds the
+    downstream dedup tiers by doc_id."""
+    from datawarehouse1_spark.queries.curation_r8 import (
+        _HOST_SQL,
+        _URL_SQL,
+        host_expr,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    url = F.expr(_URL_SQL.format(S="STRING")).alias("url")
+    staged = d.select("doc_id", "n_chars", url)
+    hosted = staged.select(
+        "doc_id", "n_chars", host_expr(F.col("url")).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = hosted.select(
+        "host", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    return ranked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rnk") <= 3, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rnk") > 3, 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("rnk") <= 3, F.col("n_chars"))).alias(
+            "kept_chars"
+        ),
+    )

@@ -77,7 +77,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_supplier_scorecard",
     "q_orders_ship_latency",
     "q_events_interarrival_rate",
-    # -- (c) the 32 oldest r6-graded re-grades filling the window
+    "q_curation_domain_cap_apply",
+    "q_events_cusum_changepoint",
+    # -- (c) the 30 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -109,10 +111,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dup_report",
     "q_incremental_antijoin",
     "q_text_tokenize_wordcount",
-    "q_text_token_count",
-    "q_text_quality_score",
     # ---- graded window ends here (first 50) ----
     # -- r6-graded remainder (fronts the r11 window) --
+    "q_text_token_count",
+    "q_text_quality_score",
     "q_text_lang_score",
     "q_text_fingerprint",
     "q_dedup_exact_hash",

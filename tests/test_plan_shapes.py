@@ -310,6 +310,12 @@ EXCHANGE_BUDGET = {
     "q_orders_ship_latency": 4,
     # (user, type) lag window + per-type aggregate
     "q_events_interarrival_rate": 2,
+    # the rank window and the host aggregate share the host exchange
+    "q_curation_domain_cap_apply": 1,
+    # daily aggregate (the only exchange seeing event rows) + per-type
+    # totals + the cumulative/argmax windows over the bounded
+    # (type, day) table
+    "q_events_cusum_changepoint": 4,
 }
 
 

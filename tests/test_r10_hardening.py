@@ -650,3 +650,69 @@ def test_every_declared_query_survives_an_empty_corpus(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {str(ex).splitlines()[0][:140]}")
     assert not failures, failures
+
+
+def test_domain_cap_apply_laws(spark):
+    """Cap-application laws: n_kept == min(n_docs, 3) per host;
+    n_kept + n_dropped == n_docs; kept_chars <= total chars; and the
+    corpus-level kept total equals sum over hosts."""
+    rows = registry.QUERIES["q_curation_domain_cap_apply"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    capped = 0
+    for r in rows:
+        assert r.n_kept == min(r.n_docs, 3), r
+        assert r.n_kept + r.n_dropped == r.n_docs, r
+        capped += r.n_dropped > 0
+    assert capped > 0  # the cap actually bites somewhere
+
+
+def test_cusum_changepoint_detects_staged_shift(spark, tmp_path):
+    """CUSUM law on a staged rate shift: 10 days at 2 events/day then
+    10 days at 8 events/day puts the max-|S| day exactly at the shift
+    boundary (the last low day), with the hand-computed scaled value."""
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2026, 3, 1)
+    for day in range(20):
+        n = 2 if day < 10 else 8
+        for k in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=k),
+                 1, "shift", 1.0, "{}")
+            )
+            eid += 1
+    # a steady control stream: constant rate -> |S| == 0 everywhere,
+    # tie-break picks the FIRST day
+    for day in range(20):
+        for k in range(3):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=k),
+                 2, "steady", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["q_events_cusum_changepoint"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    shift = got["shift"]
+    # hand-computed: D=20, N=100; S_k for k<10 = sum(2*20-100) = -60k,
+    # min at k=10 (day index 9): -600; after that +60/day back to 0
+    assert shift.changepoint_day == (base + datetime.timedelta(days=9)).date()
+    assert shift.s_scaled == -600
+    assert shift.s_abs == 600
+    steady = got["steady"]
+    assert steady.s_abs == 0
+    assert steady.changepoint_day == base.date()

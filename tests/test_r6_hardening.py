@@ -157,6 +157,8 @@ def test_registry_window_structure():
         "q_supplier_scorecard",
         "q_orders_ship_latency",
         "q_events_interarrival_rate",
+        "q_curation_domain_cap_apply",
+        "q_events_cusum_changepoint",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
