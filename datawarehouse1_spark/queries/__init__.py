@@ -34,6 +34,9 @@ _MODULES = (
     "curation_r10",
     "layout_r10",
     "analytics_r10",
+    "events_r10",
+    "analytics_r10b",
+    "text_r10",
 )
 
 

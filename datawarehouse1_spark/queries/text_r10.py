@@ -1,0 +1,167 @@
+"""Round-10 text analysis, batch 4: Flesch readability scoring and
+hapax-legomena / type-token lexical diversity.
+
+* **Flesch reading ease** — the classic readability screen re-derived
+  in pure integer milli-units: 206.835 - 1.015*(words/sentences)
+  - 84.6*(syllables/words) becomes 206835 - (1015*W div S)
+  - (84600*Y div W), every term an exact floored integer (1.015e3 and
+  84.6e3 are exact integers, so no float ever appears). Words are the
+  corpus's established [a-z0-9]+ tokens; sentences are [.!?]+ runs
+  (min 1); syllables are approximated by vowel-group runs ([aeiouy]+)
+  — the standard public heuristic. A per-document quality gate for a
+  training-data pipeline: zero exchanges, everything folds into the
+  scan projection.
+
+* **Hapax / type-token ratio** — per-source lexical diversity: token
+  and type counts, hapax legomena (words seen exactly once in that
+  source), TTR and hapax share in micro-units. The Heaps'-law-side
+  companion to q_text_zipf_fit's rank-frequency slope: a source whose
+  TTR collapses is template spam even when its Zipf slope looks sane.
+
+Reference parity: the reference ETL (etl/app.py) has no text surface;
+SURVEY.md §2D LLM-pipeline extension inventory (text analysis band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.registry import declared
+
+# ---------------------------------------------------------------- 1.
+
+_BAND_SQL = """CASE WHEN n_words = 0 THEN 'empty'
+         WHEN flesch_e3 >= 60000 THEN 'easy'
+         WHEN flesch_e3 >= 30000 THEN 'medium'
+         ELSE 'hard' END"""
+
+
+@declared(
+    "q_text_readability_flesch",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST(206835 - (1015 * n_words // n_sentences)
+                         - (84600 * n_syllables // nullif(n_words, 0))
+                  AS BIGINT) AS flesch_e3
+      FROM counted
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables, flesch_e3,
+           {_BAND_SQL} AS band
+    FROM scored
+    """,
+)
+def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document in exact integer milli-units:
+    flesch_e3 = 206835 - (1015*W div S) - (84600*Y div W) with W =
+    [a-z0-9]+ word runs, S = [.!?]+ sentence runs (floored at 1 so
+    unpunctuated text scores as one long sentence), Y = [aeiouy]+
+    vowel-group runs (the public syllable heuristic). All operands are
+    positive, so Spark's `div` and DuckDB's `//` floor identically;
+    word-free documents score NULL and band 'empty'. Plan: a pure
+    projection — zero exchanges, the regex counting runs inside the
+    scan's codegen stage and only (doc_id, 4 ints, band) survive."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0)).cast(
+        "long"
+    )
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.size(
+        F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    counted = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    scored = counted.withColumn(
+        "flesch_e3",
+        F.expr(
+            "206835 - (1015 * n_words div n_sentences)"
+            " - (84600 * n_syllables div nullif(n_words, 0))"
+        ).cast("long"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_e3",
+        F.expr(_BAND_SQL).alias("band"),
+    )
+
+
+# ---------------------------------------------------------------- 2.
+
+
+@declared(
+    "q_text_hapax_ratio",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+               AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, COUNT(*) AS c
+      FROM tok WHERE word <> '' GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_e6,
+           CAST(COUNT(*) FILTER (WHERE c = 1) * 1000000 // COUNT(*)
+                AS BIGINT) AS hapax_share_e6
+    FROM wc GROUP BY source
+    """,
+)
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: tokens, distinct types, hapax
+    legomena (types occurring exactly once in the source), type-token
+    ratio and hapax share in floored micro-units. The lexical-richness
+    quality signal beside the Zipf slope: template/boilerplate farms
+    show a collapsing TTR and near-zero hapax share long before their
+    rank-frequency curve degrades. Plan: the explode is map-side; one
+    (source, word) exchange aggregates counts, one narrow (source)
+    exchange rolls them up — document bodies never shuffle, only
+    (source, word) tuples; both `div` operands are positive so the
+    floors agree across engines."""
+    d = table(spark, sf_dir, "documents")
+    word = F.explode(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    ).alias("word")
+    wc = (
+        d.select("source", word)
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.expr("count(1) * 1000000 div sum(c)").cast("long").alias("ttr_e6"),
+        F.expr(
+            "count(case when c = 1 then 1 end) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("hapax_share_e6"),
+    )

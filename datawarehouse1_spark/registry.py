@@ -79,7 +79,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_interarrival_rate",
     "q_curation_domain_cap_apply",
     "q_events_cusum_changepoint",
-    # -- (c) the 30 oldest r6-graded re-grades filling the window
+    "q_events_funnel_conversion",
+    "q_events_streak_longest",
+    "q_events_hopping_window",
+    "q_orders_open_backlog",
+    "q_orders_revenue_trend",
+    "q_stats_benford_first_digit",
+    "q_text_readability_flesch",
+    "q_text_hapax_ratio",
+    # -- (c) the 22 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -103,6 +111,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_surrogate_key",
     "q_dedup_business_key",
     "q_join_left_outer",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_agg_avg_min_max",
     "q_agg_count_distinct",
     "q_agg_approx_distinct",
@@ -111,8 +121,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_dup_report",
     "q_incremental_antijoin",
     "q_text_tokenize_wordcount",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_text_token_count",
     "q_text_quality_score",
     "q_text_lang_score",

@@ -316,6 +316,29 @@ EXCHANGE_BUDGET = {
     # totals + the cumulative/argmax windows over the bounded
     # (type, day) table
     "q_events_cusum_changepoint": 4,
+    # r10 batch 4: all three window stages + the per-user rollup share
+    # ONE user-sorted exchange; + the 1-row totals aggregate
+    "q_events_funnel_conversion": 2,
+    # (user, day) distinct + the user window; the run grouping and the
+    # best-run window REUSE the user partitioning
+    "q_events_streak_longest": 2,
+    # narrow 4x window explode before the shuffle; countDistinct
+    # expands (window, type, user) then aggregates
+    "q_events_hopping_window": 2,
+    # lineitem close agg + orders co-partitioned join side; the
+    # boundary list broadcasts (BNLJ) and the per-boundary aggregate
+    # is the third
+    "q_orders_open_backlog": 3,
+    # custkey fact join (dims broadcast) + (region, month) aggregate;
+    # the region co-moment rollup rides the bounded month table
+    "q_orders_revenue_trend": 2,
+    # one fact scan partial-aggregates to <=9 digit rows; the
+    # total-over-window runs on that bounded table
+    "q_stats_benford_first_digit": 2,
+    # pure projection: regex counting folds into the scan
+    "q_text_readability_flesch": 0,
+    # map-side explode; (source, word) counts + per-source rollup
+    "q_text_hapax_ratio": 2,
 }
 
 

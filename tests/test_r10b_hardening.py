@@ -1,0 +1,362 @@
+"""Round-10 batch-4 law tests: staged-data first-principles checks for
+the funnel, streak, hopping-window, backlog, trend, Benford,
+readability, and hapax queries (one law battery per new declared query,
+mirroring the r10 discipline in test_r10_hardening.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from datawarehouse1_spark import registry
+
+registry.load_all()
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_ordered_step_semantics(spark, tmp_path):
+    """Funnel laws on a staged stream: (a) a click BEFORE the user's
+    first view does NOT qualify (and a purchase after that click
+    doesn't either); (b) a click SIMULTANEOUS with the first view
+    qualifies (at-or-after semantics — the RANGE frame includes
+    peers); (c) counts are monotone non-increasing; (d) conversion
+    micro-units are the exact floored ratios."""
+    t0 = datetime.datetime(2026, 4, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + s, 1, "click", 1.0, "{}"),
+        (2, t0 + 2 * s, 1, "purchase", 1.0, "{}"),
+        # user 2: click strictly BEFORE first view, then purchase —
+        # step 1 only (the click doesn't qualify, so nor does the buy)
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + s, 2, "view", 1.0, "{}"),
+        (5, t0 + 2 * s, 2, "purchase", 1.0, "{}"),
+        # user 3: view and click at the SAME timestamp -> qualifies
+        (6, t0, 3, "view", 1.0, "{}"),
+        (7, t0, 3, "click", 1.0, "{}"),
+        # user 4: purchase only — contributes to no step
+        (8, t0, 4, "purchase", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    got = {
+        r.step_name: r
+        for r in registry.QUERIES["q_events_funnel_conversion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view"].n_users == 3  # users 1, 2, 3
+    assert got["click"].n_users == 2  # users 1, 3
+    assert got["purchase"].n_users == 1  # user 1 only
+    assert got["view"].conv_from_prev_e6 is None
+    assert got["click"].conv_from_prev_e6 == 2 * 1_000_000 // 3
+    assert got["purchase"].conv_from_prev_e6 == 500_000
+    assert got["purchase"].conv_from_first_e6 == 1_000_000 // 3
+    ns = [got["view"].n_users, got["click"].n_users, got["purchase"].n_users]
+    assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------- streak
+
+
+def test_streak_gaps_islands_and_tiebreak(spark, tmp_path):
+    """Streak laws: (a) the anchor grouping finds the true longest
+    consecutive-day run across a gap; (b) equal-length runs break the
+    tie to the EARLIEST start; (c) multiple same-day events collapse
+    to one streak day."""
+    base = datetime.datetime(2026, 5, 1, 9, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = []
+    eid = 0
+    # user 1: days 0,1,2 then 4,5  -> longest 3 starting day 0
+    for d in (0, 1, 2, 4, 5):
+        rows.append((eid, base + d * day, 1, "click", 1.0, "{}"))
+        eid += 1
+    # duplicate events on day 0 must not inflate the streak
+    rows.append((eid, base + datetime.timedelta(hours=3), 1, "view", 1.0, "{}"))
+    eid += 1
+    # user 2: two runs of length 2 (days 10,11 and 20,21) -> earliest
+    for d in (10, 11, 20, 21):
+        rows.append((eid, base + d * day, 2, "click", 1.0, "{}"))
+        eid += 1
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    got = {
+        r.user_id: r
+        for r in registry.QUERIES["q_events_streak_longest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1].streak_days == 3
+    assert got[1].streak_start == datetime.date(2026, 5, 1)
+    assert got[2].streak_days == 2
+    assert got[2].streak_start == datetime.date(2026, 5, 11)  # base + 10
+
+
+# ---------------------------------------------------------------- hopping
+
+
+def test_hopping_window_membership_and_alignment(spark, tmp_path):
+    """Hopping laws: (a) every event lands in EXACTLY 4 windows
+    (sum of n_events == 4x input rows); (b) every window is exactly
+    one hour wide and starts on a 15-minute wall boundary; (c) the
+    window set of a hand-placed event is exactly {floor15(t) - k*15m}
+    for k = 0..3."""
+    t = datetime.datetime(2026, 6, 1, 1, 17, 30)
+    rows = [
+        (0, t, 1, "view", 1.0, "{}"),
+        (1, datetime.datetime(2026, 6, 1, 1, 0, 0), 2, "view", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    out = registry.QUERIES["q_events_hopping_window"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sum(r.n_events for r in out) == 4 * len(rows)
+    for r in out:
+        assert (r.window_end - r.window_start) == datetime.timedelta(hours=1)
+        assert r.window_start.minute % 15 == 0
+        assert r.window_start.second == 0
+    # hand-placed event at 01:17:30 -> floor15 = 01:15; starts
+    # 01:15, 01:00, 00:45, 00:30 (its windows, newest first)
+    want = {
+        datetime.datetime(2026, 6, 1, 1, 15),
+        datetime.datetime(2026, 6, 1, 1, 0),
+        datetime.datetime(2026, 6, 1, 0, 45),
+        datetime.datetime(2026, 6, 1, 0, 30),
+    }
+    got_first = {
+        r.window_start
+        for r in out
+        if r.n_events >= 1 and r.window_start in want
+    }
+    assert got_first == want
+    # the 01:00:00 boundary event shares the 01:00 window with the
+    # 01:17:30 one (start-inclusive) but NOT the 01:15 window
+    by_start = {r.window_start: r for r in out}
+    assert by_start[datetime.datetime(2026, 6, 1, 1, 0)].n_events == 2
+    assert by_start[datetime.datetime(2026, 6, 1, 1, 15)].n_events == 1
+
+
+# ---------------------------------------------------------------- backlog
+
+
+def test_open_backlog_interval_containment(spark, tmp_path):
+    """Backlog laws: an order is open on boundary B iff
+    placed <= B < close (close = max lineitem ship date); same-day
+    close does NOT count as open; orders with no lineitems never
+    appear; boundaries derive from the order months present."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp_ntz"
+    )
+    d = datetime.datetime
+    orders = [
+        # placed Jan 15, closes Feb 20 -> open at Jan 31 only
+        (1, 1, "O", 100.0, d(2026, 1, 15), "1-URGENT"),
+        # placed Jan 5, closes Mar 5 -> open at Jan 31 AND Feb 28
+        (2, 1, "O", 200.0, d(2026, 1, 5), "1-URGENT"),
+        # placed Feb 10, closes Feb 11 -> open at no boundary
+        (3, 1, "O", 400.0, d(2026, 2, 10), "1-URGENT"),
+        # no lineitems -> never open
+        (4, 1, "O", 800.0, d(2026, 1, 2), "1-URGENT"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(2026, 2, 20)),
+        # two lines: close = MAX ship date
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(2026, 1, 20)),
+        (2, 1, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", d(2026, 3, 5)),
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(2026, 2, 11)),
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    _write(spark, tmp_path, "lineitem", li, li_schema)
+    got = {
+        r.as_of: r
+        for r in registry.QUERIES["q_orders_open_backlog"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    jan = got[datetime.date(2026, 1, 31)]
+    assert jan.n_open == 2 and jan.value_open == 300.0
+    feb = got[datetime.date(2026, 2, 28)]
+    assert feb.n_open == 1 and feb.value_open == 200.0
+    assert set(got) == {datetime.date(2026, 1, 31), datetime.date(2026, 2, 28)}
+
+
+# ---------------------------------------------------------------- trend
+
+
+def test_revenue_trend_exact_linear_slope(spark, tmp_path):
+    """On a staged region whose monthly revenue is EXACTLY linear in
+    the month index (y = 100000 + 25000*x cents), the OLS slope must
+    come out exactly 25000.0 cents/month and the mean exactly the
+    hand-computed dollars."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    d = datetime.datetime
+    # months 2026-01..04 -> x = (2026-1992)*12 + (m-1)
+    orders = [
+        (m, 1, "O", 1000.0 + 250.0 * ((2026 - 1992) * 12 + (m - 1)), d(2026, m, 10), "1-URGENT")
+        for m in (1, 2, 3, 4)
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    _write(
+        spark,
+        tmp_path,
+        "customer",
+        [(1, "c1", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "nation",
+        [(0, "NATION0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "region",
+        [(0, "REGION0")],
+        "r_regionkey int, r_name string",
+    )
+    rows = registry.QUERIES["q_orders_revenue_trend"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_months == 4
+    assert r.slope_cents_per_month6 == 25000.0
+    xs = [(2026 - 1992) * 12 + (m - 1) for m in (1, 2, 3, 4)]
+    mean_dollars = round(sum(100000 + 25000 * x for x in xs) / 4 / 100, 2)
+    assert r.mean_monthly_revenue == mean_dollars
+
+
+# ---------------------------------------------------------------- benford
+
+
+def test_benford_digits_and_constants(spark, tmp_path):
+    """Benford laws: digits come from exact cents (a $0.55 amount is
+    digit 5); shares are floored micro-units of the filtered total;
+    the expected constants are the published floor(1e6*log10(1+1/d))
+    values; excess = share - expected exactly."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    d = datetime.datetime(2026, 1, 1)
+    orders = []
+    k = 0
+    for _ in range(10):  # digit 1: $100.00
+        orders.append((k, 1, "O", 100.0, d, "1")); k += 1
+    for _ in range(5):  # digit 2: $2xx
+        orders.append((k, 1, "O", 250.0, d, "1")); k += 1
+    for _ in range(5):  # digit 5 via a SUB-DOLLAR amount: 55 cents
+        orders.append((k, 1, "O", 0.55, d, "1")); k += 1
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    got = {
+        r.digit: r
+        for r in registry.QUERIES["q_stats_benford_first_digit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 5}
+    assert got[1].n_orders == 10 and got[1].share_e6 == 500_000
+    assert got[2].n_orders == 5 and got[2].share_e6 == 250_000
+    assert got[5].n_orders == 5 and got[5].share_e6 == 250_000
+    assert got[1].expected_e6 == 301_029
+    assert got[2].expected_e6 == 176_091
+    assert got[5].expected_e6 == 79_181
+    for r in got.values():
+        assert r.excess_e6 == r.share_e6 - r.expected_e6
+
+
+# ---------------------------------------------------------------- flesch
+
+
+def test_flesch_hand_computed_and_bands(spark, tmp_path):
+    """Readability laws: hand-computed milli-unit scores for a short
+    punctuated text and a polysyllabic one; the zero-word document
+    scores NULL and bands 'empty'; unpunctuated text floors sentences
+    at 1."""
+    docs = [
+        # "the cat sat. it ran!": W=5, S=2, Y=5 (e,a,a,i,a)
+        # flesch_e3 = 206835 - 1015*5//2 - 84600*5//5 = 119698 -> easy
+        (1, "The cat sat. It ran!", "en", "s", 20),
+        # "organization optimization": W=2, S=1 (floored), Y=10
+        # = 206835 - 2030 - 423000 = -218195 -> hard
+        (2, "organization optimization", "en", "s", 25),
+        (3, "?!.", "en", "s", 3),  # zero words -> NULL, 'empty'
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    got = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_text_readability_flesch"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1].n_words == 5 and got[1].n_sentences == 2
+    assert got[1].n_syllables == 5
+    assert got[1].flesch_e3 == 206835 - (1015 * 5 // 2) - (84600 * 5 // 5)
+    assert got[1].band == "easy"
+    assert got[2].n_sentences == 1  # floored
+    assert got[2].flesch_e3 == 206835 - 2030 - 423000
+    assert got[2].band == "hard"
+    assert got[3].flesch_e3 is None and got[3].band == "empty"
+
+
+# ---------------------------------------------------------------- hapax
+
+
+def test_hapax_ttr_hand_computed(spark, tmp_path):
+    """Lexical-diversity laws: hand-computed tokens/types/hapax/TTR on
+    a staged source; hapax counts types-seen-once ACROSS the source,
+    not per document."""
+    docs = [
+        (1, "alpha alpha beta gamma", "en", "s1", 22),
+        # 'gamma' repeats in s1 via a second doc -> not hapax there
+        (2, "gamma delta", "en", "s1", 11),
+        (3, "solo", "en", "s2", 4),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    got = {
+        r.source: r
+        for r in registry.QUERIES["q_text_hapax_ratio"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s1 = got["s1"]
+    # s1 tokens: alpha alpha beta gamma gamma delta = 6
+    # types: alpha beta gamma delta = 4; hapax: beta, delta = 2
+    assert s1.n_tokens == 6 and s1.n_types == 4 and s1.n_hapax == 2
+    assert s1.ttr_e6 == 4 * 1_000_000 // 6
+    assert s1.hapax_share_e6 == 2 * 1_000_000 // 4
+    s2 = got["s2"]
+    assert s2.n_tokens == 1 and s2.n_types == 1 and s2.n_hapax == 1
+    assert s2.ttr_e6 == 1_000_000 and s2.hapax_share_e6 == 1_000_000

@@ -159,6 +159,14 @@ def test_registry_window_structure():
         "q_events_interarrival_rate",
         "q_curation_domain_cap_apply",
         "q_events_cusum_changepoint",
+        "q_events_funnel_conversion",
+        "q_events_streak_longest",
+        "q_events_hopping_window",
+        "q_orders_open_backlog",
+        "q_orders_revenue_trend",
+        "q_stats_benford_first_digit",
+        "q_text_readability_flesch",
+        "q_text_hapax_ratio",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
