@@ -37,6 +37,8 @@ _MODULES = (
     "events_r10",
     "analytics_r10b",
     "text_r10",
+    "vectors_r10",
+    "dedup_r10",
 )
 
 

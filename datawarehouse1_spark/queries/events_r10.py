@@ -264,3 +264,68 @@ def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------- 4.
+
+
+@declared(
+    "q_events_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'unattributed') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_e6
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'unattributed')
+    """,
+)
+def q_events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the LAST non-purchase event of the same user at or before it (the
+    touchpoint); purchases with no prior touch land in 'unattributed'.
+    The running last-non-null rides a ROWS frame ordered by
+    (ts, event_id) — the explicit id tie-break makes simultaneous
+    touch/purchase pairs deterministic in both engines (a RANGE frame
+    would make peer order visible to last_value). Purchase values sum
+    as exact floor(v*1e6) integer micro-units. Plan: ONE
+    user-partitioned sort exchange for the window, then a tiny
+    per-touch-type aggregate — at 100 TB only (user, ts, id, type,
+    value) tuples shuffle once."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touched = e.select("event_type", "value", touch.alias("touch"))
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("touch"), F.lit("unattributed")).alias(
+                "touch_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("value_e6"),
+        )
+    )

@@ -87,7 +87,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_stats_benford_first_digit",
     "q_text_readability_flesch",
     "q_text_hapax_ratio",
-    # -- (c) the 22 oldest r6-graded re-grades filling the window
+    "q_embedding_covariance_exact",
+    "q_embedding_pca_power",
+    "q_dedup_containment_subset",
+    "q_events_attribution_last_touch",
+    # -- (c) the 18 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -107,12 +111,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_agg_rollup",
     "q_date_trunc_month",
     "q_window_rank_topn",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_window_running_sum",
     "q_surrogate_key",
     "q_dedup_business_key",
     "q_join_left_outer",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_agg_avg_min_max",
     "q_agg_count_distinct",
     "q_agg_approx_distinct",

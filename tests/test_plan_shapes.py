@@ -339,6 +339,14 @@ EXCHANGE_BUDGET = {
     "q_text_readability_flesch": 0,
     # map-side explode; (source, word) counts + per-source rollup
     "q_text_hapax_ratio": 2,
+    # map-side pair inline + (i,j) cell aggregate; the d-row marginal
+    # aggregate appears once per broadcast side
+    "q_embedding_covariance_exact": 3,
+    # shingle equi-join (both exploded sides may shuffle at scale) +
+    # pair aggregate; per-doc counts broadcast
+    "q_dedup_containment_subset": 3,
+    # one user-sorted window exchange + the tiny touch-type aggregate
+    "q_events_attribution_last_touch": 2,
 }
 
 

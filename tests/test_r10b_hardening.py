@@ -360,3 +360,131 @@ def test_hapax_ttr_hand_computed(spark, tmp_path):
     s2 = got["s2"]
     assert s2.n_tokens == 1 and s2.n_types == 1 and s2.n_hapax == 1
     assert s2.ttr_e6 == 1_000_000 and s2.hapax_share_e6 == 1_000_000
+
+
+# ------------------------------------------------------------- covariance
+
+
+def test_covariance_cells_hand_computed(spark, tmp_path):
+    """Covariance-cell laws on a 2-vector, 2-dim staged corpus: the
+    quantized co-moments and the scaled covariance match the hand
+    computation; the output is exactly the upper triangle."""
+    vecs = [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 1)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        (r.i, r.j): r
+        for r in registry.QUERIES["q_embedding_covariance_exact"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+    # q-vectors: [1e6, 2e6], [3e6, 6e6]
+    assert got[(0, 0)].sij == str(10**12 + 9 * 10**12)
+    assert got[(0, 1)].sij == str(2 * 10**12 + 18 * 10**12)
+    assert got[(1, 1)].sij == str(4 * 10**12 + 36 * 10**12)
+    assert got[(0, 0)].si == str(4 * 10**6) and got[(0, 1)].sj == str(8 * 10**6)
+    # cov12(0,0) = (2*1e13 - (4e6)^2) / 4 = 1e12
+    assert got[(0, 0)].cov12 == 1.0e12
+    # cov12(0,1) = (2*2e13 - 4e6*8e6) / 4 = 2e12
+    assert got[(0, 1)].cov12 == 2.0e12
+    assert got[(1, 1)].cov12 == 4.0e12
+
+
+def test_pca_power_recovers_staged_axis(spark, tmp_path):
+    """PCA law on staged geometry: points spread along axis 3 with
+    constant other coordinates -> the top component is (±)e3 with the
+    sign normalized positive, loading ~1e6 on dim 3 and ~0 elsewhere,
+    explained share ~100%."""
+    rows = [(k, [0.5, -0.25, 0.125, float(k - 8)], k % 3) for k in range(17)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.dim: r
+        for r in registry.QUERIES["q_embedding_pca_power"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[3].loading_e6 >= 999_999  # the staged axis, sign-positive
+    for d in (0, 1, 2):
+        assert abs(got[d].loading_e6) <= 1  # constant dims carry nothing
+    assert got[3].explained_share_e6 >= 999_999
+    # explained share is a component property: identical on every row
+    assert len({r.explained_share_e6 for r in got.values()}) == 1
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_subset_staged_prefix(spark, tmp_path):
+    """Containment laws: a 10-token prefix doc is contained in its
+    source at exactly 1e6 (every prefix shingle appears in the
+    original); the reverse direction does NOT pass the 0.8 threshold
+    for a long source; unrelated docs produce no pairs."""
+    base_words = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        (0, base_words, "en", "s", 200),  # doc 0: 40 tokens, %4==0 -> staged prefix 20000
+        (1, " ".join(f"z{i}" for i in range(40)), "en", "s", 200),
+        (3, "tiny", "en", "s", 4),  # <3 tokens -> no shingles, dropped
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["q_dedup_containment_subset"](
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r.src_doc, r.dst_doc): r for r in out}
+    # staged prefix doc 20000 (10 tokens -> 8 shingles) inside doc 0
+    r = pairs[(20000, 0)]
+    assert r.n_src_shingles == 8 and r.n_common == 8
+    assert r.containment_e6 == 1_000_000
+    # the long doc is NOT contained in its prefix (8/38 << 0.8)
+    assert (0, 20000) not in pairs
+    # unrelated docs never pair
+    assert all(src in (20000,) for (src, _) in pairs)
+
+
+# ------------------------------------------------------------- attribution
+
+
+def test_attribution_last_touch_laws(spark, tmp_path):
+    """Attribution laws: each purchase credits the LAST non-purchase
+    touch at or before it (ties broken by event_id); purchases with no
+    prior touch are 'unattributed'; intermediate purchases do not
+    reset the touch; values sum as exact micro-units."""
+    t0 = datetime.datetime(2026, 7, 1, 10, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> purchase(1.5) -> purchase(2.25):
+        # both purchases credit 'click' (no reset between them)
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + s, 1, "click", 1.0, "{}"),
+        (2, t0 + 2 * s, 1, "purchase", 1.5, "{}"),
+        (3, t0 + 3 * s, 1, "purchase", 2.25, "{}"),
+        # user 2: purchase with NO prior touch -> unattributed
+        (4, t0, 2, "purchase", 4.0, "{}"),
+        # user 3: view and purchase at the SAME ts; event_id order puts
+        # the view first -> the purchase credits 'view'
+        (5, t0, 3, "view", 1.0, "{}"),
+        (6, t0, 3, "purchase", 8.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    got = {
+        r.touch_type: r
+        for r in registry.QUERIES["q_events_attribution_last_touch"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["click"].n_purchases == 2
+    assert got["click"].value_e6 == 1_500_000 + 2_250_000
+    assert got["unattributed"].n_purchases == 1
+    assert got["unattributed"].value_e6 == 4_000_000
+    assert got["view"].n_purchases == 1 and got["view"].value_e6 == 8_000_000
+    assert set(got) == {"click", "unattributed", "view"}

@@ -167,6 +167,10 @@ def test_registry_window_structure():
         "q_stats_benford_first_digit",
         "q_text_readability_flesch",
         "q_text_hapax_ratio",
+        "q_embedding_covariance_exact",
+        "q_embedding_pca_power",
+        "q_dedup_containment_subset",
+        "q_events_attribution_last_touch",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
