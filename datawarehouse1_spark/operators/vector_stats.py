@@ -1,13 +1,21 @@
 """Exact vector second-moment statistics over an embedding column.
 
 The scalable PCA/covariance pattern for N >> d: reduce the corpus to
-the d(d+1)/2 upper-triangle co-moment cells with ONE map-side pair
-expansion (no per-vector shuffle — pairs are generated inside the scan
-projection and partial-aggregated before the exchange), plus the d
-marginal sums. Components quantize to floor(v * 1e6) integers BEFORE
+the d(d+1)/2 upper-triangle co-moment cells plus the d marginal sums
+in ONE scan. Components quantize to floor(v * 1e6) integers BEFORE
 any aggregation (the q_embedding_centroid_drift money-for-vectors
-discipline), so every sum is exact and order-independent; DECIMAL(38,0)
-holds to ~1e9 vectors x 1e6 quanta without overflow.
+discipline), so every sum is exact and order-independent.
+
+The per-partition reduction is an Arrow-vectorized mapInPandas: each
+batch computes the integer Gram matrix Q^T Q with one numpy int64
+matmul (exact — products <= ~1e13 and per-batch sums <= ~1e17 fit
+int64; cross-batch accumulation promotes to Python ints, so a
+partition of any size stays exact) and the column sums, then emits
+d(d+1)/2 + d partial rows as DECIMAL(38,0). Vectors never shuffle —
+the ONLY exchange carries bounded (i, j, decimal) cells. An earlier
+pure-SQL nested-transform pair explode produced the same cells but
+generated d(d+1)/2 structs PER VECTOR through codegen (measured 10x
+slower at 20k x 64); the Gram-matmul form is why mapInPandas exists.
 
 The bounded cell table (d^2 is a config constant, 64^2 here) is the
 collectable artifact a driver-side eigensolver needs — the standard
@@ -20,48 +28,93 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.operators.scale import widen_if_narrow
 
 _DEC = "decimal(38,0)"
 
-# q = the micro-quantized vector; pairs (i, j>=i) generated map-side.
-# slice() is 1-based: for 0-based i the tail starting AT element i has
-# start i+1 and length size-i, so the inner index k maps to j = i + k
-# (the diagonal is included at k = 0).
-_PAIR_EXPR = """
-inline(flatten(transform(q, (vi, i) ->
-  transform(slice(q, i + 1, size(q) - i), (vj, k) ->
-    named_struct('i', CAST(i AS BIGINT),
-                 'j', CAST(i + k AS BIGINT),
-                 'p', CAST(vi * vj AS DECIMAL(38,0)))))))
-"""
-
-_QUANT_EXPR = (
-    "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000)"
-    " AS BIGINT))"
-)
+# partial-moment rows: j >= 0 -> upper-triangle cell (i, j); j == -1 ->
+# marginal sum of dimension i. n_part = vectors reduced by the partition.
+_MOMENT_SCHEMA = "i bigint, j bigint, n_part bigint, p decimal(38,0)"
 
 
+def _reduce_partition(batches):
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    acc = None  # object-dtype Gram accumulator (exact Python ints)
+    marg = None
+    cnt = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        g = (q.T @ q).astype(object)  # int64 matmul is exact at batch size
+        m = q.sum(axis=0, dtype=np.int64).astype(object)
+        acc = g if acc is None else acc + g
+        marg = m if marg is None else marg + m
+        cnt += q.shape[0]
+    if cnt == 0:
+        return
+    d = acc.shape[0]
+    iu, ju = np.triu_indices(d)
+    i = np.concatenate([iu, np.arange(d)])
+    j = np.concatenate([ju, np.full(d, -1)])
+    p = [decimal.Decimal(int(x)) for x in acc[iu, ju]] + [
+        decimal.Decimal(int(x)) for x in marg
+    ]
+    yield pd.DataFrame(
+        {
+            "i": i.astype("int64"),
+            "j": j.astype("int64"),
+            "n_part": np.full(len(i), cnt, dtype="int64"),
+            "p": p,
+        }
+    )
+
+
+def quantized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan partial moments, localCheckpoint'ed so the cell and
+    marginal consumers share the single embeddings pass (SCALE.md rule
+    12). widen_if_narrow lifts a small-file scan to full parallelism;
+    at production split counts it is a no-op."""
+    emb = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select("embedding")
+    )
+    return emb.mapInPandas(_reduce_partition, schema=_MOMENT_SCHEMA).localCheckpoint(
+        eager=True
+    )
+
+
+def pair_cells(moments: DataFrame) -> DataFrame:
+    """(i, j, n_vecs, sij): exact DECIMAL(38,0) upper-triangle
+    co-moments aggregated from the partition partials."""
+    return (
+        moments.where(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n_part").cast("long").alias("n_vecs"),
+            F.sum("p").cast(_DEC).alias("sij"),
+        )
+    )
+
+
+def marginals(moments: DataFrame) -> DataFrame:
+    """(d, s): exact DECIMAL(38,0) per-dimension sums."""
+    return (
+        moments.where(F.col("j") == -1)
+        .groupBy(F.col("i").alias("d"))
+        .agg(F.sum("p").cast(_DEC).alias("s"))
+    )
+
+
+# Back-compat single-call forms (one scan each).
 def quantized_pair_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle co-moment cells: (i, j, n_vecs, sij) with
-    sij = SUM(q_i * q_j) as exact DECIMAL(38,0). The pair expansion is
-    map-side (inline over a nested transform) and partial-aggregates
-    per partition, so the ONLY exchange carries <= d(d+1)/2 cells per
-    partition — vectors themselves never shuffle."""
-    emb = table(spark, sf_dir, "embeddings")
-    pairs = emb.select(F.expr(_QUANT_EXPR).alias("q")).select(
-        F.expr(_PAIR_EXPR.strip())
-    )
-    return pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("p").cast(_DEC).alias("sij"),
-    )
+    return pair_cells(quantized_moments(spark, sf_dir))
 
 
 def quantized_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension marginal sums: (d, s) with s = SUM(q_d) as exact
-    DECIMAL(38,0); one narrow (dim, int) exchange."""
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(F.posexplode(F.expr(_QUANT_EXPR)).alias("d", "v"))
-    return q.groupBy("d").agg(F.sum(F.col("v").cast(_DEC)).alias("s")).select(
-        F.col("d").cast("long").alias("d"), "s"
-    )
+    return marginals(quantized_moments(spark, sf_dir))

@@ -88,8 +88,15 @@ def q_dedup_containment_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shingles = F.array_distinct(word_ngrams(toks, 3))
-    sh = base.select("doc_id", shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
+    # the bounded staged table (<= 50 rows) feeds BOTH join sides and
+    # the count broadcast; localCheckpoint runs the corpus scan +
+    # tokenize ONCE instead of once per consumer (SCALE.md rule 12 —
+    # measured 11.7 s -> ~2 s at the staged 10x dir, where the fat
+    # single-file text scan would otherwise re-decode serially 3x)
+    sh = (
+        base.select("doc_id", shingles.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.alias("a")

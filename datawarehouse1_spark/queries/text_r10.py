@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.operators.scale import widen_if_narrow
 from datawarehouse1_spark.registry import declared
 
 # ---------------------------------------------------------------- 1.
@@ -71,9 +72,14 @@ def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vowel-group runs (the public syllable heuristic). All operands are
     positive, so Spark's `div` and DuckDB's `//` floor identically;
     word-free documents score NULL and band 'empty'. Plan: a pure
-    projection — zero exchanges, the regex counting runs inside the
-    scan's codegen stage and only (doc_id, 4 ints, band) survive."""
-    d = table(spark, sf_dir, "documents")
+    projection — the regex counting runs inside the scan's codegen
+    stage and only (doc_id, 4 ints, band) survive; widen_if_narrow
+    lifts a small-file scan to full parallelism for the CPU-bound
+    regex stage (no-op at production split counts, where the plan is
+    zero exchanges)."""
+    d = widen_if_narrow(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     low = F.lower(F.col("text"))
     n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0)).cast(
         "long"
@@ -143,8 +149,12 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, word) exchange aggregates counts, one narrow (source)
     exchange rolls them up — document bodies never shuffle, only
     (source, word) tuples; both `div` operands are positive so the
-    floors agree across engines."""
-    d = table(spark, sf_dir, "documents")
+    floors agree across engines. widen_if_narrow parallelizes the
+    CPU-bound tokenize+explode over a small-file scan (no-op at
+    production split counts)."""
+    d = widen_if_narrow(
+        table(spark, sf_dir, "documents").select("source", "text")
+    )
     word = F.explode(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+")
     ).alias("word")

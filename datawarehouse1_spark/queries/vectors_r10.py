@@ -4,8 +4,8 @@ co-moment matrix.
 
 * **Covariance cells** — the full upper-triangle covariance structure
   of the embedding space as exact integers: components quantize to
-  floor(v*1e6) BEFORE aggregation, pair products are generated
-  MAP-SIDE (a nested transform inside the scan projection — vectors
+  floor(v*1e6) BEFORE aggregation, each partition reduces to its
+  integer Gram matrix via ONE Arrow-batched numpy matmul (vectors
   never shuffle; only (i, j, partial-sum) cells do), and the final
   covariance value assembles from one fixed IEEE parenthesization.
   The dimension-correlation health report of an embedding corpus —
@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.operators.vector_stats import (
-    quantized_marginals,
-    quantized_pair_cells,
+    marginals,
+    pair_cells,
+    quantized_moments,
 )
 from datawarehouse1_spark.registry import declared
 
@@ -81,15 +82,17 @@ def q_embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (i, j<=i..d-1) — vector count, the exact DECIMAL(38,0)
     quantized co-moment sij = SUM(q_i*q_j) and marginals si/sj, and
     cov12 = (n*sij - si*sj)/n² (the covariance scaled by 1e12, one
-    fixed IEEE parenthesization rounded to 2dp). Spark generates the
-    d(d+1)/2 pair products MAP-SIDE inside the scan projection and
-    partial-aggregates before the only wide exchange, so at 100 TB
-    nothing but (i, j, decimal) cells ever shuffles; the oracle
+    fixed IEEE parenthesization rounded to 2dp). Spark reduces each
+    partition to its exact integer Gram matrix with ONE Arrow-batched
+    numpy matmul (operators/vector_stats.py — vectors never shuffle;
+    only (i, j, decimal) partial cells do, and the cell + marginal
+    consumers share a single checkpointed scan); the oracle
     reconstructs the same cells by an explicit position self-join.
     The d-row marginal table broadcasts onto the bounded cell table
     twice."""
-    cells = quantized_pair_cells(spark, sf_dir)
-    marg = quantized_marginals(spark, sf_dir)
+    mom = quantized_moments(spark, sf_dir)
+    cells = pair_cells(mom)
+    marg = marginals(mom)
     ma = marg.select(F.col("d").alias("i"), F.col("s").alias("si"))
     mb = marg.select(F.col("d").alias("j"), F.col("s").alias("sj"))
     out = cells.join(F.broadcast(ma), "i").join(F.broadcast(mb), "j")
@@ -142,8 +145,9 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("explained_share_e6", LongType(), False),
         ]
     )
-    cells = quantized_pair_cells(spark, sf_dir).collect()
-    marg = {int(r.d): int(r.s) for r in quantized_marginals(spark, sf_dir).collect()}
+    mom = quantized_moments(spark, sf_dir)
+    cells = pair_cells(mom).collect()
+    marg = {int(r.d): int(r.s) for r in marginals(mom).collect()}
     if not cells:
         return spark.createDataFrame([], schema)
 

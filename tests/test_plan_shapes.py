@@ -335,10 +335,12 @@ EXCHANGE_BUDGET = {
     # one fact scan partial-aggregates to <=9 digit rows; the
     # total-over-window runs on that bounded table
     "q_stats_benford_first_digit": 2,
-    # pure projection: regex counting folds into the scan
-    "q_text_readability_flesch": 0,
-    # map-side explode; (source, word) counts + per-source rollup
-    "q_text_hapax_ratio": 2,
+    # pure projection; the 1 is widen_if_narrow's repartition at test
+    # SF (no-op at production split counts -> 0 exchanges)
+    "q_text_readability_flesch": 1,
+    # widen repartition (test-SF only) + (source, word) counts +
+    # per-source rollup
+    "q_text_hapax_ratio": 3,
     # map-side pair inline + (i,j) cell aggregate; the d-row marginal
     # aggregate appears once per broadcast side
     "q_embedding_covariance_exact": 3,
