@@ -39,6 +39,7 @@ _MODULES = (
     "text_r10",
     "vectors_r10",
     "dedup_r10",
+    "analytics_r10c",
 )
 
 

@@ -91,7 +91,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_embedding_pca_power",
     "q_dedup_containment_subset",
     "q_events_attribution_last_touch",
-    # -- (c) the 18 oldest r6-graded re-grades filling the window
+    "q_orders_seasonality_decompose",
+    "q_text_source_vocab_jaccard",
+    "q_join_full_outer_reconcile",
+    # -- (c) the 15 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -108,11 +111,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_curation_gopher_rules",
     "q_stats_mad_outliers",
     "q_agg_group_sum",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_agg_rollup",
     "q_date_trunc_month",
     "q_window_rank_topn",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_window_running_sum",
     "q_surrogate_key",
     "q_dedup_business_key",

@@ -349,6 +349,15 @@ EXCHANGE_BUDGET = {
     "q_dedup_containment_subset": 3,
     # one user-sorted window exchange + the tiny touch-type aggregate
     "q_events_attribution_last_touch": 2,
+    # month aggregate (the only fact exchange) + the bounded ordered
+    # window on the monthly table
+    "q_orders_seasonality_decompose": 2,
+    # post-checkpoint: word join reshuffles both bounded vocab sides +
+    # the pair aggregate; sizes broadcast
+    "q_text_source_vocab_jaccard": 3,
+    # both snapshot sides shuffle on the key (full outer cannot
+    # broadcast) + the 4-row class aggregate
+    "q_join_full_outer_reconcile": 3,
 }
 
 

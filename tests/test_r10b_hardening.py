@@ -488,3 +488,117 @@ def test_attribution_last_touch_laws(spark, tmp_path):
     assert got["unattributed"].value_e6 == 4_000_000
     assert got["view"].n_purchases == 1 and got["view"].value_e6 == 8_000_000
     assert set(got) == {"click", "unattributed", "view"}
+
+
+# ---------------------------------------------------------- seasonality
+
+
+def test_seasonality_trend_window_and_ratio(spark, tmp_path):
+    """Seasonality laws on a staged 24-month series with an exact
+    x2 December spike over a flat base: months without a complete
+    12-month window carry NULL trend; interior trends and ratios
+    match the hand computation."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    d = datetime.datetime
+    orders, k = [], 0
+    for y in (2025, 2026):
+        for m in range(1, 13):
+            amount = 240.0 if m == 12 else 120.0  # cents: 24000 / 12000
+            orders.append((k, 1, "O", amount, d(y, m, 5), "1")); k += 1
+    spark.createDataFrame(orders, o_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.month: r
+        for r in registry.QUERIES["q_orders_seasonality_decompose"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 24
+    # first 5 and last 6 months: incomplete 12-row window -> NULL
+    for m in (1, 2, 3, 4, 5):
+        assert got[datetime.date(2025, m, 1)].trend_cents is None
+    for m in (7, 8, 9, 10, 11, 12):
+        assert got[datetime.date(2026, m, 1)].trend_cents is None
+    # any complete window holds 11 normal + 1 spike month:
+    # trend = (11*12000 + 24000) // 12 = 13000
+    mid = got[datetime.date(2025, 12, 1)]
+    assert mid.trend_cents == 13000
+    assert mid.revenue_cents == 24000
+    assert mid.seasonal_e6 == 24000 * 1_000_000 // 13000
+    flat = got[datetime.date(2026, 1, 1)]
+    assert flat.trend_cents == 13000
+    assert flat.seasonal_e6 == 12000 * 1_000_000 // 13000
+
+
+# ------------------------------------------------------------ vocab jaccard
+
+
+def test_source_vocab_jaccard_hand_computed(spark, tmp_path):
+    """Vocabulary-overlap laws: hand-computed Jaccard on staged
+    sources; within-source repeats don't inflate the sets; disjoint
+    sources never pair."""
+    docs = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "alpha alpha delta", "en", "s1", 17),  # s1 = {alpha,beta,gamma,delta}
+        (3, "alpha beta zeta", "en", "s2", 15),    # s2 = {alpha,beta,zeta}
+        (4, "omega", "en", "s3", 5),               # disjoint
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["q_text_source_vocab_jaccard"](
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r.source_a, r.source_b): r for r in out}
+    assert set(pairs) == {("s1", "s2")}
+    r = pairs[("s1", "s2")]
+    assert r.n_common == 2 and r.n_words_a == 4 and r.n_words_b == 3
+    assert r.jaccard_e6 == 2 * 1_000_000 // (4 + 3 - 2)
+
+
+# ---------------------------------------------------------- full outer
+
+
+def test_full_outer_reconcile_partition_law(spark, tmp_path):
+    """Reconcile laws on a staged key space: the four classes
+    partition the key universe exactly; deltas are the exact staged
+    bumps; keys divisible by 15 (absent both sides) never appear."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    d = datetime.datetime(2026, 1, 1)
+    orders = [(k, 1, "O", 100.0, d, "1") for k in range(1, 106)]
+    spark.createDataFrame(orders, o_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.status: r
+        for r in registry.QUERIES["q_join_full_outer_reconcile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    ks = range(1, 106)
+    in_a = {k for k in ks if k % 3 != 0}
+    in_b = {k for k in ks if k % 5 != 0}
+    changed = {k for k in in_a & in_b if k % 7 == 0}
+    assert got["left_only"].n_keys == len(in_a - in_b)
+    assert got["right_only"].n_keys == len(in_b - in_a)
+    assert got["changed"].n_keys == len(changed)
+    assert got["matched"].n_keys == len((in_a & in_b) - changed)
+    total = sum(r.n_keys for r in got.values())
+    assert total == len(in_a | in_b)  # %15 keys excluded by both sides
+    assert got["changed"].value_delta_cents == 100 * len(changed)
+    assert got["left_only"].value_delta_cents == -10000 * len(in_a - in_b)
+    # right-only keys also carry the %7 bump when it applies
+    bumped_right = {k for k in in_b - in_a if k % 7 == 0}
+    assert got["right_only"].value_delta_cents == 10000 * len(
+        in_b - in_a
+    ) + 100 * len(bumped_right)
+    assert got["matched"].value_delta_cents == 0

@@ -171,6 +171,9 @@ def test_registry_window_structure():
         "q_embedding_pca_power",
         "q_dedup_containment_subset",
         "q_events_attribution_last_touch",
+        "q_orders_seasonality_decompose",
+        "q_text_source_vocab_jaccard",
+        "q_join_full_outer_reconcile",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
