@@ -138,6 +138,10 @@ def main() -> None:
         "q_dedup_audio_fingerprint",
         "q_dedup_video_temporal",
         "q_dedup_unicode_normalize",
+        # r10: the vector Gram/covariance path and the containment
+        # dedup tier (llm_total grows again — compare per-query)
+        "q_embedding_covariance_exact",
+        "q_dedup_containment_subset",
     )
     llm: dict[str, float] = {}
     llm_spread: dict[str, float] = {}
