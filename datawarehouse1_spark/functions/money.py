@@ -46,3 +46,10 @@ def sql_money_avg(col: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}) AS {alias}"
     )
+
+
+def sql_cents(col: str = "o_totalprice") -> str:
+    """Exact integer cents of a 2-decimal money double — the same
+    expression text in Spark SQL and DuckDB (both cast through the
+    exact DECIMAL(18,2) first, so no float rounding is involved)."""
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"

@@ -109,12 +109,3 @@ def marginals(moments: DataFrame) -> DataFrame:
         .groupBy(F.col("i").alias("d"))
         .agg(F.sum("p").cast(_DEC).alias("s"))
     )
-
-
-# Back-compat single-call forms (one scan each).
-def quantized_pair_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pair_cells(quantized_moments(spark, sf_dir))
-
-
-def quantized_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return marginals(quantized_moments(spark, sf_dir))

@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
-from datawarehouse1_spark.functions.money import money_sum, sql_money_sum
+from datawarehouse1_spark.functions.money import (
+    money_sum,
+    sql_cents,
+    sql_money_sum,
+)
 from datawarehouse1_spark.registry import declared
 
 # ---------------------------------------------------------------- 1.
@@ -77,9 +81,12 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange each for the lineitem close aggregate and the orders side
     (co-partitioned equi-join); the interval containment then rides a
     BroadcastNestedLoopJoin against the tiny boundary list — at 100 TB
-    the fact rows are touched once and never re-shuffle to answer
-    every as-of month simultaneously; the final per-boundary aggregate
-    carries at most (#months x partial) rows."""
+    the fact ROWS flow through the join once and never re-shuffle to
+    answer every as-of month simultaneously. The boundary derivation
+    is a second scan of orders, but column-pruned to o_orderdate only
+    (checkpointing the full fact to avoid it would be the wrong trade
+    at scale); the final per-boundary aggregate carries at most
+    (#months x partial) rows."""
     li = table(spark, sf_dir, "lineitem")
     close = li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("close_date")
@@ -108,7 +115,7 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- 2.
 
-_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS = sql_cents("o_totalprice")
 
 
 @declared(

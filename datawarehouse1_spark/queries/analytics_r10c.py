@@ -33,9 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import sql_cents
 from datawarehouse1_spark.registry import declared
 
-_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS = sql_cents("o_totalprice")
 
 # ---------------------------------------------------------------- 1.
 
@@ -72,9 +73,14 @@ def q_orders_seasonality_decompose(
     months never carry a partial trend), and the seasonal ratio in
     floored micro-units (>1e6 = above trend). All arithmetic is
     integer `div` on positive operands, so both engines floor
-    identically. Plan: ONE month aggregate is the only exchange that
-    sees fact rows; the ordered window and the ratio run on the
-    bounded monthly table (rule 22)."""
+    identically; the ratio's y*1e6 multiply stays exact at any scale
+    on BOTH sides — Spark through DECIMAL(38,0) (a BIGINT product
+    would wrap past a ~9.2e12-cent month), DuckDB through its native
+    HUGEINT sum (casting THAT to DECIMAL would demote the division to
+    DOUBLE and floor off-by-one — found by the parity gate).
+    Plan: ONE month aggregate is the only exchange that sees fact
+    rows; the ordered window and the ratio run on the bounded monthly
+    table (rule 22)."""
     o = table(spark, sf_dir, "orders")
     m = (
         o.select(
@@ -95,7 +101,9 @@ def q_orders_seasonality_decompose(
         "month",
         F.col("y").cast("long").alias("revenue_cents"),
         "trend_cents",
-        F.expr("y * 1000000 div nullif(trend_cents, 0)")
+        F.expr(
+            "CAST(y AS DECIMAL(38,0)) * 1000000 div nullif(trend_cents, 0)"
+        )
         .cast("long")
         .alias("seasonal_e6"),
     )

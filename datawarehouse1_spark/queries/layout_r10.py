@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import sql_cents
 from datawarehouse1_spark.registry import declared
 
 # Synthetic manifest granularity: one "file" per 512-key range of
@@ -49,7 +50,7 @@ from datawarehouse1_spark.registry import declared
 _FILE_DIV = 512
 
 # Exact integer cents for byte-mass stand-ins (the money discipline).
-_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS = sql_cents("o_totalprice")
 
 # ---------------------------------------------------------------- 1.
 

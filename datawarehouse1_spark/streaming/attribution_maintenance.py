@@ -31,12 +31,19 @@ prunes to the batch's users via a semi join, so the corpus of past
 events is never re-read and nothing wider than one row per active
 user moves.
 
-Exactly-once — CONTENT-guarded (SCALE.md rule 24): the state fold is
-a latest-wins max (idempotent by algebra), so the sink always
-recomputes both effects; the attribution dir is keyed by a sha256 of
-the batch's purchase ids, so a checkpoint replay or a post-rebase
-redelivery overwrites the same dir instead of duplicating credits,
-and the published state version stays monotonic across a rebase.
+Exactly-once — CONTENT-guarded (SCALE.md rule 24) at PURCHASE
+granularity: a persisted attributed-purchase-id index (snapshot-store
+versioned, fold = set union — idempotent by algebra) filters every
+batch's attributions before they are written, so a checkpoint replay
+OR a post-rebase redelivery with DIFFERENT micro-batch boundaries
+never double-credits a purchase — already-attributed purchases drop
+out of the write entirely, whatever batch they re-arrive in (batch-
+level content keys alone would dedup only identical redeliveries).
+The log dir key is a sha256 of the batch's NEW purchase ids, the
+state fold is a latest-wins max, and both snapshot versions stay
+monotonic across a rebase. The index costs one row per purchase ever
+attributed — the price of exactly-once at credit granularity; a
+retention watermark can prune it once upstream replays are bounded.
 
 Law (pinned in tests/test_streaming_attribution.py): the per-touch
 aggregate of the union of all attribution batches equals
@@ -94,10 +101,13 @@ def make_attribution_sink(
     spark: SparkSession,
     state_path: str,
     log_path: str,
+    index_path: str | None = None,
 ) -> "callable":
-    """foreachBatch body maintaining the last-touch state and the
-    attribution log. Batch columns: event_id, ts, user_id, event_type,
-    value."""
+    """foreachBatch body maintaining the last-touch state, the
+    attributed-purchase index, and the attribution log. Batch columns:
+    event_id, ts, user_id, event_type, value."""
+    if index_path is None:
+        index_path = f"{log_path}__attributed_index"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -129,28 +139,61 @@ def make_attribution_sink(
                 F.lit(0.0).alias("value"),
             )
         )
-        attributions = _attribute(b.unionByName(prior)).localCheckpoint(
-            eager=True
+        # purchase-granular exactly-once: purchases already in the
+        # attributed index drop out BEFORE the write, so a rebased
+        # redelivery under different batch boundaries cannot
+        # double-credit (or re-credit differently from later state)
+        index = read_snapshot(spark, index_path)
+        if index is None:
+            index = b.select(
+                F.col("event_id").alias("purchase_id")
+            ).limit(0)
+        attributions = (
+            _attribute(b.unionByName(prior))
+            .join(index, "purchase_id", "left_anti")
+            .localCheckpoint(eager=True)
         )
 
-        # content-keyed log dir: replays / rebased redeliveries of the
-        # same purchase set overwrite the same dir (idempotent)
-        fp_rows = (
-            b.where(F.col("event_type") == "purchase")
-            .agg(
-                F.sha2(
-                    F.concat_ws(
-                        ",", F.sort_array(F.collect_list("event_id"))
-                    ),
-                    256,
-                ).alias("key")
-            )
-            .collect()
-        )
+        # log dir keyed by the NEW purchase ids: a replay (all
+        # already-indexed) collapses to one constant-key empty dir
+        fp_rows = attributions.agg(
+            F.sha2(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list("purchase_id"))
+                ),
+                256,
+            ).alias("key")
+        ).collect()
         fp = fp_rows[0]["key"][:16]
         attributions.coalesce(1).write.mode("overwrite").parquet(
             f"{log_path}/batch={fp}"
         )
+
+        # index fold: set union (idempotent); rule-24 content guard
+        idx_applied = latest_version(index_path)
+        batch_pids = b.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id")
+        )
+        idx_replay = idx_applied is not None and idx_applied >= batch_id
+        publish_index = True
+        if idx_replay:
+            fresh = (
+                batch_pids.join(index, "purchase_id", "left_anti")
+                .limit(1)
+                .collect()
+            )
+            publish_index = bool(fresh)
+        if publish_index:
+            idx_version = (
+                batch_id
+                if idx_applied is None or batch_id > idx_applied
+                else idx_applied + 1
+            )
+            publish_snapshot(
+                index.unionByName(batch_pids).distinct(),
+                index_path,
+                version=idx_version,
+            )
 
         # state fold: latest-wins max over (state ∪ batch touches) —
         # idempotent by algebra; rule-24 content guard: on a replay

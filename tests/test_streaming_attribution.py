@@ -105,13 +105,13 @@ def test_attribution_replay_is_idempotent(spark, tmp_path):
     ]
     sink(_events(spark, batch), 0)
     v0 = latest_version(state_path)
-    dirs0 = sorted(glob.glob(f"{log_path}/batch=*"))
     log0 = sorted((r.purchase_id, r.touch_type) for r in _log(spark, log_path))
 
-    # checkpoint replay redelivers the SAME batch under the same id
+    # checkpoint replay redelivers the SAME batch under the same id:
+    # the attributed-purchase index filters every credit, so the
+    # aggregated log is unchanged and no version moves
     sink(_events(spark, batch), 0)
     assert latest_version(state_path) == v0  # content guard: no bump
-    assert sorted(glob.glob(f"{log_path}/batch=*")) == dirs0  # same dir
     assert (
         sorted((r.purchase_id, r.touch_type) for r in _log(spark, log_path))
         == log0
@@ -123,6 +123,45 @@ def test_attribution_replay_is_idempotent(spark, tmp_path):
     assert latest_version(state_path) == v0 + 1
     st = {r.user_id: r for r in read_snapshot(spark, state_path).collect()}
     assert st[1].touch_type == "view"
+
+
+def test_attribution_rebase_with_different_boundaries_never_double_credits(
+    spark, tmp_path
+):
+    """The purchase-granular guard: after a checkpoint loss the feed
+    is replayed with DIFFERENT micro-batch boundaries (and rebased
+    batch ids). Already-attributed purchases drop out of the rewrite
+    entirely — the aggregated log is unchanged, and the credits keep
+    their ORIGINAL touch types even though the replayed state no
+    longer holds the early touches."""
+    rows = [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(1), 1, "purchase", 3.0),  # credits 'click'
+        (3, _ts(2), 1, "view", 1.0),
+        (4, _ts(3), 1, "purchase", 5.0),  # credits 'view'
+    ]
+    state_path = str(tmp_path / "state")
+    log_path = str(tmp_path / "log")
+    sink = am.make_attribution_sink(spark, state_path, log_path)
+    # original run: boundaries [0,1] | [2,3]
+    sink(_events(spark, rows[:2]), 0)
+    sink(_events(spark, rows[2:]), 1)
+    want = sorted(
+        (r.purchase_id, r.touch_type, r.value_e6)
+        for r in _log(spark, log_path)
+    )
+    assert [w[1] for w in want] == ["click", "view"]
+
+    # checkpoint lost: full replay under DIFFERENT boundaries
+    # ([0] | [1,2] | [3]) and rebased ids
+    sink(_events(spark, rows[:1]), 0)
+    sink(_events(spark, rows[1:3]), 1)
+    sink(_events(spark, rows[3:]), 2)
+    got = sorted(
+        (r.purchase_id, r.touch_type, r.value_e6)
+        for r in _log(spark, log_path)
+    )
+    assert got == want  # no double credit, no re-credit drift
 
 
 def test_attribution_batching_invariance_vs_one_shot(spark, tmp_path):
