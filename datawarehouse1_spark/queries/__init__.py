@@ -40,6 +40,7 @@ _MODULES = (
     "vectors_r10",
     "dedup_r10",
     "analytics_r10c",
+    "analytics_r10d",
 )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.arrays import word_ngrams
 from datawarehouse1_spark.operators.scale import widen_if_narrow
 from datawarehouse1_spark.registry import declared
 
@@ -175,3 +176,65 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hapax_share_e6"),
     )
+
+
+# ---------------------------------------------------------------- 3.
+
+
+@declared(
+    "q_text_successor_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    pair AS (SELECT bigram, COUNT(*) AS c FROM big GROUP BY bigram),
+    tok AS (
+      SELECT split_part(bigram, ' ', 1) AS token,
+             CAST(SUM(c) AS BIGINT) AS n_total,
+             COUNT(*) AS n_successors,
+             CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+               AS branching_e6
+      FROM pair GROUP BY split_part(bigram, ' ', 1)
+    )
+    SELECT token, n_total, n_successors, branching_e6
+    FROM tok ORDER BY n_total DESC, token LIMIT 50
+    """,
+)
+def q_text_successor_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token successor diversity (branching factor): for the 50
+    most frequent bigram heads — total continuations, DISTINCT
+    continuations, and their ratio in floored micro-units. The
+    log-free cousin of conditional entropy: boilerplate and template
+    spam collapse a token's branching factor toward 0 long before the
+    unigram stats move (a 1e6 branching factor means every occurrence
+    is followed by a different word). Plan: bigrams build inside a
+    higher-order array expression (no token self-join), one (bigram)
+    exchange counts pairs, one (token) exchange rolls up heads — the
+    head roll-up counts pair ROWS so distinct-successor needs no
+    second expand — and the top-50 is TakeOrderedAndProject."""
+    d = widen_if_narrow(table(spark, sf_dir, "documents").select("text"))
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    t = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    bigrams = t.select(F.explode(word_ngrams(F.col("t"), 2)).alias("bigram"))
+    pair = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    tok = (
+        pair.select(
+            F.substring_index("bigram", " ", 1).alias("token"), "c"
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("c").alias("n_total"),
+            F.count(F.lit(1)).alias("n_successors"),
+            F.expr("count(1) * 1000000 div sum(c)")
+            .cast("long")
+            .alias("branching_e6"),
+        )
+    )
+    return tok.orderBy(F.desc("n_total"), F.asc("token")).limit(50)

@@ -94,7 +94,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_seasonality_decompose",
     "q_text_source_vocab_jaccard",
     "q_join_full_outer_reconcile",
-    # -- (c) the 15 oldest r6-graded re-grades filling the window
+    "q_events_retention_triangle",
+    "q_orders_fill_rate_sla",
+    "q_orders_value_deciles",
+    "q_text_successor_diversity",
+    # -- (c) the 11 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -107,12 +111,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_sketch_log_histogram",
     "q_warc_extract_text",
     "q_sketch_count_min",
+    # ---- graded window ends here (first 50) ----
+    # -- r6-graded remainder (fronts the r11 window) --
     "q_merge_cdc_apply",
     "q_curation_gopher_rules",
     "q_stats_mad_outliers",
     "q_agg_group_sum",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_agg_rollup",
     "q_date_trunc_month",
     "q_window_rank_topn",

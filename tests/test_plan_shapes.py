@@ -358,6 +358,19 @@ EXCHANGE_BUDGET = {
     # both snapshot sides shuffle on the key (full outer cannot
     # broadcast) + the 4-row class aggregate
     "q_join_full_outer_reconcile": 3,
+    # visible plan is the broadcast join over the checkpointed
+    # bounded triangle (the distinct + user window + triangle agg run
+    # once, pre-checkpoint)
+    "q_events_retention_triangle": 0,
+    # close aggregate + orders co-partitioned join side + the <=5-row
+    # priority aggregate
+    "q_orders_fill_rate_sla": 2,
+    # one-row percentile bounds + the decile aggregate; the share
+    # windows ride the 10-row table
+    "q_orders_value_deciles": 3,
+    # widen repartition (test-SF only) + (bigram) pair counts +
+    # (token) head roll-up; TakeOrderedAndProject top-50
+    "q_text_successor_diversity": 3,
 }
 
 

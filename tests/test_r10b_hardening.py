@@ -602,3 +602,143 @@ def test_full_outer_reconcile_partition_law(spark, tmp_path):
         in_b - in_a
     ) + 100 * len(bumped_right)
     assert got["matched"].value_delta_cents == 0
+
+
+# ---------------------------------------------------------- retention
+
+
+def test_retention_triangle_laws(spark, tmp_path):
+    """Retention laws: age-0 retention is exactly 1e6 for every
+    cohort; a user active in weeks {0, 2} counts at ages 0 and 2 of
+    their own cohort; cohort sizes come from the triangle's own age-0
+    row."""
+    base = datetime.datetime(2026, 3, 2, 12, 0)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows, eid = [], 0
+    # cohort A (week of Mar 2): users 1,2 first active; user 1 returns
+    # in week+2, user 2 never returns
+    for u, weeks in ((1, (0, 2)), (2, (0,))):
+        for w in weeks:
+            rows.append((eid, base + w * wk, u, "view", 1.0, "{}")); eid += 1
+    # cohort B (week of Mar 9): user 3, returns next week
+    for w in (1, 2):
+        rows.append((eid, base + w * wk, 3, "click", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    got = {
+        (r.cohort, r.age_weeks): r
+        for r in registry.QUERIES["q_events_retention_triangle"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a = datetime.date(2026, 3, 2)
+    b = datetime.date(2026, 3, 9)
+    assert got[(a, 0)].n_active == 2 and got[(a, 0)].retention_e6 == 1_000_000
+    assert got[(a, 2)].n_active == 1
+    assert got[(a, 2)].retention_e6 == 1_000_000 // 2
+    assert (a, 1) not in got  # nobody from cohort A active in week 1
+    assert got[(b, 0)].n_active == 1 and got[(b, 1)].n_active == 1
+    assert got[(b, 1)].retention_e6 == 1_000_000
+
+
+# ---------------------------------------------------------- fill rate
+
+
+def test_fill_rate_sla_boundary(spark, tmp_path):
+    """Fill-rate laws: a close exactly AT placed+30 counts as within
+    SLA (<=); +31 does not; orders without lineitems are excluded."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp_ntz"
+    )
+    d = datetime.datetime
+    orders = [
+        (1, 1, "O", 10.0, d(2026, 1, 1), "P"),  # closes +30 -> within
+        (2, 1, "O", 10.0, d(2026, 1, 1), "P"),  # closes +31 -> late
+        (3, 1, "O", 10.0, d(2026, 1, 1), "P"),  # no lineitems -> excluded
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2026, 1, 31)),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2026, 2, 1)),
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    _write(spark, tmp_path, "lineitem", li, li_schema)
+    got = registry.QUERIES["q_orders_fill_rate_sla"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_orders == 2 and r.n_shipped_30d == 1
+    assert r.fill_rate_e6 == 500_000
+
+
+# ---------------------------------------------------------- deciles
+
+
+def test_value_deciles_laws(spark, tmp_path):
+    """Decile laws: boundaries are exact order statistics so a
+    100-row staged uniform ladder gives 10 exact 10-row deciles;
+    shares close to <=1e6 with a floored remainder; cum share is
+    monotone and ends at the full total's floor."""
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string"
+    )
+    d = datetime.datetime(2026, 1, 1)
+    orders = [(k, 1, "O", float(k), d, "P") for k in range(1, 101)]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    got = {
+        r.decile: r
+        for r in registry.QUERIES["q_orders_value_deciles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(range(1, 11))
+    assert all(got[k].n_orders == 10 for k in got)
+    # decile 1 = values 1..10 -> 5500 cents
+    assert got[1].revenue_cents == sum(range(1, 11)) * 100
+    total = sum(r.revenue_cents for r in got.values())
+    assert total == sum(range(1, 101)) * 100
+    assert got[10].cum_share_e6 == 1_000_000 * total // total  # == 1e6
+    cums = [got[k].cum_share_e6 for k in range(1, 11)]
+    assert cums == sorted(cums)
+    for k in got:
+        assert got[k].share_e6 == got[k].revenue_cents * 1_000_000 // total
+
+
+# ---------------------------------------------------------- successors
+
+
+def test_successor_diversity_hand_computed(spark, tmp_path):
+    """Branching laws: a token always followed by the same word has
+    branching 1e6/n; a token with all-distinct successors has 1e6;
+    last tokens of documents head no bigram."""
+    docs = [
+        (1, "the cat the dog the cat", "en", "s", 23),
+        (2, "zig alpha zig beta zig gamma", "en", "s", 28),
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.token: r
+        for r in registry.QUERIES["q_text_successor_diversity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # 'the' -> cat, dog, cat : 3 total, 2 distinct
+    assert got["the"].n_total == 3 and got["the"].n_successors == 2
+    assert got["the"].branching_e6 == 2 * 1_000_000 // 3
+    # 'zig' -> alpha, beta, gamma : all distinct
+    assert got["zig"].n_total == 3 and got["zig"].n_successors == 3
+    assert got["zig"].branching_e6 == 1_000_000
+    # 'cat' heads: cat->the once (the second 'cat' ends doc 1)
+    assert got["cat"].n_total == 1
+    assert "gamma" not in got  # ends its document, heads nothing

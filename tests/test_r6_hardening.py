@@ -174,6 +174,10 @@ def test_registry_window_structure():
         "q_orders_seasonality_decompose",
         "q_text_source_vocab_jaccard",
         "q_join_full_outer_reconcile",
+        "q_events_retention_triangle",
+        "q_orders_fill_rate_sla",
+        "q_orders_value_deciles",
+        "q_text_successor_diversity",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
