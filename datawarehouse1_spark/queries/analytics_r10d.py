@@ -153,19 +153,19 @@ def q_orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("placed"),
     )
     within = F.col("close_date") <= F.date_add(F.col("placed"), 30)
-    return (
+    agg = (
         o.join(close, o.o_orderkey == close.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.count(F.when(within, 1)).alias("n_shipped_30d"),
-            F.expr(
-                "count(case when close_date <= date_add(placed, 30)"
-                " then 1 end) * 1000000 div count(1)"
-            )
-            .cast("long")
-            .alias("fill_rate_e6"),
         )
+    )
+    # ratio derives from the aggregates, so the SLA predicate exists
+    # exactly once above
+    return agg.withColumn(
+        "fill_rate_e6",
+        F.expr("n_shipped_30d * 1000000 div n_orders").cast("long"),
     )
 
 

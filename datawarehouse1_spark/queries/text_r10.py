@@ -165,16 +165,17 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return wc.groupBy("source").agg(
+    agg = wc.groupBy("source").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
         F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
-        F.expr("count(1) * 1000000 div sum(c)").cast("long").alias("ttr_e6"),
-        F.expr(
-            "count(case when c = 1 then 1 end) * 1000000 div count(1)"
-        )
-        .cast("long")
-        .alias("hapax_share_e6"),
+    )
+    # ratios derive from the aggregates, so each count is defined once
+    return agg.withColumn(
+        "ttr_e6", F.expr("n_types * 1000000 div n_tokens").cast("long")
+    ).withColumn(
+        "hapax_share_e6",
+        F.expr("n_hapax * 1000000 div n_types").cast("long"),
     )
 
 
@@ -232,9 +233,10 @@ def q_text_successor_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_total"),
             F.count(F.lit(1)).alias("n_successors"),
-            F.expr("count(1) * 1000000 div sum(c)")
-            .cast("long")
-            .alias("branching_e6"),
+        )
+        .withColumn(
+            "branching_e6",
+            F.expr("n_successors * 1000000 div n_total").cast("long"),
         )
     )
     return tok.orderBy(F.desc("n_total"), F.asc("token")).limit(50)

@@ -125,8 +125,9 @@ def q_embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus — two-phase
     distributed PCA: the cluster reduces the corpus to the exact
-    quantized co-moment cells (quantized_pair_cells — the only
-    fact-touching job), the driver assembles the d x d covariance and
+    quantized co-moment cells (pair_cells over quantized_moments —
+    the only fact-touching job), the driver assembles the d x d
+    covariance and
     power-iterates (200 fixed steps from the all-ones direction —
     deterministic; sign normalized so the largest-|loading| dimension
     is positive). Output: per dimension, the unit-vector loading in

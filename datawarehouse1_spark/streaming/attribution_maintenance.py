@@ -26,24 +26,28 @@ Per micro-batch the sink
      max-(ts, event_id) touch among (state ∪ batch touches).
 
 Steady state at 100 TB: per batch the work is one user-partitioned
-window over (batch ∪ |users-in-batch| state rows) — the state side
+window over (batch ∪ |users-in-batch| state rows — the state side
 prunes to the batch's users via a semi join, so the corpus of past
-events is never re-read and nothing wider than one row per active
-user moves.
+EVENTS is never re-read) plus one purchase_id anti-join against the
+attribution log so far. That dedup read scales with purchases ever
+attributed (a narrow one-column scan) — the price of exactly-once at
+credit granularity; a retention watermark can prune old log dirs
+once upstream replays are bounded.
 
 Exactly-once — CONTENT-guarded (SCALE.md rule 24) at PURCHASE
-granularity: a persisted attributed-purchase-id index (snapshot-store
-versioned, fold = set union — idempotent by algebra) filters every
-batch's attributions before they are written, so a checkpoint replay
-OR a post-rebase redelivery with DIFFERENT micro-batch boundaries
-never double-credits a purchase — already-attributed purchases drop
-out of the write entirely, whatever batch they re-arrive in (batch-
-level content keys alone would dedup only identical redeliveries).
-The log dir key is a sha256 of the batch's NEW purchase ids, the
-state fold is a latest-wins max, and both snapshot versions stay
-monotonic across a rebase. The index costs one row per purchase ever
-attributed — the price of exactly-once at credit granularity; a
-retention watermark can prune it once upstream replays are bounded.
+granularity, with the LOG ITSELF as the dedup index: each batch's
+attributions are anti-joined against the purchase ids already in the
+log before being written, so a checkpoint replay OR a post-rebase
+redelivery with DIFFERENT micro-batch boundaries never double-credits
+a purchase — already-credited purchases drop out of the write
+entirely, whatever batch they re-arrive in (batch-level content keys
+alone would dedup only identical redeliveries). Because the filter
+reads the same artifact the write appends to, there is no second
+index a crash could leave out of step: a crash after the log write
+simply re-runs the batch, finds its purchases already logged, and
+appends nothing. The log dir key is a sha256 of the batch's NEW
+purchase ids; the state fold is a latest-wins max and its snapshot
+version stays monotonic across a rebase.
 
 Law (pinned in tests/test_streaming_attribution.py): the per-touch
 aggregate of the union of all attribution batches equals
@@ -97,17 +101,26 @@ def _attribute(events: DataFrame) -> DataFrame:
     )
 
 
+def _already_attributed(spark: SparkSession, log_path: str):
+    """purchase_ids already present in the log — the log IS the
+    dedup index, so the two can never desynchronize (there is no
+    second artifact for a crash to leave half-written)."""
+    import glob
+
+    dirs = glob.glob(f"{log_path}/batch=*")
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("purchase_id")
+
+
 def make_attribution_sink(
     spark: SparkSession,
     state_path: str,
     log_path: str,
-    index_path: str | None = None,
 ) -> "callable":
-    """foreachBatch body maintaining the last-touch state, the
-    attributed-purchase index, and the attribution log. Batch columns:
-    event_id, ts, user_id, event_type, value."""
-    if index_path is None:
-        index_path = f"{log_path}__attributed_index"
+    """foreachBatch body maintaining the last-touch state and the
+    attribution log. Batch columns: event_id, ts, user_id, event_type,
+    value."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -139,23 +152,27 @@ def make_attribution_sink(
                 F.lit(0.0).alias("value"),
             )
         )
-        # purchase-granular exactly-once: purchases already in the
-        # attributed index drop out BEFORE the write, so a rebased
-        # redelivery under different batch boundaries cannot
-        # double-credit (or re-credit differently from later state)
-        index = read_snapshot(spark, index_path)
-        if index is None:
-            index = b.select(
+        # purchase-granular exactly-once: purchases already in the LOG
+        # drop out BEFORE the write, so a rebased redelivery under
+        # different batch boundaries cannot double-credit (or re-credit
+        # differently from later state). The log is its own dedup
+        # index — one artifact, so a crash between effects can never
+        # leave the filter and the credits disagreeing.
+        already = _already_attributed(spark, log_path)
+        if already is None:
+            already = b.select(
                 F.col("event_id").alias("purchase_id")
             ).limit(0)
         attributions = (
             _attribute(b.unionByName(prior))
-            .join(index, "purchase_id", "left_anti")
+            .join(already, "purchase_id", "left_anti")
             .localCheckpoint(eager=True)
         )
 
         # log dir keyed by the NEW purchase ids: a replay (all
-        # already-indexed) collapses to one constant-key empty dir
+        # already-logged) collapses to one constant-key empty dir;
+        # only new credits are ever appended, so the log never
+        # rewrites
         fp_rows = attributions.agg(
             F.sha2(
                 F.concat_ws(
@@ -168,32 +185,6 @@ def make_attribution_sink(
         attributions.coalesce(1).write.mode("overwrite").parquet(
             f"{log_path}/batch={fp}"
         )
-
-        # index fold: set union (idempotent); rule-24 content guard
-        idx_applied = latest_version(index_path)
-        batch_pids = b.where(F.col("event_type") == "purchase").select(
-            F.col("event_id").alias("purchase_id")
-        )
-        idx_replay = idx_applied is not None and idx_applied >= batch_id
-        publish_index = True
-        if idx_replay:
-            fresh = (
-                batch_pids.join(index, "purchase_id", "left_anti")
-                .limit(1)
-                .collect()
-            )
-            publish_index = bool(fresh)
-        if publish_index:
-            idx_version = (
-                batch_id
-                if idx_applied is None or batch_id > idx_applied
-                else idx_applied + 1
-            )
-            publish_snapshot(
-                index.unionByName(batch_pids).distinct(),
-                index_path,
-                version=idx_version,
-            )
 
         # state fold: latest-wins max over (state ∪ batch touches) —
         # idempotent by algebra; rule-24 content guard: on a replay
