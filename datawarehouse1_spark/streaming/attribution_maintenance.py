@@ -104,10 +104,19 @@ def _attribute(events: DataFrame) -> DataFrame:
 def _already_attributed(spark: SparkSession, log_path: str):
     """purchase_ids already present in the log — the log IS the
     dedup index, so the two can never desynchronize (there is no
-    second artifact for a crash to leave half-written)."""
+    second artifact for a crash to leave half-written). Only dirs
+    with a _SUCCESS marker count: a crash mid-write leaves a partial
+    dir whose credits were never durably published — it must neither
+    fail this read nor suppress the re-credit (the redelivery
+    recomputes the same content key and overwrites it)."""
     import glob
+    import os
 
-    dirs = glob.glob(f"{log_path}/batch=*")
+    dirs = [
+        d
+        for d in glob.glob(f"{log_path}/batch=*")
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
     if not dirs:
         return None
     return spark.read.parquet(*dirs).select("purchase_id")

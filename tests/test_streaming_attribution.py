@@ -45,7 +45,15 @@ def _events(spark, rows):
 
 
 def _log(spark, log_path):
-    dirs = glob.glob(f"{log_path}/batch=*")
+    # consumer contract: only dirs with a _SUCCESS marker are
+    # published credits (a crash mid-write leaves a partial dir)
+    import os
+
+    dirs = [
+        d
+        for d in glob.glob(f"{log_path}/batch=*")
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
     if not dirs:
         return []
     return spark.read.parquet(*dirs).collect()
@@ -244,3 +252,45 @@ def test_attribution_stream_end_to_end_with_restart(spark, tmp_path):
         assert log[2].value_e6 == 7_000_000
     finally:
         q.stop()
+
+
+def test_attribution_survives_a_partial_crashed_log_dir(spark, tmp_path):
+    """Crash-recovery law: a dir left by a crash mid-write (no
+    _SUCCESS marker, garbage content) must neither fail the dedup
+    read nor suppress the redelivered credit — the sink re-attributes
+    the purchase into a durable dir."""
+    import os
+
+    state_path = str(tmp_path / "state")
+    log_path = str(tmp_path / "log")
+    # simulate the crash artifact BEFORE any successful batch
+    partial = tmp_path / "log" / "batch=deadbeefdeadbeef"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"not a parquet file")
+    assert not os.path.exists(partial / "_SUCCESS")
+
+    sink = am.make_attribution_sink(spark, state_path, log_path)
+    sink(
+        _events(
+            spark,
+            [
+                (1, _ts(0), 1, "click", 1.0),
+                (2, _ts(1), 1, "purchase", 3.0),
+            ],
+        ),
+        0,
+    )
+    log = {r.purchase_id: r for r in _log(spark, log_path)}
+    assert log[2].touch_type == "click" and log[2].value_e6 == 3_000_000
+    # and a replay still dedups against the durable dir
+    sink(
+        _events(
+            spark,
+            [
+                (1, _ts(0), 1, "click", 1.0),
+                (2, _ts(1), 1, "purchase", 3.0),
+            ],
+        ),
+        0,
+    )
+    assert [r.purchase_id for r in _log(spark, log_path)] == [2]
