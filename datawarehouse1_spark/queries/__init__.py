@@ -41,6 +41,7 @@ _MODULES = (
     "dedup_r10",
     "analytics_r10c",
     "analytics_r10d",
+    "events_r10b",
 )
 
 

@@ -98,7 +98,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_fill_rate_sla",
     "q_orders_value_deciles",
     "q_text_successor_diversity",
-    # -- (c) the 11 oldest r6-graded re-grades filling the window
+    "q_events_path_trigrams",
+    "q_text_source_divergence",
+    # -- (c) the 9 oldest r6-graded re-grades filling the window
     # to exactly 50 (ROUND_NOTES r10 rotation #2) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
@@ -109,10 +111,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
-    "q_warc_extract_text",
-    "q_sketch_count_min",
     # ---- graded window ends here (first 50) ----
     # -- r6-graded remainder (fronts the r11 window) --
+    "q_warc_extract_text",
+    "q_sketch_count_min",
     "q_merge_cdc_apply",
     "q_curation_gopher_rules",
     "q_stats_mad_outliers",

@@ -371,6 +371,12 @@ EXCHANGE_BUDGET = {
     # widen repartition (test-SF only) + (bigram) pair counts +
     # (token) head roll-up; TakeOrderedAndProject top-50
     "q_text_successor_diversity": 3,
+    # one user-sorted lead window + the (path, user) distinct expand
+    "q_events_path_trigrams": 2,
+    # post-checkpoint: everything runs on the bounded (source, word)
+    # count table — word-total agg + its join reshuffle + source
+    # aggregates; token rows shuffle exactly once (pre-checkpoint)
+    "q_text_source_divergence": 6,
 }
 
 

@@ -742,3 +742,90 @@ def test_successor_diversity_hand_computed(spark, tmp_path):
     # 'cat' heads: cat->the once (the second 'cat' ends doc 1)
     assert got["cat"].n_total == 1
     assert "gamma" not in got  # ends its document, heads nothing
+
+
+# ---------------------------------------------------------- path trigrams
+
+
+def test_path_trigrams_hand_computed(spark, tmp_path):
+    """Path laws: triples respect (ts, event_id) order (same-ts ties
+    break by id); a user with k events yields k-2 paths; paths never
+    cross users."""
+    t0 = datetime.datetime(2026, 9, 1, 10, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: view > click > purchase > view  -> 2 paths
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + s, 1, "click", 1.0, "{}"),
+        (2, t0 + 2 * s, 1, "purchase", 1.0, "{}"),
+        (3, t0 + 3 * s, 1, "view", 1.0, "{}"),
+        # user 2: same-ts pair ordered by event_id: view(4) < click(5)
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0, 2, "click", 1.0, "{}"),
+        (6, t0 + s, 2, "purchase", 1.0, "{}"),
+        # user 3: two events only -> no path
+        (7, t0, 3, "view", 1.0, "{}"),
+        (8, t0 + s, 3, "click", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EVENTS_SCHEMA)
+    got = {
+        r.path: r
+        for r in registry.QUERIES["q_events_path_trigrams"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view>click>purchase"].n_paths == 2  # users 1 and 2
+    assert got["view>click>purchase"].n_users == 2
+    assert got["click>purchase>view"].n_paths == 1
+    assert sum(r.n_paths for r in got.values()) == 3  # (4-2) + (3-2) + 0
+
+
+# ---------------------------------------------------------- divergence
+
+
+def test_source_divergence_exact_tvd(spark, tmp_path):
+    """TVD laws: a source identical to the corpus distribution scores
+    0; hand-computed exact micro-units for a staged two-source
+    corpus, including the mass of words a source never uses."""
+    docs = [
+        # s1: a a b   s2: a b b b
+        (1, "a a b", "en", "s1", 5),
+        (2, "a b b b", "en", "s2", 7),
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in registry.QUERIES["q_text_source_divergence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # corpus: a=3, b=4, N=7 ; s1: a=2,b=1,n=3 ; s2: a=1,b=3,n=4
+    # TVD(s1) = 1/2 (|2/3-3/7| + |1/3-4/7|) = 1/2 (5/21 + 5/21) = 5/21
+    # exact identity: (|2*7-3*3| + |1*7-4*3|) / (2*3*7) = (5+5)/42
+    assert got["s1"].n_tokens == 3
+    assert got["s1"].tvd_e6 == 10 * 1_000_000 // 42
+    # TVD(s2) = 1/2 (|1/4-3/7| + |3/4-4/7|) = 1/2 (5/28 + 5/28) = 5/28
+    assert got["s2"].n_tokens == 4
+    assert got["s2"].tvd_e6 == 10 * 1_000_000 // 56
+
+
+def test_source_divergence_missing_words_mass(spark, tmp_path):
+    """A source that never uses a corpus word still pays that word's
+    full probability mass: s1={a}, s2={b} -> TVD(s1) counts |1-1/2|
+    for a AND |0-1/2| for b = 1/2 exactly."""
+    docs = [
+        (1, "a", "en", "s1", 1),
+        (2, "b", "en", "s2", 1),
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r.tvd_e6
+        for r in registry.QUERIES["q_text_source_divergence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"s1": 500_000, "s2": 500_000}

@@ -178,6 +178,8 @@ def test_registry_window_structure():
         "q_orders_fill_rate_sla",
         "q_orders_value_deciles",
         "q_text_successor_diversity",
+        "q_events_path_trigrams",
+        "q_text_source_divergence",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
