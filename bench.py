@@ -142,6 +142,10 @@ def main() -> None:
         # dedup tier (llm_total grows again — compare per-query)
         "q_embedding_covariance_exact",
         "q_dedup_containment_subset",
+        # r10 batch 10: the winnowing fingerprint tier and the
+        # boilerplate report (llm_total grows again — compare per-query)
+        "q_dedup_winnowing_fingerprint",
+        "q_curation_boilerplate_snippets",
     )
     llm: dict[str, float] = {}
     llm_spread: dict[str, float] = {}

@@ -42,6 +42,10 @@ _MODULES = (
     "analytics_r10c",
     "analytics_r10d",
     "events_r10b",
+    "dedup_r10b",
+    "analytics_r10e",
+    "text_r10b",
+    "vectors_r10b",
 )
 
 

@@ -100,8 +100,19 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_successor_diversity",
     "q_events_path_trigrams",
     "q_text_source_divergence",
-    # -- (c) the 9 oldest r6-graded re-grades filling the window
-    # to exactly 50 (ROUND_NOTES r10 rotation #2) --
+    "q_dedup_winnowing_fingerprint",
+    "q_supplier_concentration_hhi",
+    "q_orders_repeat_interval",
+    "q_orders_customer_migration",
+    "q_stats_mann_whitney",
+    "q_text_charset_profile",
+    "q_curation_boilerplate_snippets",
+    "q_split_kfold_assign",
+    "q_embedding_cluster_balance",
+    # ---- graded window ends here (first 50): 3 r9-tail + 47 new r10
+    # (the batch-10 queries displaced the last 9 r6 fills) ----
+    # -- r6-graded remainder (fronts the r11 window; the 9 displaced
+    # fills stay in oldest-first r6 order at its head) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
@@ -111,8 +122,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_multimodal_mp4_demux",
     "q_sketch_log_histogram",
-    # ---- graded window ends here (first 50) ----
-    # -- r6-graded remainder (fronts the r11 window) --
     "q_warc_extract_text",
     "q_sketch_count_min",
     "q_merge_cdc_apply",

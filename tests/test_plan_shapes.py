@@ -377,6 +377,34 @@ EXCHANGE_BUDGET = {
     # count table — word-total agg + its join reshuffle + source
     # aggregates; token rows shuffle exactly once (pre-checkpoint)
     "q_text_source_divergence": 6,
+    # post-checkpoint (fingerprints + counts both checkpointed): the
+    # broadcast pair join + ONE pair aggregate; selection/distinct
+    # exchanges run once pre-checkpoint (rule 12)
+    "q_dedup_winnowing_fingerprint": 1,
+    # per-supplier lineitem agg + 25-row nation agg (supplier joins
+    # broadcast at test SF)
+    "q_supplier_concentration_hhi": 2,
+    # custkey window exchange + bounded (segment, gap) histogram agg
+    # + the bounded per-segment cum window
+    "q_orders_repeat_interval": 3,
+    # custkey-year agg + both FULL OUTER sides re-key on the shifted
+    # year (full outer cannot broadcast) + bounded matrix agg + its
+    # share window
+    "q_orders_customer_migration": 5,
+    # post-checkpoint (per-value counts checkpointed): bucket-border
+    # agg + its bounded ordered window + the within-bucket window
+    # partition + the single-row final agg — per-row data crosses
+    # only the pre-checkpoint value-count exchange (rule 22)
+    "q_stats_mann_whitney": 4,
+    # one bounded per-source aggregate
+    "q_text_charset_profile": 1,
+    # (source, kind, snippet) agg + per-source totals agg (broadcast)
+    "q_curation_boilerplate_snippets": 2,
+    # bounded (fold, lang) cell agg + the per-lang share window
+    "q_split_kfold_assign": 2,
+    # 1-row centroid collect agg + 8-row cluster agg + global share
+    # window over 8 rows; vectors themselves never shuffle
+    "q_embedding_cluster_balance": 3,
 }
 
 

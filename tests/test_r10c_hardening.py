@@ -1,0 +1,427 @@
+"""Round-10 batch-10 law tests: staged-data first-principles checks
+for the winnowing dedup tier, supplier concentration, repeat-purchase
+latency, segment migration, Mann-Whitney, charset profile, boilerplate
+snippets, k-fold split, and cluster balance (one law battery per new
+declared query, mirroring the r10 discipline)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp_ntz,"
+    " o_orderpriority string"
+)
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp_ntz"
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def _ref_winnow(tokens: list[str], k: int = 3, w: int = 4) -> set[str]:
+    """Independent pure-python winnowing (Schleimer et al.): 24-bit
+    md5-prefix gram keys, rightmost-min per window — the spec the
+    query must reproduce."""
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    if not grams:
+        return set()
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:6], 16) for g in grams
+    ]
+    out: set[str] = set()
+    n = len(grams)
+    for p in range(max(n - w + 1, 1)):
+        win = list(range(p, min(p + w, n)))
+        m = min(hs[j] for j in win)
+        sel = max(j for j in win if hs[j] == m)  # rightmost min
+        out.add(grams[sel])
+    return out
+
+
+def test_winnowing_matches_reference_implementation(spark, tmp_path):
+    """The query's fingerprint pairs equal the pure-python winnowing
+    reference computed from the same token streams: identical docs
+    share ALL fingerprints (overlap exactly 1e6), partially
+    overlapping docs share exactly |fp(a) ∩ fp(b)|, and disjoint-vocab
+    docs never pair."""
+    t1 = " ".join(f"w{i}" for i in range(30))
+    # doc 2 = same 30 tokens (exact dup); doc 3 shares tokens 10..29
+    t3 = " ".join(f"w{i}" for i in range(10, 30)) + " " + " ".join(
+        f"x{i}" for i in range(10)
+    )
+    t4 = " ".join(f"z{i}" for i in range(30))
+    docs = [
+        (1, t1, "en", "s", 100),
+        (2, t1, "en", "s", 100),
+        (3, t3, "en", "s", 100),
+        (4, t4, "en", "s", 100),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    out = registry.QUERIES["q_dedup_winnowing_fingerprint"](
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r.src_doc, r.dst_doc): r for r in out}
+    fp = {
+        i: _ref_winnow(t.split())
+        for i, t in ((1, t1), (2, t1), (3, t3), (4, t4))
+    }
+    # exact dup: all fingerprints shared, overlap exactly 1e6
+    r = pairs[(1, 2)]
+    assert r.n_shared == len(fp[1]) == r.n_src_fp == r.n_dst_fp
+    assert r.overlap_e6 == 1_000_000
+    # partial overlap: the query's count equals the reference
+    # intersection (when it clears the >= 3 reporting threshold)
+    inter13 = len(fp[1] & fp[3])
+    if inter13 >= 3:
+        assert pairs[(1, 3)].n_shared == inter13
+        assert pairs[(1, 3)].n_src_fp == len(fp[1])
+        assert pairs[(1, 3)].n_dst_fp == len(fp[3])
+    # disjoint vocab never pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_winnowing_guarantee_on_staged_excerpts(spark):
+    """The winnowing locality guarantee, exercised on the real corpus:
+    every staged 20-token excerpt (doc_id+30000, staged for doc_id % 5
+    == 0 with >= 28 tokens) shares a >= 6-token run with its source,
+    so it MUST pair with it (>= 3 shared fingerprints for a 20-token
+    excerpt: at least one fingerprint per W consecutive windows)."""
+    out = registry.QUERIES["q_dedup_winnowing_fingerprint"](
+        spark, SF_DIR
+    ).collect()
+    pairs = {(r.src_doc, r.dst_doc) for r in out}
+    staged = {d for (s, d) in pairs if d >= 30000} | {
+        s for (s, d) in pairs if s >= 30000
+    }
+    # every excerpt doc that produced fingerprints pairs with its source
+    found = 0
+    for (s, d) in pairs:
+        if d >= 30000 and s == d - 30000:
+            found += 1
+    assert found >= 1, "no staged excerpt paired with its source"
+    assert staged, "staging produced no excerpt docs"
+
+
+# ------------------------------------------------------------------ hhi
+
+
+def test_hhi_uniform_and_monopoly(spark, tmp_path):
+    """HHI laws: n equal-revenue suppliers give hhi == 1e6 div n (and
+    CR1 likewise); a single-supplier nation is exactly 1e6; n_eff
+    inverts hhi."""
+    d = datetime.datetime
+    # nation 0: 4 suppliers, equal revenue; nation 1: monopoly
+    suppliers = [(k, f"s{k}", 0 if k < 4 else 1, 0.0) for k in range(5)]
+    _write(
+        spark, tmp_path, "supplier", suppliers,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(0, "AAA", 0), (1, "BBB", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    li = [
+        (k + 1, 1, k, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d(1995, 1, 1))
+        for k in range(5)
+    ]
+    _write(spark, tmp_path, "lineitem", li, _LI_SCHEMA)
+    out = {
+        r.n_name: r
+        for r in registry.QUERIES["q_supplier_concentration_hhi"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a = out["AAA"]
+    assert a.n_suppliers == 4
+    assert a.hhi_e6 == 1_000_000 // 4 == 250_000
+    assert a.cr1_e6 == 250_000
+    assert a.n_eff_e3 == 1_000_000_000 // 250_000 == 4000
+    b = out["BBB"]
+    assert b.n_suppliers == 1
+    assert b.hhi_e6 == 1_000_000 and b.cr1_e6 == 1_000_000
+    assert b.n_eff_e3 == 1000
+
+
+# -------------------------------------------------------- repeat interval
+
+
+def test_repeat_interval_hand_computed(spark, tmp_path):
+    """Hand-computed gaps: cust 1 orders on days 0/10/20 (gaps 10,10),
+    cust 2 on days 0/30 (gap 30) — one segment: n=3, mean=50/3 in
+    micro-days, median 10 (cum·2 >= 3 first at gap 10), p90 30
+    (cum·10 >= 27 first at 30), max 30."""
+    d = datetime.datetime
+    orders = [
+        (1, 1, "O", 10.0, d(1995, 1, 1), "1-URGENT"),
+        (2, 1, "O", 10.0, d(1995, 1, 11), "1-URGENT"),
+        (3, 1, "O", 10.0, d(1995, 1, 21), "1-URGENT"),
+        (4, 2, "O", 10.0, d(1995, 1, 1), "1-URGENT"),
+        (5, 2, "O", 10.0, d(1995, 1, 31), "1-URGENT"),
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    _write(
+        spark, tmp_path, "customer",
+        [(1, "c1", 0, 0.0, "SEG"), (2, "c2", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    [r] = registry.QUERIES["q_orders_repeat_interval"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.c_mktsegment == "SEG"
+    assert r.n_gaps == 3
+    assert r.mean_gap_e6 == 50 * 1_000_000 // 3
+    assert r.median_gap_days == 10
+    assert r.p90_gap_days == 30
+    assert r.max_gap_days == 30
+
+
+# ------------------------------------------------------------- migration
+
+
+def test_migration_cells_and_share_closure(spark, tmp_path):
+    """Staged moves: cust 1 low(1995)->high(1996); cust 2 present 1995
+    only (churn row to 'none'); cust 3 present 1996 only (acquisition
+    row from 'none' at year 1995).  Shares floor-close within each
+    (year, from) group."""
+    d = datetime.datetime
+    orders = [
+        # cust 1: 1995 total $100k (low), 1996 total $700k (high)
+        (1, 1, "O", 100_000.0, d(1995, 3, 1), "1-URGENT"),
+        (2, 1, "O", 700_000.0, d(1996, 3, 1), "1-URGENT"),
+        # cust 2: 1995 only (mid band: $300k)
+        (3, 2, "O", 300_000.0, d(1995, 5, 1), "1-URGENT"),
+        # cust 3: 1996 only (low)
+        (4, 3, "O", 100_000.0, d(1996, 7, 1), "1-URGENT"),
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    out = registry.QUERIES["q_orders_customer_migration"](
+        spark, str(tmp_path)
+    ).collect()
+    cells = {(r.year_from, r.from_seg, r.to_seg): r.n_customers for r in out}
+    assert cells[(1995, "low", "high")] == 1
+    assert cells[(1995, "mid", "none")] == 1  # churn
+    assert cells[(1995, "none", "low")] == 1  # acquisition
+    # 1996 rows pair against (empty) 1997 -> both land in to='none'
+    assert cells[(1996, "high", "none")] == 1
+    assert cells[(1996, "low", "none")] == 1
+    # share closure within each (year, from) row
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in out:
+        groups[(r.year_from, r.from_seg)].append(r)
+    for rows in groups.values():
+        total = sum(r.share_e6 for r in rows)
+        assert 1_000_000 - len(rows) < total <= 1_000_000
+
+
+# ----------------------------------------------------------- mann-whitney
+
+
+def test_mann_whitney_u_identity_on_real_data(spark):
+    """u2_a + u2_b == 2·n_a·n_b — the rank-sum conservation law."""
+    [r] = registry.QUERIES["q_stats_mann_whitney"](spark, SF_DIR).collect()
+    assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+    assert 0 <= r.auc_a_e6 <= 1_000_000
+
+
+def test_mann_whitney_hand_computed_with_ties(spark, tmp_path):
+    """A = {$1, $2} (urgent), B = {$1} (low): pairs (1,1) tie = 1/2,
+    (2,1) win = 1 -> U_A = 1.5, u2_a = 3, u2_b = 1,
+    auc = 3e6 // 4 = 750000."""
+    d = datetime.datetime
+    orders = [
+        (1, 1, "O", 1.0, d(1995, 1, 1), "1-URGENT"),
+        (2, 1, "O", 2.0, d(1995, 1, 2), "2-HIGH"),
+        (3, 2, "O", 1.0, d(1995, 1, 3), "5-LOW"),
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_stats_mann_whitney"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.u2_a == 3 and r.u2_b == 1
+    assert r.auc_a_e6 == 750_000
+
+
+def test_mann_whitney_symmetric_halves(spark, tmp_path):
+    """Identical value multisets in A and B -> u2_a == u2_b and
+    auc exactly 500000."""
+    d = datetime.datetime
+    orders = []
+    for i, price in enumerate((10.0, 20.0, 30.0)):
+        orders.append(
+            (2 * i, 1, "O", price, d(1995, 1, 1), "1-URGENT")
+        )
+        orders.append(
+            (2 * i + 1, 1, "O", price, d(1995, 1, 1), "5-LOW")
+        )
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_stats_mann_whitney"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.u2_a == r.u2_b
+    assert r.auc_a_e6 == 500_000
+
+
+# --------------------------------------------------------------- charset
+
+
+def test_charset_hand_computed(spark, tmp_path):
+    """'abc 12 世界 мир.' = 3 alpha + 2 digit + 3 space + 2 CJK +
+    3 Cyrillic + 1 other of 14 chars; doc_id avoids the %7 staging."""
+    docs = [(1, "abc 12 世界 мир.", "en", "s", 14)]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    [r] = registry.QUERIES["q_text_charset_profile"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_chars == 14
+    assert r.alpha_e6 == 3 * 1_000_000 // 14
+    assert r.digit_e6 == 2 * 1_000_000 // 14
+    assert r.space_e6 == 3 * 1_000_000 // 14
+    assert r.cjk_e6 == 2 * 1_000_000 // 14
+    assert r.cyr_e6 == 3 * 1_000_000 // 14
+    assert r.other_e6 == 1 * 1_000_000 // 14
+
+
+def test_charset_closure_on_real_data(spark):
+    """The six classes partition every character: floored shares sum
+    into (1e6 - 6, 1e6] per source."""
+    out = registry.QUERIES["q_text_charset_profile"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        s = (
+            r.alpha_e6 + r.digit_e6 + r.space_e6
+            + r.cjk_e6 + r.cyr_e6 + r.other_e6
+        )
+        assert 1_000_000 - 6 < s <= 1_000_000, r
+
+
+# ------------------------------------------------------------ boilerplate
+
+
+def test_boilerplate_detects_staged_header_and_footer(spark, tmp_path):
+    """10 docs in one source: 4 share a 5-token header (40% >= 10%,
+    n >= 3 -> reported); the %3-staged footer lands on >= 3 docs ->
+    reported; a header shared by only 2 docs is NOT reported."""
+    common = "alpha beta gamma delta epsilon"
+    docs = []
+    for i in range(1, 11):
+        if i <= 4:
+            body = f"{common} body{i} " + " ".join(
+                f"t{i}{j}" for j in range(8)
+            )
+        else:
+            body = f"head{i} h2{i} h3{i} h4{i} h5{i} " + " ".join(
+                f"t{i}{j}" for j in range(8)
+            )
+        docs.append((i, body, "en", "s", len(body)))
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    out = registry.QUERIES["q_curation_boilerplate_snippets"](
+        spark, str(tmp_path)
+    ).collect()
+    rows = {(r.kind, r.snippet): r for r in out}
+    hdr = rows[("header", common)]
+    assert hdr.n_docs == 4 and hdr.share_e6 == 400_000
+    # doc_ids 3, 6, 9 get the staged footer -> its 5 tokens are their
+    # last-5 window exactly
+    foot = rows[("footer", "subscribe to our newsletter today")]
+    assert foot.n_docs == 3 and foot.share_e6 == 300_000
+    # two-doc headers never report (threshold n >= 3)
+    assert all(r.n_docs >= 3 for r in out)
+
+
+# ----------------------------------------------------------------- kfold
+
+
+def test_kfold_closure_and_determinism(spark):
+    """Folds partition the corpus (cell counts sum to |documents|),
+    fold ids are 0..4, shares close within each lang, and a second
+    run is bit-identical (pure function of identity)."""
+    import duckdb
+
+    fn = registry.QUERIES["q_split_kfold_assign"]
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b
+    n_total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r[2] for r in a) == n_total
+    assert {r[0] for r in a} <= {0, 1, 2, 3, 4}
+    import collections
+
+    langs = collections.defaultdict(int)
+    for r in a:
+        langs[r[1]] += r[4]
+    for lang, s in langs.items():
+        assert 1_000_000 - 5 < s <= 1_000_000, (lang, s)
+
+
+# -------------------------------------------------------- cluster balance
+
+
+def test_cluster_balance_staged_geometry(spark, tmp_path):
+    """Vectors placed exactly AT centroids have zero inertia and
+    balanced counts; an equidistant vector ties to the LOWER centroid
+    id."""
+    d = 4
+    rows = []
+    # 8 centroids along axis 0 at 10*i, plus one extra member each
+    for i in range(8):
+        v = [0.0] * d
+        v[0] = 10.0 * i
+        rows.append((i, v, i))
+        rows.append((100 + i, list(v), i))
+    # equidistant between centroid 0 (at 0) and centroid 1 (at 10)
+    eq = [0.0] * d
+    eq[0] = 5.0
+    rows.append((200, eq, 0))
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.cluster_id: r
+        for r in registry.QUERIES["q_embedding_cluster_balance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == set(range(8))
+    # tie goes to cluster 0: it holds centroid + member + the tie vector
+    assert out[0].n_vecs == 3
+    for cid in range(1, 8):
+        assert out[cid].n_vecs == 2
+        assert out[cid].inertia_mean_q == 0
+    # cluster 0 inertia = tie vector's exact quantized distance / 3
+    assert out[0].inertia_mean_q == (5_000_000 ** 2) // 3
+    # shares floor-close
+    total = sum(r.share_e6 for r in out.values())
+    assert 1_000_000 - 8 < total <= 1_000_000

@@ -180,6 +180,15 @@ def test_registry_window_structure():
         "q_text_successor_diversity",
         "q_events_path_trigrams",
         "q_text_source_divergence",
+        "q_dedup_winnowing_fingerprint",
+        "q_supplier_concentration_hhi",
+        "q_orders_repeat_interval",
+        "q_orders_customer_migration",
+        "q_stats_mann_whitney",
+        "q_text_charset_profile",
+        "q_curation_boilerplate_snippets",
+        "q_split_kfold_assign",
+        "q_embedding_cluster_balance",
     ]
     assert window[:3] == NEVER_GRADED_R9_TAIL
     assert window[3 : 3 + len(NEW_R10)] == NEW_R10
