@@ -46,6 +46,9 @@ _MODULES = (
     "analytics_r10e",
     "text_r10b",
     "vectors_r10b",
+    "analytics_r10f",
+    "events_r10c",
+    "curation_r10b",
 )
 
 

@@ -111,8 +111,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_embedding_cluster_balance",
     # ---- graded window ends here (first 50): 3 r9-tail + 47 new r10
     # (the batch-10 queries displaced the last 9 r6 fills) ----
-    # -- r6-graded remainder (fronts the r11 window; the 9 displaced
-    # fills stay in oldest-first r6 order at its head) --
+    # -- never-graded r10 TAIL (landed after the r10 window filled;
+    # they FRONT the r11 window — the r9 positions-51..53 precedent) --
+    "q_stats_kendall_tau",
+    "q_orders_abc_parts",
+    "q_events_user_type_gini",
+    "q_split_ngram_leakage",
+    # -- r6-graded remainder (the 9 displaced fills stay in
+    # oldest-first r6 order at its head; follows the r10 tail in the
+    # r11 window) --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",

@@ -405,6 +405,21 @@ EXCHANGE_BUDGET = {
     # 1-row centroid collect agg + 8-row cluster agg + global share
     # window over 8 rows; vectors themselves never shuffle
     "q_embedding_cluster_balance": 3,
+    # post-checkpoint: ONE bounded all-pairs aggregate (facts collapse
+    # to the (nation, year) cents aggregate pre-checkpoint; pairs ride
+    # a bounded broadcast nested loop)
+    "q_stats_kendall_tau": 1,
+    # post-checkpoint (per-value masses checkpointed): bucket borders
+    # + their bounded desc window + within-bucket window + 1-row total
+    # + 3-row class agg; facts cross only the pre-checkpoint partkey
+    # exchange
+    "q_orders_abc_parts": 5,
+    # two-level (user, type) -> user aggregate (rule 4)
+    "q_events_user_type_gini": 2,
+    # post-checkpoint (window hashes checkpointed): train-window
+    # distinct + the semi-join probe re-key + leaked-doc distinct/agg
+    # + holdout totals agg; text never shuffles
+    "q_split_ngram_leakage": 4,
 }
 
 

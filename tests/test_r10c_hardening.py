@@ -425,3 +425,181 @@ def test_cluster_balance_staged_geometry(spark, tmp_path):
     # shares floor-close
     total = sum(r.share_e6 for r in out.values())
     assert 1_000_000 - 8 < total <= 1_000_000
+
+
+# ---------------------------------------------------------- kendall tau
+
+
+def test_kendall_tau_identical_and_reversed_rankings(spark, tmp_path):
+    """tau == 1.0 when the two years rank nations identically,
+    -1.0 when exactly reversed; C + D == n(n-1)/2 always."""
+    d = datetime.datetime
+    _write(
+        spark, tmp_path, "nation",
+        [(i, f"N{i}", 0) for i in range(3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark, tmp_path, "customer",
+        [(i, f"c{i}", i, 0.0, "S") for i in range(3)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    # reversed: nation 0 biggest in 1995, smallest in 1996
+    orders = []
+    for i in range(3):
+        orders.append(
+            (10 + i, i, "O", 100.0 * (3 - i), d(1995, 2, 1), "1-URGENT")
+        )
+        orders.append(
+            (20 + i, i, "O", 100.0 * (i + 1), d(1996, 2, 1), "1-URGENT")
+        )
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_stats_kendall_tau"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_entities == 3 and r.n_pairs == 3
+    assert r.concordant == 0 and r.discordant == 3
+    assert r.tau == -1.0
+    # identical rankings -> tau == 1.0
+    orders2 = []
+    for i in range(3):
+        for y in (1995, 1996):
+            orders2.append(
+                (100 * y + i, i, "O", 100.0 * (3 - i), d(y, 2, 1), "1-URGENT")
+            )
+    _write(spark, tmp_path, "orders", orders2, _ORDERS_SCHEMA)
+    [r2] = registry.QUERIES["q_stats_kendall_tau"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r2.tau == 1.0 and r2.concordant == 3 and r2.discordant == 0
+
+
+def test_kendall_tau_pair_conservation_on_real_data(spark):
+    [r] = registry.QUERIES["q_stats_kendall_tau"](spark, SF_DIR).collect()
+    assert r.concordant + r.discordant == r.n_pairs
+    assert r.n_pairs == r.n_entities * (r.n_entities - 1) // 2
+    assert -1.0 <= r.tau <= 1.0
+
+
+# ------------------------------------------------------------- abc parts
+
+
+def test_abc_parts_minimality_and_closure(spark):
+    """A covers >= 80% of revenue (floored share >= 799999 is the
+    minimal-prefix guarantee at value granularity); A+B covers >= 95%;
+    classes partition parts and revenue."""
+    rows = {
+        r.abc_class: r
+        for r in registry.QUERIES["q_orders_abc_parts"](
+            spark, SF_DIR
+        ).collect()
+    }
+    total_mass = sum(r.mass_e4 for r in rows.values())
+    a = rows["A"].mass_e4
+    assert a * 5 >= total_mass * 4  # >= 80%
+    if "B" in rows:
+        assert (a + rows["B"].mass_e4) * 20 >= total_mass * 19  # >= 95%
+    shares = sum(r.share_e6 for r in rows.values())
+    assert 1_000_000 - len(rows) < shares <= 1_000_000
+
+
+def test_abc_parts_hand_computed(spark, tmp_path):
+    """4 parts with revenue 70/20/6/4: A = {70, 20} (70 alone is only
+    70% < 80), B = {6} (90 -> 96%), C = {4}."""
+    d = datetime.datetime
+    li = []
+    for pk, price in ((1, 70.0), (2, 20.0), (3, 6.0), (4, 4.0)):
+        li.append(
+            (pk, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", d(1995, 1, 1))
+        )
+    _write(spark, tmp_path, "lineitem", li, _LI_SCHEMA)
+    rows = {
+        r.abc_class: r
+        for r in registry.QUERIES["q_orders_abc_parts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows["A"].n_parts == 2 and rows["A"].mass_e4 == 900_000
+    assert rows["B"].n_parts == 1 and rows["B"].mass_e4 == 60_000
+    assert rows["C"].n_parts == 1 and rows["C"].mass_e4 == 40_000
+    assert rows["A"].share_e6 == 900_000
+    assert rows["B"].share_e6 == 60_000
+    assert rows["C"].share_e6 == 40_000
+
+
+# -------------------------------------------------------------- user gini
+
+
+def test_user_type_gini_hand_computed(spark, tmp_path):
+    """Single-type user -> gini 0; uniform over 4 types -> exactly
+    750000; 2 types at 3:1 -> 1 - (9+1)/16 = 375000."""
+    d = datetime.datetime
+    events = []
+    eid = 0
+    for _ in range(5):
+        eid += 1
+        events.append((eid, d(2024, 1, 1, eid), 1, "click", 0.0, "{}"))
+    for t in ("a", "b", "c", "d"):
+        eid += 1
+        events.append((eid, d(2024, 1, 1, 0, eid), 2, t, 0.0, "{}"))
+    for t in ("x", "x", "x", "y"):
+        eid += 1
+        events.append((eid, d(2024, 1, 1, 0, 0, eid), 3, t, 0.0, "{}"))
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: r
+        for r in registry.QUERIES["q_events_user_type_gini"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1].gini_e6 == 0 and out[1].n_types == 1
+    assert out[2].gini_e6 == 750_000 and out[2].n_types == 4
+    assert out[3].gini_e6 == 375_000 and out[3].n_events == 4
+
+
+# ---------------------------------------------------------- ngram leakage
+
+
+def test_ngram_leakage_staged_copy_detected(spark, tmp_path):
+    """A holdout doc that is an exact copy of a train doc leaks; a
+    holdout doc with a fresh 10-token vocabulary does not.  Split
+    membership is derived from the SAME md5 rule the query uses."""
+    import hashlib as h
+
+    def split_of(doc_id: int) -> str:
+        p = h.md5(str(doc_id).encode()).hexdigest()[:8]
+        return "train" if p < "e6666666" else ("val" if p < "f3333333" else "test")
+
+    # find a train id and a holdout id (odd, so the %2 staging doesn't
+    # add copies of them)
+    train_id = next(i for i in range(1, 500, 2) if split_of(i) == "train")
+    hold_id = next(i for i in range(1, 500, 2) if split_of(i) != "train")
+    clean_id = next(
+        i for i in range(hold_id + 2, 900, 2) if split_of(i) != "train"
+    )
+    shared = " ".join(f"tok{j}" for j in range(12))
+    fresh = " ".join(f"zzz{j}" for j in range(12))
+    docs = [
+        (train_id, shared, "en", "s", 10),
+        (hold_id, shared, "en", "s", 10),
+        (clean_id, fresh, "en", "s", 10),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    out = {
+        r.split: r
+        for r in registry.QUERIES["q_split_ngram_leakage"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    leaked = sum(r.n_leaked for r in out.values())
+    n_docs = sum(r.n_docs for r in out.values())
+    # hold_id leaks (shares all windows with train_id); clean does not
+    assert leaked == 1, out
+    assert n_docs == 2
+    for r in out.values():
+        assert 0 <= r.leak_share_e6 <= 1_000_000

@@ -1,0 +1,160 @@
+"""Streaming zone-map maintainer (streaming/zonemap_maintenance.py):
+per-file min/max/count statistics folded into an atomically-published
+index as files land.
+
+Covers: batch stats exactness, cross-batch per-file folding (a file
+delivered across batches merges min/max and sums counts), the
+batching-invariance law (index == one-shot recompute over all rows),
+prune soundness (envelope-pruned files contain no matching rows),
+replay idempotence (same batch id skips; same CONTENT under a higher
+id also skips — the defense-in-depth shield), and the end-to-end
+stream with checkpointed restart."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+from datawarehouse1_spark.streaming import zonemap_maintenance as zm
+from datawarehouse1_spark.streaming.snapshot_store import (
+    latest_version,
+    read_snapshot,
+)
+
+_SCHEMA = "file_id string, o_orderkey long, o_orderdate timestamp_ntz"
+_D = datetime.datetime
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _index(spark, path):
+    df = read_snapshot(spark, path)
+    return {
+        r.file_id: (
+            r.n_rows,
+            r.key_min,
+            r.key_max,
+            str(r.date_min),
+            str(r.date_max),
+        )
+        for r in df.collect()
+    }
+
+
+R1 = [
+    ("f1", 10, _D(1995, 1, 5)),
+    ("f1", 20, _D(1995, 1, 9)),
+    ("f2", 100, _D(1995, 2, 1)),
+]
+R2 = [
+    ("f2", 90, _D(1995, 1, 20)),  # f2 spans two batches
+    ("f3", 500, _D(1995, 3, 1)),
+]
+
+
+def test_zonemap_fold_and_batching_invariance(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    sink = zm.make_zonemap_sink(spark, path)
+    sink(_rows_df(spark, R1), 0)
+    sink(_rows_df(spark, R2), 1)
+    idx = _index(spark, path)
+    assert idx["f1"] == (2, 10, 20, "1995-01-05", "1995-01-09")
+    # f2 folded across batches: counts sum, envelopes merge
+    assert idx["f2"] == (2, 90, 100, "1995-01-20", "1995-02-01")
+    assert idx["f3"] == (1, 500, 500, "1995-03-01", "1995-03-01")
+    # batching invariance: one-shot recompute over ALL rows agrees
+    oneshot = zm.batch_zonemap(
+        _rows_df(spark, R1 + R2), "o_orderkey", "o_orderdate"
+    )
+    want = {
+        r.file_id: (
+            r.n_rows, r.key_min, r.key_max, str(r.date_min), str(r.date_max)
+        )
+        for r in oneshot.collect()
+    }
+    assert idx == want
+
+
+def test_zonemap_prune_soundness(spark, tmp_path):
+    """Envelope-pruned files never contain a matching row (the planner
+    skip list is sound by construction)."""
+    path = str(tmp_path / "zm")
+    sink = zm.make_zonemap_sink(spark, path)
+    sink(_rows_df(spark, R1 + R2), 0)
+    index = read_snapshot(spark, path)
+    lo, hi = 95, 600
+    pruned = {r.file_id for r in zm.prunable_files(index, lo, hi).collect()}
+    assert pruned == {"f1"}
+    matching_files = {
+        f for (f, k, _) in R1 + R2 if lo <= k <= hi
+    }
+    assert not (pruned & matching_files)
+
+
+def test_zonemap_replay_and_content_shield(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    sink = zm.make_zonemap_sink(spark, path)
+    sink(_rows_df(spark, R1), 0)
+    before = _index(spark, path)
+    v0 = latest_version(path)
+    # same batch id: id-guard skips
+    sink(_rows_df(spark, R1), 0)
+    assert _index(spark, path) == before
+    assert latest_version(path) == v0
+    # same CONTENT under a higher id: the content shield skips too
+    sink(_rows_df(spark, R1), 5)
+    assert _index(spark, path) == before
+    assert latest_version(path) == v0
+    # genuinely new content applies at its id
+    sink(_rows_df(spark, R2), 6)
+    assert latest_version(path) == 6
+    assert _index(spark, path)["f3"][0] == 1
+
+
+def test_zonemap_stream_end_to_end_with_restart(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    path = str(tmp_path / "zm")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        _rows_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(watch / name)
+        )
+
+    write("b1.parquet", R1)
+
+    def start():
+        source = spark.readStream.schema(_SCHEMA).parquet(str(watch) + "/*")
+        return zm.stream_maintain_zonemap(
+            spark, source, path, ckpt, trigger_seconds=1
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if latest_version(path) is not None:
+                break
+        assert _index(spark, path)["f1"][0] == 2
+    finally:
+        q.stop()
+
+    write("b2.parquet", R2)
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            idx = _index(spark, path)
+            if "f3" in idx:
+                break
+        idx = _index(spark, path)
+        # f2's envelope now spans both deliveries across the restart
+        assert idx["f2"] == (2, 90, 100, "1995-01-20", "1995-02-01")
+        assert idx["f3"][0] == 1
+    finally:
+        q.stop()
