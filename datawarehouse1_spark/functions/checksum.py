@@ -83,3 +83,18 @@ def hex15_to_long_sql(expr: str) -> str:
         for i in range(15)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def hexn_to_int_sql(expr: str, n: int) -> str:
+    """First n hex nibbles of `expr` (a hex-string SQL expression,
+    typically md5(...)) as an integer, written as SQL text that parses
+    IDENTICALLY in Spark SQL and DuckDB: instr over the hex alphabet
+    (DuckDB has no conv()). Safe in int64 for n <= 15; the callers'
+    overflow reasoning lives here once instead of per copy."""
+    assert 1 <= n <= 15
+    terms = [
+        f"(instr('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (n - i)}"
+        for i in range(1, n + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"

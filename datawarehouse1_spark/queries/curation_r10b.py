@@ -40,7 +40,7 @@ from datawarehouse1_spark.registry import declared
     WITH base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 50000 AS doc_id, text
+      SELECT -(doc_id + 1) AS doc_id, text
       FROM documents WHERE doc_id % 2 = 0
     ),
     tagged AS (
@@ -76,7 +76,8 @@ def q_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q_dedup_exact_substring construction) appears in any train
     doc.  Split is the md5(doc_id) hex-prefix rule shared with
     q_split_train_holdout — a pure function of identity.  Every other
-    doc is staged again as an exact copy under doc_id+50000, so
+    doc is staged again as an exact copy under -(doc_id+1) — negated
+    ids never collide with real non-negative ids at any SF — so
     train/holdout-straddling n-gram dups exist at any SF.  Plan: the
     narrow (doc_id, split, window-hash) table localCheckpoints (rule
     12) and feeds the train-window distinct AND the holdout probe; the
@@ -84,7 +85,11 @@ def q_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     base = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 2 == 0).select(
-            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+            # negated ids can never collide with real (non-negative)
+            # doc_ids at ANY corpus size (review finding: a +50000
+            # offset collides past 50k docs)
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            "text",
         )
     )
     from datawarehouse1_spark.streaming.leakage_guard import split_col

@@ -38,14 +38,15 @@ from datawarehouse1_spark.registry import declared
 K = 3  # tokens per gram
 W = 4  # grams per winnowing window -> guarantee threshold W+K-1 = 6 tokens
 
-# Portable 24-bit gram key from md5's first 6 hex nibbles (the
-# instr-over-the-hex-alphabet trick q_curation_shard_assign uses;
-# identical text in Spark SQL and DuckDB).
-_HEX6 = "(" + " + ".join(
-    f"(instr('0123456789abcdef', substr(md5(gram), {i}, 1)) - 1)"
-    f" * {16 ** (6 - i)}"
-    for i in range(1, 7)
-) + ")"
+# Portable 24-bit gram key from md5's first 6 hex nibbles — the shared
+# Spark/DuckDB text lives in functions/checksum.py
+from datawarehouse1_spark.functions.checksum import hexn_to_int_sql
+
+_HEX6 = hexn_to_int_sql("md5(gram)", 6)
+# the oracle's window-offset list and gram concat derive from W and K
+# so the twins can never desynchronize on a constant bump
+_OFFSETS = "[" + ", ".join(str(o) for o in range(W)) + "]"
+_GRAM_ELEMS = ", ".join(f"toks[i+{j}]" for j in range(K))
 
 
 @declared(
@@ -66,7 +67,7 @@ _HEX6 = "(" + " + ".join(
       SELECT doc_id,
              list_transform(
                range(1, greatest(len(toks) - {K - 1}, 0) + 1),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS gs
+               i -> concat_ws(' ', {_GRAM_ELEMS})) AS gs
       FROM base
     ),
     pos AS (
@@ -80,7 +81,7 @@ _HEX6 = "(" + " + ".join(
     ),
     wins AS (
       SELECT doc_id, j - off AS p, h, j, gram
-      FROM hashed, unnest([0, 1, 2, 3]) AS o(off)
+      FROM hashed, unnest({_OFFSETS}) AS o(off)
       WHERE j - off >= 1 AND j - off <= greatest(n_grams - {W - 1}, 1)
     ),
     sel AS (

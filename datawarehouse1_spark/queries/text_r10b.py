@@ -232,13 +232,12 @@ def q_curation_boilerplate_snippets(
 
 # ---------------------------------------------------------------- 3.
 
-# 24-bit md5 key (the shard-assign instr trick), then mod 5:
-# bias is 2^24 mod 5 = 1 part in 16.7M — negligible and deterministic
-_KEY24 = "(" + " + ".join(
-    f"(instr('0123456789abcdef',"
-    f" substr(md5(CAST(doc_id AS {{S}})), {i}, 1)) - 1) * {16 ** (6 - i)}"
-    for i in range(1, 7)
-) + ")"
+# 24-bit md5 key (shared Spark/DuckDB text from functions/checksum.py),
+# then mod 5: bias is 2^24 mod 5 = 1 part in 16.7M — negligible and
+# deterministic
+from datawarehouse1_spark.functions.checksum import hexn_to_int_sql
+
+_KEY24 = hexn_to_int_sql("md5(CAST(doc_id AS {S}))", 6)
 
 
 @declared(

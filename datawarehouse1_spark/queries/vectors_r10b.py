@@ -124,7 +124,12 @@ def q_embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE acc END)
             """
         ).alias("b"),
-    ).select("vec_id", F.col("b.cid").alias("cid"), F.col("b.d").alias("dist"))
+    ).select(
+        "vec_id", F.col("b.cid").alias("cid"), F.col("b.d").alias("dist")
+    # an empty centroid set leaves the fold at its cid=-1 init value;
+    # drop those rows so the degenerate corpus yields ZERO rows exactly
+    # like the oracle's empty cross join (review finding)
+    ).filter(F.col("cid") >= 0)
     agg = best.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.expr("SUM(CAST(dist AS DECIMAL(38,0)))").alias("inertia"),

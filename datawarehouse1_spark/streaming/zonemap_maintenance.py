@@ -109,8 +109,25 @@ def prunable_files(index: DataFrame, key_lo: int, key_hi: int) -> DataFrame:
 
 
 def _content_key(stats: DataFrame) -> str:
+    """Key over the batch's FULL per-file statistics (count AND both
+    envelopes) — keying on (file_id, n_rows) alone would drop a
+    legitimate follow-up batch that happens to deliver the same row
+    count for the same file (e.g. a large file split across fixed-size
+    micro-batches), silently shrinking the envelope and breaking prune
+    soundness (review finding). With the full stats, a colliding batch
+    carries the exact same per-file counts AND envelopes as the last
+    applied one — in a deliver-each-row-once stream that is a
+    redelivery, not new data."""
     rows = sorted(
-        (r["file_id"], int(r["n_rows"])) for r in stats.collect()
+        (
+            r["file_id"],
+            int(r["n_rows"]),
+            int(r["key_min"]),
+            int(r["key_max"]),
+            str(r["date_min"]),
+            str(r["date_max"]),
+        )
+        for r in stats.collect()
     )
     import hashlib
 

@@ -111,20 +111,31 @@ def test_winnowing_guarantee_on_staged_excerpts(spark):
     == 0 with >= 28 tokens) shares a >= 6-token run with its source,
     so it MUST pair with it (>= 3 shared fingerprints for a 20-token
     excerpt: at least one fingerprint per W consecutive windows)."""
+    import re
+
+    import duckdb
+
     out = registry.QUERIES["q_dedup_winnowing_fingerprint"](
         spark, SF_DIR
     ).collect()
     pairs = {(r.src_doc, r.dst_doc) for r in out}
-    staged = {d for (s, d) in pairs if d >= 30000} | {
-        s for (s, d) in pairs if s >= 30000
+    # EVERY qualifying staged excerpt (source has >= 28 tokens, so the
+    # excerpt is the full 20 tokens and shares >= ceil(15/W)=4 >= 3
+    # fingerprints) must pair with its source — the guarantee is
+    # universal, not existential
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id < 60 AND doc_id % 5 = 0"
+    ).fetchall()
+    expected = {
+        (i, i + 30000)
+        for i, t in texts
+        if len([w for w in re.split(r"\s+", t.lower()) if w]) >= 28
     }
-    # every excerpt doc that produced fingerprints pairs with its source
-    found = 0
-    for (s, d) in pairs:
-        if d >= 30000 and s == d - 30000:
-            found += 1
-    assert found >= 1, "no staged excerpt paired with its source"
-    assert staged, "staging produced no excerpt docs"
+    assert expected, "staging produced no qualifying excerpt docs"
+    missing = expected - pairs
+    assert not missing, f"excerpts missing their source pair: {missing}"
 
 
 # ------------------------------------------------------------------ hhi

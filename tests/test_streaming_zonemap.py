@@ -107,6 +107,19 @@ def test_zonemap_replay_and_content_shield(spark, tmp_path):
     sink(_rows_df(spark, R1), 5)
     assert _index(spark, path) == before
     assert latest_version(path) == v0
+    # same (file_id, n_rows) PROFILE but different key envelope is NEW
+    # data and must apply (the review finding: a large file split
+    # across equal-size micro-batches) — the shield keys on full stats
+    r1_shifted = [
+        ("f1", 30, _D(1995, 1, 12)),
+        ("f1", 40, _D(1995, 1, 15)),
+        ("f2", 110, _D(1995, 2, 3)),
+    ]
+    sink(_rows_df(spark, r1_shifted), 5)
+    assert latest_version(path) == 5
+    assert _index(spark, path)["f1"] == (
+        4, 10, 40, "1995-01-05", "1995-01-15"
+    )
     # genuinely new content applies at its id
     sink(_rows_df(spark, R2), 6)
     assert latest_version(path) == 6
