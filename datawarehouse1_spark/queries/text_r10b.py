@@ -300,3 +300,80 @@ def q_split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr("_num div _den").cast("long").alias("share_in_lang_e6"),
     )
+
+
+# ---------------------------------------------------------------- 4.
+
+_VOCAB_K = 1000
+
+
+@declared(
+    "q_docs_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, token, COUNT(*) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, token) AS r
+        FROM toks GROUP BY token
+      ) WHERE r <= {_VOCAB_K}
+    )
+    SELECT t.source,
+           CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN t.c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN t.c ELSE 0 END)
+                * 1000000 // SUM(t.c) AS BIGINT) AS oov_share_e6
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.source
+    """,
+)
+def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus' own
+    top-{_VOCAB_K} token vocabulary (rank by count desc, ties by token
+    asc — a total order, so the vocabulary is value-deterministic):
+    the share of token OCCURRENCES falling outside the head — the
+    rare-word / domain-drift signal beside the TVD divergence report
+    (q_text_source_divergence measures distribution distance; this
+    measures tail mass).  Plan: the (source, token) count table is the
+    single fact aggregate and localCheckpoints (rule 12) to feed BOTH
+    the global vocabulary roll-up and the per-source OOV join; the
+    vocabulary is a bounded TakeOrderedAndProject broadcast; floored
+    micro-units."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    toks = (
+        d.select("source", F.explode(tok).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left_outer")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(oov_c).cast("long").alias("n_oov"),
+        F.expr(
+            "SUM(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)"
+            " * 1000000 div SUM(c)"
+        )
+        .cast("long")
+        .alias("oov_share_e6"),
+    )

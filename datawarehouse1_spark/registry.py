@@ -117,6 +117,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_abc_parts",
     "q_events_user_type_gini",
     "q_split_ngram_leakage",
+    "q_events_autocorr_daily",
+    "q_docs_oov_rate",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

@@ -420,6 +420,12 @@ EXCHANGE_BUDGET = {
     # distinct + the semi-join probe re-key + leaked-doc distinct/agg
     # + holdout totals agg; text never shuffles
     "q_split_ngram_leakage": 4,
+    # post-checkpoint (daily counts checkpointed): one bounded per-lag
+    # aggregate; the lag self-join broadcasts the daily table
+    "q_events_autocorr_daily": 1,
+    # post-checkpoint ((source, token) counts checkpointed): the
+    # vocab roll-up (TakeOrderedAndProject broadcast) + per-source agg
+    "q_docs_oov_rate": 2,
 }
 
 

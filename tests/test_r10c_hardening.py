@@ -614,3 +614,93 @@ def test_ngram_leakage_staged_copy_detected(spark, tmp_path):
     assert n_docs == 2
     for r in out.values():
         assert 0 <= r.leak_share_e6 <= 1_000_000
+
+
+# ------------------------------------------------------------- daily acf
+
+
+def test_autocorr_constant_and_alternating_series(spark, tmp_path):
+    """A perfectly alternating daily series has acf(1) == -1 and
+    acf(2) == +1 exactly; a linearly increasing series has acf
+    exactly 1.0 at every lag (Pearson of a linear map); pair counts
+    shrink by one per lag over a contiguous range."""
+    d = datetime.datetime
+    events = []
+    eid = 0
+    # alternating 2/4 events per day over 14 days
+    for day in range(14):
+        n = 2 if day % 2 == 0 else 4
+        for j in range(n):
+            eid += 1
+            events.append(
+                (eid, d(2024, 1, 1 + day, 5, j), 1, "click", 0.0, "{}")
+            )
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {
+        r.lag_days: r
+        for r in registry.QUERIES["q_events_autocorr_daily"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1].acf == -1.0 and out[2].acf == 1.0
+    assert out[1].n_pairs == 13 and out[7].n_pairs == 7
+    # linear ramp: 1,2,...,10 events per day -> acf exactly 1.0
+    events2 = []
+    eid = 0
+    for day in range(10):
+        for j in range(day + 1):
+            eid += 1
+            events2.append(
+                (eid, d(2024, 2, 1 + day, 5, 0, j), 1, "click", 0.0, "{}")
+            )
+    _write(
+        spark, tmp_path, "events", events2,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out2 = {
+        r.lag_days: r.acf
+        for r in registry.QUERIES["q_events_autocorr_daily"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert all(v == 1.0 for v in out2.values()), out2
+
+
+# --------------------------------------------------------------- oov rate
+
+
+def test_oov_rate_hand_computed_vocab_boundary(spark, tmp_path):
+    """With a vocabulary larger than the corpus' distinct tokens, OOV
+    is zero everywhere; tokens outside the head count by OCCURRENCE;
+    the per-source split is exact."""
+    docs = [
+        (1, "common common rare1", "en", "a", 10),
+        (2, "common rare2 rare2 rare2", "en", "b", 10),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOCS_SCHEMA)
+    out = {
+        r.source: r
+        for r in registry.QUERIES["q_docs_oov_rate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # 4 distinct tokens < vocab size 1000 -> nothing is OOV
+    assert out["a"].n_oov == 0 and out["b"].n_oov == 0
+    assert out["a"].n_tokens == 3 and out["b"].n_tokens == 4
+
+
+def test_oov_closure_and_determinism_on_real_data(spark):
+    """n_oov <= n_tokens, shares in range, and a second run is
+    bit-identical (the vocabulary tie-break is a total order)."""
+    fn = registry.QUERIES["q_docs_oov_rate"]
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b and a
+    for (_, n_tokens, n_oov, share) in a:
+        assert 0 <= n_oov <= n_tokens
+        assert 0 <= share <= 1_000_000

@@ -213,6 +213,8 @@ def test_registry_window_structure():
         "q_orders_abc_parts",
         "q_events_user_type_gini",
         "q_split_ngram_leakage",
+        "q_events_autocorr_daily",
+        "q_docs_oov_rate",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
