@@ -119,6 +119,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_split_ngram_leakage",
     "q_events_autocorr_daily",
     "q_docs_oov_rate",
+    "q_events_time_to_convert",
+    "q_stats_runs_test",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

@@ -426,6 +426,11 @@ EXCHANGE_BUDGET = {
     # post-checkpoint ((source, token) counts checkpointed): the
     # vocab roll-up (TakeOrderedAndProject broadcast) + per-source agg
     "q_docs_oov_rate": 2,
+    # user-sorted running-min window + bounded latency histogram agg
+    # + its bounded ordered cum window
+    "q_events_time_to_convert": 3,
+    # daily agg + the bounded day-ordered sign/run windows
+    "q_stats_runs_test": 2,
 }
 
 

@@ -704,3 +704,83 @@ def test_oov_closure_and_determinism_on_real_data(spark):
     for (_, n_tokens, n_oov, share) in a:
         assert 0 <= n_oov <= n_tokens
         assert 0 <= share <= 1_000_000
+
+
+# --------------------------------------------------------- time to convert
+
+
+def test_time_to_convert_hand_computed(spark, tmp_path):
+    """User 1: view at t0, purchase at t0+90s (1 min bucket) and a
+    second purchase at t0+30min — both measure from the FIRST view.
+    User 2: purchase with no prior view -> excluded."""
+    d = datetime.datetime
+    events = [
+        (1, d(2024, 1, 1, 10, 0, 0), 1, "view", 0.0, "{}"),
+        (2, d(2024, 1, 1, 10, 1, 30), 1, "purchase", 0.0, "{}"),
+        (3, d(2024, 1, 1, 10, 30, 0), 1, "purchase", 0.0, "{}"),
+        (4, d(2024, 1, 1, 11, 0, 0), 2, "purchase", 0.0, "{}"),
+    ]
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [r] = registry.QUERIES["q_events_time_to_convert"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_conversions == 2
+    # latencies: 90s and 1800s -> mean = (90 + 1800) * 1e6 // 2
+    assert r.mean_latency_us == (90 + 1800) * 1_000_000 // 2
+    assert r.median_latency_min == 1  # 90s -> minute bucket 1
+    assert r.p90_latency_min == 30
+    assert r.max_latency_min == 30
+
+
+# ---------------------------------------------------------------- runs test
+
+
+def test_runs_test_alternating_and_monotone(spark, tmp_path):
+    """A strictly alternating series has the maximum run count
+    (R == n, z > 0); a strictly monotone series has n_down == 0 and a
+    single run; ties (equal consecutive days) drop out."""
+    d = datetime.datetime
+    # counts: 2,4,2,4,2,4,2,4 -> signs +,-,+,-,+,-,+ (7 signs, 7 runs)
+    events = []
+    eid = 0
+    for day in range(8):
+        n = 2 if day % 2 == 0 else 4
+        for j in range(n):
+            eid += 1
+            events.append(
+                (eid, d(2024, 3, 1 + day, 1, j), 1, "click", 0.0, "{}")
+            )
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [r] = registry.QUERIES["q_stats_runs_test"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r.n_up, r.n_down) == (4, 3)
+    assert r.n_runs == 7  # every change flips sign
+    assert r.z > 0
+    # monotone ramp 1..6 -> all ups, one run
+    events2 = []
+    eid = 0
+    for day in range(6):
+        for j in range(day + 1):
+            eid += 1
+            events2.append(
+                (eid, d(2024, 4, 1 + day, 1, 0, j), 1, "click", 0.0, "{}")
+            )
+    _write(
+        spark, tmp_path, "events", events2,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [r2] = registry.QUERIES["q_stats_runs_test"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r2.n_up, r2.n_down, r2.n_runs) == (5, 0, 1)
+    assert r2.z is None  # zero null variance -> nothing to standardize

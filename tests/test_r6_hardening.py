@@ -215,6 +215,8 @@ def test_registry_window_structure():
         "q_split_ngram_leakage",
         "q_events_autocorr_daily",
         "q_docs_oov_rate",
+        "q_events_time_to_convert",
+        "q_stats_runs_test",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
