@@ -49,6 +49,7 @@ _MODULES = (
     "analytics_r10f",
     "events_r10c",
     "curation_r10b",
+    "analytics_r10g",
 )
 
 

@@ -121,6 +121,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_docs_oov_rate",
     "q_events_time_to_convert",
     "q_stats_runs_test",
+    "q_orders_gini_coefficient",
+    "q_orders_theil_sen_trend",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

@@ -431,6 +431,13 @@ EXCHANGE_BUDGET = {
     "q_events_time_to_convert": 3,
     # daily agg + the bounded day-ordered sign/run windows
     "q_stats_runs_test": 2,
+    # post-checkpoint (per-value counts checkpointed): bucket borders
+    # + their bounded window + within-bucket window + 1-row final agg;
+    # customers cross only the pre-checkpoint custkey exchange
+    "q_orders_gini_coefficient": 4,
+    # post-checkpoint (bounded monthly table): ONE bounded ordered
+    # window/agg over the broadcast month-pair slopes
+    "q_orders_theil_sen_trend": 1,
 }
 
 

@@ -784,3 +784,72 @@ def test_runs_test_alternating_and_monotone(spark, tmp_path):
     ).collect()
     assert (r2.n_up, r2.n_down, r2.n_runs) == (5, 0, 1)
     assert r2.z is None  # zero null variance -> nothing to standardize
+
+
+# ------------------------------------------------------------------- gini
+
+
+def test_gini_equality_and_hand_computed(spark, tmp_path):
+    """Equal spenders -> gini exactly 0; the 4-customer case
+    (10, 20, 30, 40 dollars) hand-computes to
+    G = (2*(1*1000+2*2000+3*3000+4*4000) - 5*10000) / (4*10000)
+      = (60000 - 50000) / 40000 = 0.25 -> 250000e-6."""
+    d = datetime.datetime
+    orders = [
+        (i, i, "O", 100.0, d(1995, 1, 1), "1-URGENT") for i in range(1, 5)
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_orders_gini_coefficient"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.gini_e6 == 0 and r.n_customers == 4
+    orders2 = [
+        (i, i, "O", 10.0 * i, d(1995, 1, 1), "1-URGENT")
+        for i in range(1, 5)
+    ]
+    _write(spark, tmp_path, "orders", orders2, _ORDERS_SCHEMA)
+    [r2] = registry.QUERIES["q_orders_gini_coefficient"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r2.gini_e6 == 250_000
+    assert r2.total_cents == 10000
+
+
+def test_gini_in_range_on_real_data(spark):
+    [r] = registry.QUERIES["q_orders_gini_coefficient"](
+        spark, SF_DIR
+    ).collect()
+    assert 0 <= r.gini_e6 < 1_000_000
+
+
+# -------------------------------------------------------------- theil-sen
+
+
+def test_theil_sen_exact_on_linear_and_robust_to_outlier(spark, tmp_path):
+    """A clean linear monthly ramp (slope exactly $100/month = 1e10
+    micro-cents) yields that exact median slope; corrupting ONE month
+    10x leaves the median UNCHANGED (the robustness the OLS twin does
+    not have)."""
+    d = datetime.datetime
+    orders = [
+        (m, 1, "O", 1000.0 + 100.0 * m, d(1995, 1 + m, 1), "1-URGENT")
+        for m in range(6)
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_orders_theil_sen_trend"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_months == 6 and r.n_pairs == 15
+    assert r.median_slope_e6 == 100 * 100 * 1_000_000  # $100 in micro-cents
+    # corrupt one interior month 10x
+    orders2 = [
+        (m, 1, "O",
+         (1000.0 + 100.0 * m) * (10 if m == 3 else 1),
+         d(1995, 1 + m, 1), "1-URGENT")
+        for m in range(6)
+    ]
+    _write(spark, tmp_path, "orders", orders2, _ORDERS_SCHEMA)
+    [r2] = registry.QUERIES["q_orders_theil_sen_trend"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r2.median_slope_e6 == 100 * 100 * 1_000_000

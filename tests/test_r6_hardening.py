@@ -217,6 +217,8 @@ def test_registry_window_structure():
         "q_docs_oov_rate",
         "q_events_time_to_convert",
         "q_stats_runs_test",
+        "q_orders_gini_coefficient",
+        "q_orders_theil_sen_trend",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
