@@ -50,6 +50,7 @@ _MODULES = (
     "events_r10c",
     "curation_r10b",
     "analytics_r10g",
+    "layout_r10b",
 )
 
 

@@ -123,6 +123,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_stats_runs_test",
     "q_orders_gini_coefficient",
     "q_orders_theil_sen_trend",
+    "q_layout_retention_plan",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

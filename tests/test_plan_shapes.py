@@ -438,6 +438,8 @@ EXCHANGE_BUDGET = {
     # post-checkpoint (bounded monthly table): ONE bounded ordered
     # window/agg over the broadcast month-pair slopes
     "q_orders_theil_sen_trend": 1,
+    # one month-partition fact aggregate; classes derive in-place
+    "q_layout_retention_plan": 1,
 }
 
 

@@ -853,3 +853,27 @@ def test_theil_sen_exact_on_linear_and_robust_to_outlier(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert r2.median_slope_e6 == 100 * 100 * 1_000_000
+
+
+# --------------------------------------------------------- retention plan
+
+
+def test_retention_plan_classes_and_boundary_law(spark):
+    """Month partitioning + a mid-month cutoff: every partition left of
+    the cutoff month drops whole, every one right of it keeps whole,
+    and EXACTLY the cutoff month rewrites; counts close
+    (n_expired <= n_rows; survivor share floors)."""
+    out = registry.QUERIES["q_layout_retention_plan"](
+        spark, SF_DIR
+    ).collect()
+    rewrites = [r for r in out if r.action == "rewrite"]
+    assert len(rewrites) == 1
+    assert str(rewrites[0].part_month) == "1996-07-01"
+    for r in out:
+        assert 0 <= r.n_expired <= r.n_rows
+        if r.action == "drop_partition":
+            assert r.n_expired == r.n_rows and r.survivor_share_e6 == 0
+        if r.action == "keep":
+            assert r.n_expired == 0 and r.survivor_share_e6 == 1_000_000
+        if r.action == "rewrite":
+            assert 0 < r.n_expired < r.n_rows

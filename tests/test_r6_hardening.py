@@ -219,6 +219,7 @@ def test_registry_window_structure():
         "q_stats_runs_test",
         "q_orders_gini_coefficient",
         "q_orders_theil_sen_trend",
+        "q_layout_retention_plan",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
