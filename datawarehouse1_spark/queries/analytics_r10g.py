@@ -62,7 +62,7 @@ from datawarehouse1_spark.registry import declared
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(sx AS BIGINT) AS total_cents,
-           CAST((s2 - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+           CAST((s2 - (n + 1) * sx) * 1000000 // NULLIF(n * sx, 0) AS BIGINT)
              AS gini_e6
     FROM agg
     """,
@@ -113,7 +113,7 @@ def q_orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("sx").cast("long").alias("total_cents"),
-        F.expr("(s2 - (n + 1) * sx) * 1000000 div (n * sx)")
+        F.expr("(s2 - (n + 1) * sx) * 1000000 div NULLIF(n * sx, 0)")
         .cast("long")
         .alias("gini_e6"),
     )
@@ -139,7 +139,8 @@ _FLOOR_DIV = "(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) {div} ({b})"
     ),
     slopes AS (
       SELECT CAST({_FLOOR_DIV.format(
-          a="(b.cents - a.cents) * 1000000", b="b.t - a.t", div="//")}
+          a="(CAST(b.cents AS HUGEINT) - a.cents) * 1000000",
+          b="b.t - a.t", div="//")}
             AS BIGINT) AS slope_e6
       FROM monthly a JOIN monthly b ON a.t < b.t
     ),
@@ -165,7 +166,10 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves this median by at most one order statistic — the robustness
     law pinned in pytest.  Facts collapse to the bounded monthly table
     first; the all-pairs slope set is a bounded broadcast nested loop
-    and its ordered window runs over month-pairs, never rows."""
+    and its ordered window runs over month-pairs, never rows.  The
+    slope arithmetic is widened (DECIMAL(38,0)/HUGEINT) so the
+    micro-cent products never crash; the BIGINT output column holds
+    exact medians to ~9.2e18 micro-cents/month."""
     o = table(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(
@@ -176,7 +180,8 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = monthly.alias("a"), monthly.alias("b")
     fd = _FLOOR_DIV.format(
-        a="(b.cents - a.cents) * 1000000", b="b.t - a.t", div="div"
+        a="(CAST(b.cents AS DECIMAL(38,0)) - a.cents) * 1000000",
+        b="b.t - a.t", div="div"
     )
     slopes = a.join(F.broadcast(b), F.col("a.t") < F.col("b.t")).select(
         F.expr(fd).cast("long").alias("slope_e6")

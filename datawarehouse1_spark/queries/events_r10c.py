@@ -88,9 +88,13 @@ _LAGS = (1, 2, 3, 4, 5, 6, 7)
       FROM pairs GROUP BY k
     )
     SELECT CAST(k AS INT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * sxx
+                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE)),
+                          0.0)
+                 / NULLIF(sqrt(CAST(n * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                          0.0), 6) AS acf
     FROM mom
     """,
 )
@@ -102,9 +106,12 @@ def q_events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson r per lag over the (x_t, x_{t+k}) pairs that BOTH exist
     (calendar join on the bounded daily table; gap days pair with
     nothing, identically in both engines).  The q_stats_corr_matrix
-    discipline: exact integer co-moments (DECIMAL(38,0) in Spark,
-    HUGEINT in the oracle), one fixed IEEE parenthesization, round to
-    6 dp.  Plan: one fact exchange (the daily aggregate); the lag
+    discipline: exact integer co-moments AND first-moment products
+    (DECIMAL(38,0) in Spark, HUGEINT in the oracle — a bare BIGINT
+    sx*sx overflows past ~3e9 summed daily events), one fixed IEEE
+    parenthesization, round to 6 dp; acf is NULL when a lag's series
+    is constant or has a single pair (zero variance — rule 27's
+    NULLIF convention, never a raised divide-by-zero).  Plan: one fact exchange (the daily aggregate); the lag
     explode and self-join touch only the bounded daily table."""
     e = table(spark, sf_dir, "events")
     daily = (
@@ -134,9 +141,12 @@ def q_events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("lag_days"),
         F.col("n").cast("long").alias("n_pairs"),
         F.expr(
-            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
-            " / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+            "round(CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / NULLIF(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)), 0.0)"
+            " / NULLIF(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 0.0), 6)"
         ).alias("acf"),
     )
 
@@ -285,8 +295,8 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (2.0 * SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
                                 * SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
                             - COUNT(*)))
-                        / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)
-                           * (COUNT(*) - 1))), 0.0), 6) AS z
+                        / NULLIF(CAST(COUNT(*) AS DOUBLE) * COUNT(*)
+                                  * (COUNT(*) - 1), 0.0)), 0.0), 6) AS z
     FROM runs
     """,
 )
@@ -299,7 +309,8 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers (a and b are calendar-bounded, so the double
     products in z never leave the exact-integer range of IEEE754);
     z is NULL when the null variance is zero (a single-direction
-    series — nothing to standardize against) and otherwise one
+    series, or a single usable sign where even the variance
+    denominator vanishes) and otherwise one
     fixed IEEE assembly rounded to 6 dp (the welch/
     corr discipline, rule 20).  Every ordered window runs over the
     bounded daily table (rule 22)."""
@@ -333,7 +344,7 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round((CAST({r} AS DOUBLE)"
             f" - (1.0 + 2.0 * {a} * {b} / COUNT(*)))"
             f" / NULLIF(sqrt((2.0 * {a} * {b} * (2.0 * {a} * {b}"
-            f" - COUNT(*))) / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)"
-            f" * (COUNT(*) - 1))), 0.0), 6)"
+            f" - COUNT(*))) / NULLIF(CAST(COUNT(*) AS DOUBLE) * COUNT(*)"
+            f" * (COUNT(*) - 1), 0.0)), 0.0), 6)"
         ).alias("z"),
     )

@@ -338,7 +338,7 @@ _VOCAB_K = 1000
 )
 def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per source against the corpus' own
-    top-{_VOCAB_K} token vocabulary (rank by count desc, ties by token
+    top-1000 (_VOCAB_K) token vocabulary (rank by count desc, ties by token
     asc — a total order, so the vocabulary is value-deterministic):
     the share of token OCCURRENCES falling outside the head — the
     rare-word / domain-drift signal beside the TVD divergence report
@@ -348,8 +348,6 @@ def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global vocabulary roll-up and the per-source OOV join; the
     vocabulary is a bounded TakeOrderedAndProject broadcast; floored
     micro-units."""
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     tok = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     toks = (

@@ -877,3 +877,63 @@ def test_retention_plan_classes_and_boundary_law(spark):
             assert r.n_expired == 0 and r.survivor_share_e6 == 1_000_000
         if r.action == "rewrite":
             assert 0 < r.n_expired < r.n_rows
+
+
+# ------------------------------------------------ review-round-2 corners
+
+
+def test_autocorr_constant_series_yields_null_not_crash(spark, tmp_path):
+    """Zero variance at a lag (constant daily counts, or a single
+    pair) must yield acf NULL — identically in both engines — never a
+    raised DIVIDE_BY_ZERO (rule 27; reproduced by the second review
+    round before the fix)."""
+    d = datetime.datetime
+    events = []
+    eid = 0
+    for day in range(9):
+        for j in range(3):  # constant 3/day
+            eid += 1
+            events.append(
+                (eid, d(2024, 5, 1 + day, 1, j), 1, "click", 0.0, "{}")
+            )
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = registry.QUERIES["q_events_autocorr_daily"](
+        spark, str(tmp_path)
+    ).collect()
+    assert out and all(r.acf is None for r in out)
+
+
+def test_runs_test_single_sign_yields_null_z(spark, tmp_path):
+    """Exactly one usable sign makes even the variance DENOMINATOR
+    zero (n(n-1) == 0) — z must be NULL, not a crash."""
+    d = datetime.datetime
+    events = [
+        (1, d(2024, 6, 1, 1, 0), 1, "c", 0.0, "{}"),
+        (2, d(2024, 6, 2, 1, 0), 1, "c", 0.0, "{}"),
+        (3, d(2024, 6, 2, 1, 1), 1, "c", 0.0, "{}"),
+    ]
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [r] = registry.QUERIES["q_stats_runs_test"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_runs == 1 and r.z is None
+
+
+def test_gini_zero_total_revenue_yields_null(spark, tmp_path):
+    """All-zero order totals give sx == 0: gini must be NULL in both
+    engines (NULLIF), never a raised division error."""
+    d = datetime.datetime
+    orders = [(1, 1, "O", 0.0, d(1995, 1, 1), "1-URGENT")]
+    _write(spark, tmp_path, "orders", orders, _ORDERS_SCHEMA)
+    [r] = registry.QUERIES["q_orders_gini_coefficient"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.gini_e6 is None and r.total_cents == 0
