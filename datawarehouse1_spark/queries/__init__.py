@@ -51,6 +51,7 @@ _MODULES = (
     "curation_r10b",
     "analytics_r10g",
     "layout_r10b",
+    "analytics_r10h",
 )
 
 

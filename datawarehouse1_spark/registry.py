@@ -124,6 +124,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_gini_coefficient",
     "q_orders_theil_sen_trend",
     "q_layout_retention_plan",
+    "q_orders_xyz_parts",
+    "q_events_bot_verdict",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

@@ -440,6 +440,12 @@ EXCHANGE_BUDGET = {
     "q_orders_theil_sen_trend": 1,
     # one month-partition fact aggregate; classes derive in-place
     "q_layout_retention_plan": 1,
+    # (part, month) agg + per-part agg + 3-row class agg + its global
+    # share window
+    "q_orders_xyz_parts": 4,
+    # the lag window + the four per-user aggregates + their co-keyed
+    # joins — every exchange is user-keyed and carries narrow tuples
+    "q_events_bot_verdict": 6,
 }
 
 

@@ -937,3 +937,95 @@ def test_gini_zero_total_revenue_yields_null(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert r.gini_e6 is None and r.total_cents == 0
+
+
+# ------------------------------------------------------------- xyz parts
+
+
+def test_xyz_constant_and_erratic_demand(spark, tmp_path):
+    """Constant monthly demand -> X (cv 0); demand 10/10/10/70 ->
+    cv² = (4*5200-10000)/10000... computed exactly: n=4, s=100,
+    ss=5800 -> var_num = 4*5800 - 10000 = 13200 > s² = 10000 -> Z;
+    mild 10/12/10/12 -> X."""
+    d = datetime.datetime
+    li = []
+    lk = 0
+    for m, q in enumerate((5.0, 5.0, 5.0, 5.0)):       # part 1: X
+        lk += 1
+        li.append((lk, 1, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", d(1995, 1 + m, 1)))
+    for m, q in enumerate((10.0, 10.0, 10.0, 70.0)):   # part 2: Z
+        lk += 1
+        li.append((lk, 2, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", d(1995, 1 + m, 1)))
+    for m, q in enumerate((10.0, 12.0, 10.0, 12.0)):   # part 3: X
+        lk += 1
+        li.append((lk, 3, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", d(1995, 1 + m, 1)))
+    _write(spark, tmp_path, "lineitem", li, _LI_SCHEMA)
+    out = {
+        r.xyz_class: r.n_parts
+        for r in registry.QUERIES["q_orders_xyz_parts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out.get("X") == 2 and out.get("Z") == 1
+
+
+# ------------------------------------------------------------ bot verdict
+
+
+def test_bot_verdict_flags_staged_bot_and_clears_human(spark, tmp_path):
+    """A scripted user (one type, exact 60 s timer, all at night, one
+    day) trips every rule; a diverse daytime multi-day user trips
+    none."""
+    d = datetime.datetime
+    events = []
+    eid = 0
+    # bot: 30 clicks, exactly 60 s apart, 01:00-01:29, one day
+    for j in range(30):
+        eid += 1
+        events.append(
+            (eid, d(2024, 1, 1, 1, 0, 0) + datetime.timedelta(seconds=60 * j),
+             1, "click", 0.0, "{}")
+        )
+    # human: 30 events, 3 types, spread over 10 days at noon with
+    # irregular gaps
+    for j in range(30):
+        eid += 1
+        events.append(
+            (eid,
+             d(2024, 2, 1 + j % 10, 12, (7 * j * j + 3 * j) % 60, j % 60),
+             2, ("view", "click", "purchase")[j % 3], 0.0, "{}")
+        )
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: r
+        for r in registry.QUERIES["q_events_bot_verdict"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    bot, human = out[1], out[2]
+    assert bot.single_minded and bot.nocturnal and bot.bursty
+    assert bot.metronomic and bot.bot_verdict
+    assert bot.gini_e6 == 0
+    assert not human.bot_verdict
+    assert not (human.single_minded or human.nocturnal
+                or human.bursty or human.metronomic)
+
+
+def test_bot_verdict_single_event_user_is_not_metronomic(spark, tmp_path):
+    """A user with no gaps (one event) gets metronomic FALSE, never
+    NULL (the COALESCE convention), and no verdict."""
+    d = datetime.datetime
+    events = [(1, d(2024, 1, 1, 12, 0), 1, "view", 0.0, "{}")]
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [r] = registry.QUERIES["q_events_bot_verdict"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.metronomic is False and r.bot_verdict is False

@@ -220,6 +220,8 @@ def test_registry_window_structure():
         "q_orders_gini_coefficient",
         "q_orders_theil_sen_trend",
         "q_layout_retention_plan",
+        "q_orders_xyz_parts",
+        "q_events_bot_verdict",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
