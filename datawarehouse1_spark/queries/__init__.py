@@ -52,6 +52,7 @@ _MODULES = (
     "analytics_r10g",
     "layout_r10b",
     "analytics_r10h",
+    "vectors_r10c",
 )
 
 

@@ -126,6 +126,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_layout_retention_plan",
     "q_orders_xyz_parts",
     "q_events_bot_verdict",
+    "q_embedding_cluster_purity",
     # -- r6-graded remainder (the 9 displaced fills stay in
     # oldest-first r6 order at its head; follows the r10 tail in the
     # r11 window) --

@@ -446,6 +446,9 @@ EXCHANGE_BUDGET = {
     # the lag window + the four per-user aggregates + their co-keyed
     # joins — every exchange is user-keyed and carries narrow tuples
     "q_events_bot_verdict": 6,
+    # 1-row centroid collect agg + (cluster, label) cell agg + the
+    # 8-row majority election; vectors never shuffle
+    "q_embedding_cluster_purity": 3,
 }
 
 

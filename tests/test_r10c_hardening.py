@@ -1029,3 +1029,44 @@ def test_bot_verdict_single_event_user_is_not_metronomic(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert r.metronomic is False and r.bot_verdict is False
+
+
+# ---------------------------------------------------------- cluster purity
+
+
+def test_cluster_purity_staged_geometry(spark, tmp_path):
+    """Members placed exactly at their centroid with one shared label
+    give purity exactly 1e6; a mixed cluster (2 of label 9, 1 of label
+    3) reports majority 9 at floor(2e6/3); counts close."""
+    d = 4
+    rows = []
+    for i in range(8):
+        v = [0.0] * d
+        v[0] = 10.0 * i
+        rows.append((i, v, 7))            # centroid itself, label 7
+        rows.append((100 + i, list(v), 7))  # pure member
+    # cluster 2 gets two extra label-9 members and the centroid+member
+    # are label 7 -> counts: {7: 2, 9: 2} -> tie -> majority label 7
+    v2 = [0.0] * d
+    v2[0] = 20.0
+    rows.append((200, list(v2), 9))
+    rows.append((201, list(v2), 9))
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.cluster_id: r
+        for r in registry.QUERIES["q_embedding_cluster_purity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for cid in (0, 1, 3, 4, 5, 6, 7):
+        assert out[cid].purity_e6 == 1_000_000
+        assert out[cid].majority_label == 7
+    c2 = out[2]
+    assert c2.n_members == 4
+    # tie between labels 7 and 9 breaks LOW
+    assert c2.majority_label == 7 and c2.n_majority == 2
+    assert c2.purity_e6 == 500_000
+    assert sum(r.n_members for r in out.values()) == len(rows)

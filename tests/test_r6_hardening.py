@@ -222,6 +222,7 @@ def test_registry_window_structure():
         "q_layout_retention_plan",
         "q_orders_xyz_parts",
         "q_events_bot_verdict",
+        "q_embedding_cluster_purity",
     ]
     assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
     assert not [
