@@ -191,6 +191,17 @@ def main() -> None:
     # (BENCH_r07/r08 recorded "parsed": null with the headline truncated
     # away). A totals-only compact record as the FINAL line keeps the
     # artifact parseable no matter how many sections the full line grows.
+    # VERDICT r10 #2: the full record's truncation also swallowed the
+    # per-query headline breakdown (BENCH_r09/r10 kept only the totals),
+    # making per-query regression audits impossible from artifacts. Emit
+    # the 15-query headline dict as its own compact line directly before
+    # the totals line — ~1 KB, so both fit the driver's ~2 KB tail.
+    print(
+        json.dumps(
+            {"headline_per_query": timings, "headline_spread": spreads},
+            separators=(",", ":"),
+        )
+    )
     compact = {
         "metric": out["metric"],
         "value": out["value"],

@@ -360,9 +360,10 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     value buckets (cents div 1e6 — bounded by the price domain)
     cumulate in one tiny ordered window, per-bucket offsets broadcast
     back, within-bucket cumsums run partition-local.  Law pinned:
-    u2_a + u2_b == 2·n_a·n_b.  u2 outputs are exact in BIGINT to
-    n_a·n_b ~ 4.6e18 (≈2e9 rows per side); auc_a_e6 goes through
-    DECIMAL and never saturates."""
+    u2_a + u2_b == 2·n_a·n_b.  u2 sums ride DECIMAL(38,0) (ADVICE
+    r10): exact far past the BIGINT ~4.6e18 bound, and if the final
+    long cast ever saturates it yields NULL — loud, never a silently
+    wrapped value diverging from the HUGEINT oracle."""
     o = table(spark, sf_dir, "orders")
     vals = o.select(
         F.expr(sql_cents("o_totalprice")).alias("cents"),
@@ -399,16 +400,18 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("boff") + F.sum("nb").over(win) - F.col("nb"),
         )
     )
-    d = "CAST(SUM(na * (2 * cumb_less + nb)) AS DECIMAL(38,0))"
+    # ADVICE r10: the u2 summand rides DECIMAL(38,0) (like auc_a_e6's
+    # numerator) rather than BIGINT — past the ~4.6e18 n_a·n_b bound,
+    # non-ANSI Spark would wrap a BIGINT product silently while the
+    # DuckDB oracle stays exact in HUGEINT; DECIMAL saturation yields
+    # NULL (loud) instead of a plausible wrong number.
+    d = "SUM(CAST(na AS DECIMAL(38,0)) * (2 * cumb_less + nb))"
     return cum.agg(
         F.sum("na").cast("long").alias("n_a"),
         F.sum("nb").cast("long").alias("n_b"),
-        F.expr("SUM(na * (2 * cumb_less + nb))")
-        .cast("long")
-        .alias("u2_a"),
+        F.expr(d).cast("long").alias("u2_a"),
         F.expr(
-            "CAST(2 AS DECIMAL(38,0)) * SUM(na) * SUM(nb)"
-            " - SUM(na * (2 * cumb_less + nb))"
+            f"CAST(2 AS DECIMAL(38,0)) * SUM(na) * SUM(nb) - {d}"
         )
         .cast("long")
         .alias("u2_b"),

@@ -41,78 +41,21 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r09
-# each contain exactly queries()[:50] in dict order). Round-10 window
-# (ROUND_NOTES r10 rotation): section (a) fronts the 3 never-graded
-# r9-tail queries (landed at positions 51-53 after the r9 window
-# filled); (b) new r10 queries insert behind them (never-graded
-# outranks re-grade); (c) oldest-r6 re-grades fill the window to
-# exactly 50 — the oldest held verdicts after r9 graded all 50 of its
-# window green. Each new r10 query displaces one r6 fill from the
-# window tail into the post-window remainder (which fronts the r11
-# window). Behind the window: freshest-last (r6 remainder, r7-graded,
-# r8-graded, r9-graded). Vintages computed from
-# CORRECTNESS_r0{1..9}.json. Window structure pinned by
-# tests/test_r6_hardening.py::test_registry_window_structure.
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r10
+# each contain exactly queries()[:50] in dict order). Round-11 window
+# (VERDICT r10 #1 + ROUND_NOTES r11 rotation): section (a) fronts the
+# 14 never-graded r10-tail queries (landed at positions 51-64 after the
+# r10 window was graded); (b) new r11 queries insert behind them
+# (never-graded outranks re-grade), each displacing one r6 re-grade
+# from the window tail; (c) the oldest re-grades fill the window to
+# exactly 50 — the 50 r6-vintage verdicts are four rounds stale and
+# refresh 36-at-a-time starting here. Behind the window: freshest-last
+# (r6 remainder, r7-, r8-, r9-, r10-graded). Vintages computed from
+# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json. Window structure
+# pinned by tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) the 3 never-graded r9-tail queries (ROUND_NOTES r10
-    # rotation #1): landed after the r9 window filled; grade first --
-    "q_profile_join_cardinality",
-    "q_events_resample_ohlc",
-    "q_window_dense_rank_peers",
-    # -- (b) new r10 queries (never-graded outranks re-grade),
-    # displacing r6 re-grades from the window tail --
-    "q_split_train_holdout",
-    "q_text_zipf_fit",
-    "q_text_trigram_lang_profile",
-    "q_layout_file_prune_stats",
-    "q_layout_vacuum_plan",
-    "q_orders_cohort_ltv",
-    "q_window_cume_dist",
-    "q_events_user_lifecycle",
-    "q_embedding_centroid_drift",
-    "q_text_lang_classify_confusion",
-    "q_orders_market_basket",
-    "q_stats_welch_ttest",
-    "q_supplier_scorecard",
-    "q_orders_ship_latency",
-    "q_events_interarrival_rate",
-    "q_curation_domain_cap_apply",
-    "q_events_cusum_changepoint",
-    "q_events_funnel_conversion",
-    "q_events_streak_longest",
-    "q_events_hopping_window",
-    "q_orders_open_backlog",
-    "q_orders_revenue_trend",
-    "q_stats_benford_first_digit",
-    "q_text_readability_flesch",
-    "q_text_hapax_ratio",
-    "q_embedding_covariance_exact",
-    "q_embedding_pca_power",
-    "q_dedup_containment_subset",
-    "q_events_attribution_last_touch",
-    "q_orders_seasonality_decompose",
-    "q_text_source_vocab_jaccard",
-    "q_join_full_outer_reconcile",
-    "q_events_retention_triangle",
-    "q_orders_fill_rate_sla",
-    "q_orders_value_deciles",
-    "q_text_successor_diversity",
-    "q_events_path_trigrams",
-    "q_text_source_divergence",
-    "q_dedup_winnowing_fingerprint",
-    "q_supplier_concentration_hhi",
-    "q_orders_repeat_interval",
-    "q_orders_customer_migration",
-    "q_stats_mann_whitney",
-    "q_text_charset_profile",
-    "q_curation_boilerplate_snippets",
-    "q_split_kfold_assign",
-    "q_embedding_cluster_balance",
-    # ---- graded window ends here (first 50): 3 r9-tail + 47 new r10
-    # (the batch-10 queries displaced the last 9 r6 fills) ----
-    # -- never-graded r10 TAIL (landed after the r10 window filled;
-    # they FRONT the r11 window — the r9 positions-51..53 precedent) --
+    # -- (a) the 14 never-graded r10-tail queries (VERDICT r10 #1):
+    #    implemented+pytest-green, awaiting first driver verdict --
     "q_stats_kendall_tau",
     "q_orders_abc_parts",
     "q_events_user_type_gini",
@@ -127,9 +70,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_xyz_parts",
     "q_events_bot_verdict",
     "q_embedding_cluster_purity",
-    # -- r6-graded remainder (the 9 displaced fills stay in
-    # oldest-first r6 order at its head; follows the r10 tail in the
-    # r11 window) --
+    # -- (b) new r11 queries insert HERE (never-graded outranks
+    #    re-grade; each displaces the last r6 fill below) --
+    # -- (c) oldest re-grades: 36 of the 50 r6-vintage verdicts
+    #    (stale since CORRECTNESS_r06), in standing r6 order --
     "q_semantic_dedup_corpus",
     "q_multimodal_video_decode",
     "q_dedup_paragraphs",
@@ -166,6 +110,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_fingerprint",
     "q_dedup_exact_hash",
     "q_join_multi_star",
+    # ---- graded window ends here (first 50): 14 never-graded +
+    #      36 r6 re-grades ----
+    # -- r6-vintage remainder (fronts the r12 window) --
     "q_similarity_cosine_topk",
     "q_scan_project",
     "q_cast_types",
@@ -282,7 +229,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention_weekly",
     "q_join_asof",
-    # -- r9-graded (CORRECTNESS_r09, all green): freshest verdicts --
+    # -- r9-graded (CORRECTNESS_r09, all green) --
     "q_route_filter",
     "q_upsert_latest",
     "q_excel_serial_date",
@@ -333,6 +280,57 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_exif_scan",
     "q_curation_optout_takedown",
     "q_curation_master_pipeline",
+    # -- r10-graded (CORRECTNESS_r10, all green): freshest verdicts --
+    "q_profile_join_cardinality",
+    "q_events_resample_ohlc",
+    "q_window_dense_rank_peers",
+    "q_split_train_holdout",
+    "q_text_zipf_fit",
+    "q_text_trigram_lang_profile",
+    "q_layout_file_prune_stats",
+    "q_layout_vacuum_plan",
+    "q_orders_cohort_ltv",
+    "q_window_cume_dist",
+    "q_events_user_lifecycle",
+    "q_embedding_centroid_drift",
+    "q_text_lang_classify_confusion",
+    "q_orders_market_basket",
+    "q_stats_welch_ttest",
+    "q_supplier_scorecard",
+    "q_orders_ship_latency",
+    "q_events_interarrival_rate",
+    "q_curation_domain_cap_apply",
+    "q_events_cusum_changepoint",
+    "q_events_funnel_conversion",
+    "q_events_streak_longest",
+    "q_events_hopping_window",
+    "q_orders_open_backlog",
+    "q_orders_revenue_trend",
+    "q_stats_benford_first_digit",
+    "q_text_readability_flesch",
+    "q_text_hapax_ratio",
+    "q_embedding_covariance_exact",
+    "q_embedding_pca_power",
+    "q_dedup_containment_subset",
+    "q_events_attribution_last_touch",
+    "q_orders_seasonality_decompose",
+    "q_text_source_vocab_jaccard",
+    "q_join_full_outer_reconcile",
+    "q_events_retention_triangle",
+    "q_orders_fill_rate_sla",
+    "q_orders_value_deciles",
+    "q_text_successor_diversity",
+    "q_events_path_trigrams",
+    "q_text_source_divergence",
+    "q_dedup_winnowing_fingerprint",
+    "q_supplier_concentration_hhi",
+    "q_orders_repeat_interval",
+    "q_orders_customer_migration",
+    "q_stats_mann_whitney",
+    "q_text_charset_profile",
+    "q_curation_boilerplate_snippets",
+    "q_split_kfold_assign",
+    "q_embedding_cluster_balance",
 )
 
 

@@ -108,24 +108,42 @@ def prunable_files(index: DataFrame, key_lo: int, key_hi: int) -> DataFrame:
     )
 
 
-def _content_key(stats: DataFrame) -> str:
+def _row_digest(batch: DataFrame) -> DataFrame:
+    """Per-file order-independent multiset digest of the FULL rows:
+    sum of xxhash64(row) widened to DECIMAL(38,0) so the sum is exact
+    (no silent BIGINT wrap / ANSI overflow) and faithful to duplicate
+    rows (xor would cancel a row delivered an even number of times).
+    Distributed agg — nothing but one digest row per file reaches the
+    driver via the stats collect in _content_key."""
+    return batch.groupBy("file_id").agg(
+        F.sum(F.xxhash64(*batch.columns).cast("decimal(38,0)")).alias(
+            "row_digest"
+        )
+    )
+
+
+def _content_key(stats: DataFrame, digests: DataFrame) -> str:
     """Key over the batch's FULL per-file statistics (count AND both
-    envelopes) — keying on (file_id, n_rows) alone would drop a
-    legitimate follow-up batch that happens to deliver the same row
-    count for the same file (e.g. a large file split across fixed-size
-    micro-batches), silently shrinking the envelope and breaking prune
-    soundness (review finding). With the full stats, a colliding batch
-    carries the exact same per-file counts AND envelopes as the last
-    applied one — in a deliver-each-row-once stream that is a
-    redelivery, not new data."""
+    envelopes) PLUS a row-level multiset digest — stats alone would
+    misclassify two legitimately distinct successive batches that
+    happen to be stats-identical (e.g. fixed-size chunks of
+    duplicate-keyed rows with the same envelope and count; ADVICE r10)
+    as a redelivery and silently drop the second, undercounting
+    n_rows. With the row digest folded in, a colliding batch carries
+    byte-identical row content — in a deliver-each-row-once stream
+    that IS a redelivery, not new data. key_min/key_max serialize via
+    str() so any orderable key type works (int, string, date; ADVICE
+    r10 — int() raised on non-integer clustering keys)."""
+    dig = {r["file_id"]: str(r["row_digest"]) for r in digests.collect()}
     rows = sorted(
         (
             r["file_id"],
             int(r["n_rows"]),
-            int(r["key_min"]),
-            int(r["key_max"]),
+            str(r["key_min"]),
+            str(r["key_max"]),
             str(r["date_min"]),
             str(r["date_max"]),
+            dig.get(r["file_id"], ""),
         )
         for r in stats.collect()
     )
@@ -160,7 +178,7 @@ def make_zonemap_sink(
             return  # checkpoint replay — already folded in, skip
         # defense-in-depth: a redelivery whose id advanced anyway is
         # still recognized by its CONTENT matching the stored key
-        ckey = _content_key(delta)
+        ckey = _content_key(delta, _row_digest(batch))
         kp = _key_path(index_path)
         if applied is not None and os.path.exists(kp):
             with open(kp) as fh:

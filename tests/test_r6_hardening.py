@@ -113,14 +113,22 @@ def test_registry_window_structure():
     rotation docs claim so an edit that accidentally reorders or
     shrinks the window fails here, not in the graded artifact.
 
-    r10 window (ROUND_NOTES r10 rotation): (a) the 3 never-graded
-    r9-tail queries grade FIRST; (b) new r10 queries behind them
-    (never-graded outranks re-grade); (c) oldest-r6 re-grades fill to
-    exactly 50, drawn as a PREFIX of the r6-vintage list in registry
-    order so each new query displaces exactly one fill from the tail.
+    r11 window (VERDICT r10 #1): (a) the 14 never-graded r10-tail
+    queries grade FIRST; (b) new r11 queries behind them (never-graded
+    outranks re-grade); (c) oldest re-grades (the r6-vintage verdicts,
+    stale since CORRECTNESS_r06) fill to exactly 50, drawn as a PREFIX
+    of the r6-vintage list in registry order so each new query
+    displaces exactly one fill from the tail.
+
+    Structural rule (VERDICT r10 #7, now permanent): EVERY registered
+    query that holds no verdict in any CORRECTNESS_r*.json must sit in
+    the first-50 window — the r8/r10 sequencing bug (queries landing
+    after the window was graded and going a full round unverified)
+    fails here the moment it recurs.
     """
     import json
     import pathlib
+    import re
 
     from datawarehouse1_spark.registry import (
         DRIVER_CHECK_ORDER,
@@ -135,80 +143,24 @@ def test_registry_window_structure():
     assert len(names) == len(set(names))
     window = names[:50]
 
-    NEVER_GRADED_R9_TAIL = [
-        "q_profile_join_cardinality",
-        "q_events_resample_ohlc",
-        "q_window_dense_rank_peers",
-    ]
-    NEW_R10 = [
-        # extend as r10 queries land; each displaces one r6 fill
-        "q_split_train_holdout",
-        "q_text_zipf_fit",
-        "q_text_trigram_lang_profile",
-        "q_layout_file_prune_stats",
-        "q_layout_vacuum_plan",
-        "q_orders_cohort_ltv",
-        "q_window_cume_dist",
-        "q_events_user_lifecycle",
-        "q_embedding_centroid_drift",
-        "q_text_lang_classify_confusion",
-        "q_orders_market_basket",
-        "q_stats_welch_ttest",
-        "q_supplier_scorecard",
-        "q_orders_ship_latency",
-        "q_events_interarrival_rate",
-        "q_curation_domain_cap_apply",
-        "q_events_cusum_changepoint",
-        "q_events_funnel_conversion",
-        "q_events_streak_longest",
-        "q_events_hopping_window",
-        "q_orders_open_backlog",
-        "q_orders_revenue_trend",
-        "q_stats_benford_first_digit",
-        "q_text_readability_flesch",
-        "q_text_hapax_ratio",
-        "q_embedding_covariance_exact",
-        "q_embedding_pca_power",
-        "q_dedup_containment_subset",
-        "q_events_attribution_last_touch",
-        "q_orders_seasonality_decompose",
-        "q_text_source_vocab_jaccard",
-        "q_join_full_outer_reconcile",
-        "q_events_retention_triangle",
-        "q_orders_fill_rate_sla",
-        "q_orders_value_deciles",
-        "q_text_successor_diversity",
-        "q_events_path_trigrams",
-        "q_text_source_divergence",
-        "q_dedup_winnowing_fingerprint",
-        "q_supplier_concentration_hhi",
-        "q_orders_repeat_interval",
-        "q_orders_customer_migration",
-        "q_stats_mann_whitney",
-        "q_text_charset_profile",
-        "q_curation_boilerplate_snippets",
-        "q_split_kfold_assign",
-        "q_embedding_cluster_balance",
-    ]
-    assert window[:3] == NEVER_GRADED_R9_TAIL
-    assert window[3 : 3 + len(NEW_R10)] == NEW_R10
-
-    # the fills are the oldest held verdicts: the r6-vintage queries in
-    # registry order, taken as a prefix (computed from the artifacts so
-    # the pin can't drift from the data it claims to reflect)
+    # vintage = latest round each query was graded in, from the
+    # artifacts themselves so the pin can't drift from the data
     root = pathlib.Path(__file__).resolve().parents[1]
     vintage = {}
-    for r in range(1, 10):
-        for k in json.loads((root / f"CORRECTNESS_r0{r}.json").read_text()):
-            vintage[k] = r
-    r6_order = [n for n in names if vintage.get(n) == 6]
-    n_fills = 50 - 3 - len(NEW_R10)
-    assert window[3 + len(NEW_R10) :] == r6_order[:n_fills]
-    # never-graded queries outside the window are allowed ONLY as the
-    # documented r10 TAIL: they landed after the window filled and
-    # must sit at positions 51.. so they FRONT the r11 window (the r9
-    # positions-51..53 precedent, executed again here)
-    R10_TAIL = [
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", p.stem).group(1))
+        for k in json.loads(p.read_text()):
+            vintage[k] = max(vintage.get(k, 0), r)
+
+    # STRUCTURAL: no never-graded query may sit outside the window
+    never_graded = [n for n in names if n not in vintage]
+    stranded = [n for n in never_graded if n not in window]
+    assert not stranded, (
+        f"never-graded queries outside the first-50 window: {stranded} "
+        "(rotate DRIVER_CHECK_ORDER in the same commit that adds them)"
+    )
+
+    NEVER_GRADED_R10_TAIL = [
         "q_stats_kendall_tau",
         "q_orders_abc_parts",
         "q_events_user_type_gini",
@@ -224,10 +176,24 @@ def test_registry_window_structure():
         "q_events_bot_verdict",
         "q_embedding_cluster_purity",
     ]
-    assert names[50 : 50 + len(R10_TAIL)] == R10_TAIL
-    assert not [
-        n for n in names[50 + len(R10_TAIL) :] if n not in vintage
-    ], "never-graded query left outside the window and the pinned tail"
+    NEW_R11 = [
+        # extend as r11 queries land; each displaces one r6 fill
+    ]
+    head = NEVER_GRADED_R10_TAIL + NEW_R11
+    assert window[: len(head)] == head
+    # the 14 + any new r11 queries are exactly the never-graded set
+    assert sorted(never_graded) == sorted(head)
+
+    # the fills are the oldest held verdicts: the r6-vintage queries in
+    # registry order, taken as a prefix
+    r6_order = [n for n in names if vintage.get(n) == 6]
+    n_fills = 50 - len(head)
+    assert window[len(head) :] == r6_order[:n_fills]
+
+    # behind the window: freshest-last (vintages non-decreasing)
+    tail_vintages = [vintage[n] for n in names[50:]]
+    assert tail_vintages == sorted(tail_vintages)
+
     # every declared query resolves to a callable, and every oracle
     # belongs to a declared query
     assert set(ORACLES) <= set(QUERIES)

@@ -126,6 +126,70 @@ def test_zonemap_replay_and_content_shield(spark, tmp_path):
     assert _index(spark, path)["f3"][0] == 1
 
 
+def test_zonemap_shield_distinguishes_stats_identical_batches(
+    spark, tmp_path
+):
+    """ADVICE r10: two legitimately distinct successive batches can be
+    STATS-identical (duplicate-keyed rows: same envelope, same count)
+    yet carry different row content — the shield must apply the second,
+    not drop it as a redelivery. The row-level multiset digest folded
+    into the content key makes them distinguishable."""
+    path = str(tmp_path / "zm")
+    sink = zm.make_zonemap_sink(spark, path)
+    b1 = [
+        ("f1", 10, _D(1995, 1, 5)),
+        ("f1", 10, _D(1995, 1, 9)),
+    ]
+    sink(_rows_df(spark, b1), 0)
+    assert _index(spark, path)["f1"][0] == 2
+    # byte-identical content under a higher id: redelivery — skipped
+    sink(_rows_df(spark, b1), 1)
+    assert _index(spark, path)["f1"][0] == 2
+    # stats-identical but content-distinct: same count, same key
+    # envelope (10..10), same date endpoints — only an INTERIOR date
+    # differs between b3 and its twin
+    b3 = [
+        ("f1", 10, _D(1995, 1, 5)),
+        ("f1", 10, _D(1995, 1, 9)),
+        ("f1", 10, _D(1995, 1, 7)),
+    ]
+    b3_twin = [
+        ("f1", 10, _D(1995, 1, 5)),
+        ("f1", 10, _D(1995, 1, 9)),
+        ("f1", 10, _D(1995, 1, 8)),
+    ]
+    sink(_rows_df(spark, b3), 2)
+    assert _index(spark, path)["f1"][0] == 5
+    # b3_twin: identical stats (count 3, key 10..10, dates 01-05..01-09)
+    # but a different interior row — MUST apply
+    sink(_rows_df(spark, b3_twin), 3)
+    assert _index(spark, path)["f1"][0] == 8, (
+        "stats-identical distinct batch was dropped by the shield"
+    )
+
+
+def test_zonemap_non_integer_key_type(spark, tmp_path):
+    """ADVICE r10: key_col is a parameter, so the content key must
+    serialize non-integer clustering keys (string, date) — int() raised
+    on every sink invocation for a string key despite batch_zonemap /
+    merge_zonemaps / prunable_files being type-agnostic."""
+    path = str(tmp_path / "zm")
+    schema = "file_id string, sku string, o_orderdate timestamp_ntz"
+    rows = [
+        ("f1", "ab-10", _D(1995, 1, 5)),
+        ("f1", "zz-99", _D(1995, 1, 9)),
+    ]
+    sink = zm.make_zonemap_sink(
+        spark, path, key_col="sku", date_col="o_orderdate"
+    )
+    sink(spark.createDataFrame(rows, schema), 0)
+    idx = _index(spark, path)
+    assert idx["f1"] == (2, "ab-10", "zz-99", "1995-01-05", "1995-01-09")
+    # replay shield still works for string keys
+    sink(spark.createDataFrame(rows, schema), 1)
+    assert _index(spark, path)["f1"][0] == 2
+
+
 def test_zonemap_stream_end_to_end_with_restart(spark, tmp_path):
     watch = tmp_path / "watch"
     watch.mkdir()
