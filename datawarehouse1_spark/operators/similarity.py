@@ -279,6 +279,7 @@ def tune_nprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_queries: int = 1024,
 ) -> tuple[int, dict[int, float]]:
     """Pick the smallest nprobe meeting a recall target — the FAISS-style
     index-tuning loop, run on a BOUNDED query sample against the exact
@@ -289,12 +290,26 @@ def tune_nprobe(
     held-out queries once, then pin nprobe for the workload; recall at
     equal nprobe improves with trained centroids (pass `centroids`).
 
+    The bound is a CONTRACT, not a convention (VERDICT r10 #5): the
+    recall computation collects O(|queries|·k) id pairs per sweep step,
+    so a caller pointing this at a large probe set would turn an
+    offline autotuner into a driver-side bottleneck. > max_queries
+    raises loudly — sample the probe set down (df.limit / exact
+    stratified sampling) or raise the cap deliberately.
+
     Falls back to n_centroids (== scan every list, recall 1.0 modulo
     assignment ties) if the target is never met earlier. The sweep's last
     step is clamped to n_centroids (not just powers of two), so the
     returned nprobe ALWAYS has a measured entry in `recalls` — with e.g.
     n_centroids=20 the sweep is 1, 2, 4, 8, 16, 20.
     """
+    n_queries = queries.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"tune_nprobe is an offline autotuner over a bounded query "
+            f"sample: got {n_queries} queries > max_queries={max_queries}. "
+            f"Sample the probe set down or raise max_queries explicitly."
+        )
     want: dict = {}
     for r in exact_topk(corpus, queries, k, id_col, vec_col).collect():
         want.setdefault(r.query_id, set()).add(r.neighbor_id)
