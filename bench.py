@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -161,6 +162,25 @@ def main() -> None:
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
                 print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
 
+    # Rows-only accuracy metrics (VERDICT r11 #4): the 11 oracle=None
+    # queries get only a rows>0 check from the driver's correctness
+    # gate; this section re-measures each one's pytest-pinned accuracy
+    # (LSH/IVF recall vs brute force, MinHash recall vs exact Jaccard,
+    # incremental-equals-full parity, HLL max relative error, decode
+    # success, PCA alignment) so the bench artifact carries quantitative
+    # evidence. Runs at the driver's correctness SF (sf0.01) because the
+    # exact baselines are intentionally O(n²)-adjacent — that's why the
+    # queries they grade are the scale path. SPARK_GRAFT_BENCH_METRICS=0
+    # skips.
+    metrics: dict[str, float | None] = {}
+    metrics_sf_dir = os.environ.get(
+        "SPARK_GRAFT_METRICS_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0":
+        from datawarehouse1_spark.accuracy import rows_only_metrics
+
+        metrics = rows_only_metrics(spark, metrics_sf_dir)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -182,23 +202,61 @@ def main() -> None:
         out["llm"] = llm
         out["llm_total"] = round(sum(llm.values()), 4)
         out["llm_spread"] = llm_spread
+    if metrics:
+        out["rows_only_metrics"] = metrics
+        out["metrics_sf_dir"] = metrics_sf_dir
     if errors:
         out["errors"] = errors
         out["incomplete"] = True
     print(json.dumps(out))
-    # VERDICT r8 #3: the driver captures only a ~2 KB stdout tail, and
-    # the full record outgrew it once the section spreads landed
-    # (BENCH_r07/r08 recorded "parsed": null with the headline truncated
-    # away). A totals-only compact record as the FINAL line keeps the
-    # artifact parseable no matter how many sections the full line grows.
-    # VERDICT r10 #2: the full record's truncation also swallowed the
-    # per-query headline breakdown (BENCH_r09/r10 kept only the totals),
-    # making per-query regression audits impossible from artifacts. Emit
-    # the 15-query headline dict as its own compact line directly before
-    # the totals line — ~1 KB, so both fit the driver's ~2 KB tail.
+    # The driver captures only a ~2 KB stdout tail (VERDICT r8 #3), so
+    # the FULL record above is for local runs; the artifact-visible
+    # record is the compact lines below, printed least-critical FIRST so
+    # an overflow truncates from the top (tests/test_r9_hardening.py
+    # pins the worst-case sum of these lines under the tail budget):
+    #   1. llm_per_query    — 26 LLM-battery timings, "q_" stripped, 2dp
+    #   2. rows_only_metrics — accuracy evidence for the oracle=None
+    #      queries (VERDICT r11 #4); key = "<query>:<metric>", legend in
+    #      accuracy.py
+    #   3. tpch_per_query   — TPC-H timings keyed "1".."22", 2dp
+    #      (VERDICT r11 #7: previously cut off mid-record)
+    #   4. headline_per_query — the 15 headline timings (full names)
+    #   5. totals           — the driver-parsed final line
+    # Per-query spreads stay in the full record only; they no longer fit
+    # alongside three per-query sections.
     print(
         json.dumps(
-            {"headline_per_query": timings, "headline_spread": spreads},
+            {"llm_per_query": {k[2:]: round(v, 2) for k, v in llm.items()}},
+            separators=(",", ":"),
+        )
+    )
+    if metrics:
+        # "q_" stripped from keys in every compact line: the tail budget
+        # is real (tests/test_accuracy_metrics.py pins the worst case)
+        mline = {
+            "rows_only_metrics": {k[2:]: v for k, v in metrics.items()}
+        }
+        if metrics_sf_dir != "/root/testdata/sf0.01":
+            mline["metrics_sf_dir"] = metrics_sf_dir
+        print(json.dumps(mline, separators=(",", ":")))
+    print(
+        json.dumps(
+            {
+                "tpch_per_query": {
+                    re.match(r"q_tpch_q(\d+)", k).group(1): round(v, 2)
+                    for k, v in tpch.items()
+                }
+            },
+            separators=(",", ":"),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "headline_per_query": {
+                    k[2:]: round(v, 2) for k, v in timings.items()
+                }
+            },
             separators=(",", ":"),
         )
     )
@@ -213,7 +271,7 @@ def main() -> None:
             compact[key] = out[key]
     if errors:
         compact["incomplete"] = True
-    print(json.dumps(compact))
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     # non-zero exit still signals the driver, but the artifact above is
     # complete for every query that ran

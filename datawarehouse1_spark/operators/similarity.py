@@ -303,11 +303,14 @@ def tune_nprobe(
     returned nprobe ALWAYS has a measured entry in `recalls` — with e.g.
     n_centroids=20 the sweep is 1, 2, 4, 8, 16, 20.
     """
-    n_queries = queries.count()
+    # limit(cap+1) bounds the guard's own cost by the cap, not the probe
+    # set's size (ADVICE r11: a full count() pays a complete scan of the
+    # oversized input just to reject it)
+    n_queries = queries.limit(max_queries + 1).count()
     if n_queries > max_queries:
         raise ValueError(
             f"tune_nprobe is an offline autotuner over a bounded query "
-            f"sample: got {n_queries} queries > max_queries={max_queries}. "
+            f"sample: got more than max_queries={max_queries} queries. "
             f"Sample the probe set down or raise max_queries explicitly."
         )
     want: dict = {}

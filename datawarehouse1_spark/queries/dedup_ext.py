@@ -21,19 +21,30 @@ from datawarehouse1_spark.operators.dedup import (
 from datawarehouse1_spark.registry import declared
 
 
+def staged_minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact duplicates of every 7th doc (+100000 ids) — the
+    corpus q_dedup_minhash_lsh runs on. Shared with accuracy.py so the
+    bench-emitted recall metric measures THE SAME corpus the declared
+    query near-dups (staging drift would silently invalidate the metric)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
 @declared("q_dedup_minhash_lsh", oracle=None)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents augmented with exact
     duplicates (so collisions exist at any SF): banded signature buckets
     generate candidates, exact Jaccard verifies."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = d.unionByName(
-        d.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
-        )
-    )
     return minhash_lsh_pairs(
-        staged, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5
+        staged_minhash_corpus(spark, sf_dir),
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.5,
     )
 
 
@@ -174,16 +185,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(staged)
 
 
-@declared("q_dedup_simhash_neardup", oracle=None)
-def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=k near-dup pairs (the distance>0 tier round-3
-    VERDICT noted had no declared query). Pigeonhole block-banded bucket
-    joins (operators/dedup.py::simhash_neardup_pairs) — perfect recall at
-    the stated distance; only (id, fingerprint, block) longs shuffle.
-    Rows-only: xxhash64 fingerprints have no DuckDB twin; recall vs the
-    brute-force scan is pytest-asserted (tests/test_dedup_similarity.py).
-    Staged near-dups: every 9th doc gets a word-dropped twin so distance
-    in (0, k] pairs exist at any SF."""
+def staged_simhash_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a word-dropped twin of every 9th doc — the corpus
+    q_dedup_simhash_neardup bands. Shared with accuracy.py so the bench
+    recall-vs-brute-force metric scans the identical corpus."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # twin = original minus its last two words: a few token votes flip,
     # landing most twins at small-but-nonzero hamming distance. Tokens
@@ -208,7 +213,21 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return simhash_neardup_pairs(d.unionByName(twin), max_hamming=3)
+    return d.unionByName(twin)
+
+
+@declared("q_dedup_simhash_neardup", oracle=None)
+def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=k near-dup pairs (the distance>0 tier round-3
+    VERDICT noted had no declared query). Pigeonhole block-banded bucket
+    joins (operators/dedup.py::simhash_neardup_pairs) — perfect recall at
+    the stated distance; only (id, fingerprint, block) longs shuffle.
+    Rows-only: xxhash64 fingerprints have no DuckDB twin; recall vs the
+    brute-force scan is pytest-asserted (tests/test_dedup_similarity.py)
+    and re-measured every bench run (accuracy.py rows_only_metrics)."""
+    return simhash_neardup_pairs(
+        staged_simhash_neardup_corpus(spark, sf_dir), max_hamming=3
+    )
 
 
 # Per-language sampling rates for the mixture query, expressed as an
@@ -252,6 +271,29 @@ def q_sample_hash_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang")
 
 
+def staged_incremental_corpora(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(history, arriving) split for the incremental near-dup query.
+    Shared with accuracy.py, whose full-parity metric re-runs the FULL
+    minhash pass over history ∪ arriving and checks the incremental
+    output equals it on every pair touching the arriving batch."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # realistic steady-state proportions: the indexed corpus is ~9x the
+    # arriving batch (not 50/50 — at 50/50 the incremental machinery's
+    # fixed costs made it SLOWER than the full run at bench scale,
+    # which inverts the operator's whole point)
+    history = d.filter(F.col("doc_id") % 10 != 0)
+    arriving = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        # near-dups of HISTORY docs arriving in the new batch — the
+        # cross-quadrant case the incremental path exists for
+        d.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 100001).alias("doc_id"), "text"
+        )
+    )
+    return history, arriving
+
+
 @declared("q_dedup_minhash_incremental", oracle=None)
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup: the arriving batch (every 10th doc, plus
@@ -269,19 +311,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_incremental_pairs,
     )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # realistic steady-state proportions: the indexed corpus is ~9x the
-    # arriving batch (not 50/50 — at 50/50 the incremental machinery's
-    # fixed costs made it SLOWER than the full run at bench scale,
-    # which inverts the operator's whole point)
-    history = d.filter(F.col("doc_id") % 10 != 0)
-    arriving = d.filter(F.col("doc_id") % 10 == 0).unionByName(
-        # near-dups of HISTORY docs arriving in the new batch — the
-        # cross-quadrant case the incremental path exists for
-        d.filter(F.col("doc_id") % 7 == 1).select(
-            (F.col("doc_id") + 100001).alias("doc_id"), "text"
-        )
-    )
+    history, arriving = staged_incremental_corpora(spark, sf_dir)
     # Bench-number caveat: a self-contained declared query must build
     # the history index INSIDE the timed run (~90% of the per-run
     # cost); a real pipeline amortizes that across every later batch —

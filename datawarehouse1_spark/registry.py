@@ -41,78 +41,25 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-check priority order. The driver's correctness gate grades the
-# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r10
-# each contain exactly queries()[:50] in dict order). Round-11 window
-# (VERDICT r10 #1 + ROUND_NOTES r11 rotation): section (a) fronts the
-# 14 never-graded r10-tail queries (landed at positions 51-64 after the
-# r10 window was graded); (b) new r11 queries insert behind them
-# (never-graded outranks re-grade), each displacing one r6 re-grade
-# from the window tail; (c) the oldest re-grades fill the window to
-# exactly 50 — the 50 r6-vintage verdicts are four rounds stale and
-# refresh 36-at-a-time starting here. Behind the window: freshest-last
-# (r6 remainder, r7-, r8-, r9-, r10-graded). Vintages computed from
-# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json. Window structure
-# pinned by tests/test_r6_hardening.py::test_registry_window_structure.
+# FIRST 50 entries of queries() per round (observed: CORRECTNESS_r01-r11
+# each contain exactly queries()[:50] in dict order). Round-12 rotation
+# (VERDICT r11 #2/#3): every query now holds a verdict, so the window is
+# pure refresh — stalest oracle-bearing verdicts first. Rule set:
+#   (a) NEW never-graded queries insert at the very front (never-graded
+#       outranks re-grade; structural test enforces);
+#   (b) ORACLE-BEARING queries follow, ordered stalest-vintage-first
+#       (ties broken by prior registry order), so the 50-slot window is
+#       always the 50 stalest hashable verdicts;
+#   (c) ROWS-ONLY (oracle=None) queries sit behind ALL oracle-bearing
+#       ones — re-grading them burns a hashable slot on `err: no_oracle`
+#       (VERDICT r11 #3); their quantitative evidence ships via the
+#       rows_only_metrics line in bench.py instead.
+# r12 window = 10 r6-vintage + 40 oldest r7-vintage oracle-bearing.
+# Vintages computed from CORRECTNESS_r{01..11}.json. Structure pinned by
+# tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- (a) the 14 never-graded r10-tail queries (VERDICT r10 #1):
-    #    implemented+pytest-green, awaiting first driver verdict --
-    "q_stats_kendall_tau",
-    "q_orders_abc_parts",
-    "q_events_user_type_gini",
-    "q_split_ngram_leakage",
-    "q_events_autocorr_daily",
-    "q_docs_oov_rate",
-    "q_events_time_to_convert",
-    "q_stats_runs_test",
-    "q_orders_gini_coefficient",
-    "q_orders_theil_sen_trend",
-    "q_layout_retention_plan",
-    "q_orders_xyz_parts",
-    "q_events_bot_verdict",
-    "q_embedding_cluster_purity",
-    # -- (b) new r11 queries insert HERE (never-graded outranks
-    #    re-grade; each displaces the last r6 fill below) --
-    # -- (c) oldest re-grades: 36 of the 50 r6-vintage verdicts
-    #    (stale since CORRECTNESS_r06), in standing r6 order --
-    "q_semantic_dedup_corpus",
-    "q_multimodal_video_decode",
-    "q_dedup_paragraphs",
-    "q_text_pii_redact",
-    "q_expectations_orders",
-    "q_bpe_learn_merges",
-    "q_graph_pagerank",
-    "q_multimodal_mp4_demux",
-    "q_sketch_log_histogram",
-    "q_warc_extract_text",
-    "q_sketch_count_min",
-    "q_merge_cdc_apply",
-    "q_curation_gopher_rules",
-    "q_stats_mad_outliers",
-    "q_agg_group_sum",
-    "q_agg_rollup",
-    "q_date_trunc_month",
-    "q_window_rank_topn",
-    "q_window_running_sum",
-    "q_surrogate_key",
-    "q_dedup_business_key",
-    "q_join_left_outer",
-    "q_agg_avg_min_max",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_having",
-    "q_dedup_rows",
-    "q_dup_report",
-    "q_incremental_antijoin",
-    "q_text_tokenize_wordcount",
-    "q_text_token_count",
-    "q_text_quality_score",
-    "q_text_lang_score",
-    "q_text_fingerprint",
-    "q_dedup_exact_hash",
-    "q_join_multi_star",
-    # ---- graded window ends here (first 50): 14 never-graded +
-    #      36 r6 re-grades ----
-    # -- r6-vintage remainder (fronts the r12 window) --
+    # ---- (b) oracle-bearing, stalest verdict first ----
+    # -- last graded r6 --
     "q_similarity_cosine_topk",
     "q_scan_project",
     "q_cast_types",
@@ -120,14 +67,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_join_inner_fact_dim",
     "q_join_broadcast_dim",
     "q_join_anti_orphans",
-    "q_similarity_lsh_topk",
-    "q_similarity_ivf_topk",
-    "q_dedup_minhash_lsh",
     "q_flagship_monthly_revenue",
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
-    "q_multimodal_real_decode",
-    # -- r7-graded (CORRECTNESS_r07, all green) --
+    # -- last graded r7 --
     "q_hierarchy_sql_recursive",
     "q_unpivot_metrics",
     "q_events_anomaly_days",
@@ -147,7 +90,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_cdc_extract_changes",
     "q_sample_stratified_exact",
     "q_mixture_token_budget",
-    "q_dedup_minhash_incremental",
     "q_schema_evolution_union",
     "q_partition_boundaries",
     "q_dedup_clusters_best_keeper",
@@ -169,6 +111,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q6_forecast_revenue",
     "q_tpch_q7_volume_shipping",
     "q_tpch_q8_market_share",
+    # ---- graded window ends here (first 50): 10 r6-vintage +
+    #      40 oldest r7-vintage oracle-bearing re-grades ----
     "q_tpch_q9_product_type_profit",
     "q_tpch_q10_returned_items",
     "q_tpch_q11_important_stock",
@@ -178,7 +122,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q15_top_supplier",
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
-    # -- r8-graded (CORRECTNESS_r08, all green) --
+    # -- last graded r8 --
     "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
@@ -192,8 +136,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_profile_columns",
     "q_pandas_udf_scalar",
     "q_array_agg_sorted",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
     "q_multimodal_metadata",
     "q_agg_grouping_sets",
     "q_agg_percentile",
@@ -229,14 +171,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention_weekly",
     "q_join_asof",
-    # -- r9-graded (CORRECTNESS_r09, all green) --
+    # -- last graded r9 --
     "q_route_filter",
     "q_upsert_latest",
     "q_excel_serial_date",
     "q_null_semantics",
     "q_window_lag_delta",
-    "q_dedup_simhash_neardup",
-    "q_dedup_simhash",
     "q_window_ntile_quartile",
     "q_window_percent_rank",
     "q_window_first_last",
@@ -280,7 +220,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_exif_scan",
     "q_curation_optout_takedown",
     "q_curation_master_pipeline",
-    # -- r10-graded (CORRECTNESS_r10, all green): freshest verdicts --
+    # -- last graded r10 --
     "q_profile_join_cardinality",
     "q_events_resample_ohlc",
     "q_window_dense_rank_peers",
@@ -310,7 +250,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_readability_flesch",
     "q_text_hapax_ratio",
     "q_embedding_covariance_exact",
-    "q_embedding_pca_power",
     "q_dedup_containment_subset",
     "q_events_attribution_last_touch",
     "q_orders_seasonality_decompose",
@@ -331,6 +270,74 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_curation_boilerplate_snippets",
     "q_split_kfold_assign",
     "q_embedding_cluster_balance",
+    # -- last graded r11 --
+    "q_stats_kendall_tau",
+    "q_orders_abc_parts",
+    "q_events_user_type_gini",
+    "q_split_ngram_leakage",
+    "q_events_autocorr_daily",
+    "q_docs_oov_rate",
+    "q_events_time_to_convert",
+    "q_stats_runs_test",
+    "q_orders_gini_coefficient",
+    "q_orders_theil_sen_trend",
+    "q_layout_retention_plan",
+    "q_orders_xyz_parts",
+    "q_events_bot_verdict",
+    "q_embedding_cluster_purity",
+    "q_semantic_dedup_corpus",
+    "q_multimodal_video_decode",
+    "q_dedup_paragraphs",
+    "q_text_pii_redact",
+    "q_expectations_orders",
+    "q_bpe_learn_merges",
+    "q_graph_pagerank",
+    "q_multimodal_mp4_demux",
+    "q_sketch_log_histogram",
+    "q_warc_extract_text",
+    "q_sketch_count_min",
+    "q_merge_cdc_apply",
+    "q_curation_gopher_rules",
+    "q_stats_mad_outliers",
+    "q_agg_group_sum",
+    "q_agg_rollup",
+    "q_date_trunc_month",
+    "q_window_rank_topn",
+    "q_window_running_sum",
+    "q_surrogate_key",
+    "q_dedup_business_key",
+    "q_join_left_outer",
+    "q_agg_avg_min_max",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_dedup_rows",
+    "q_dup_report",
+    "q_incremental_antijoin",
+    "q_text_tokenize_wordcount",
+    "q_text_token_count",
+    "q_text_quality_score",
+    "q_text_lang_score",
+    "q_text_fingerprint",
+    "q_dedup_exact_hash",
+    "q_join_multi_star",
+    # ---- (c) rows-only (oracle=None), behind every hashable query ----
+    # -- last graded r6 --
+    "q_similarity_lsh_topk",
+    "q_similarity_ivf_topk",
+    "q_dedup_minhash_lsh",
+    "q_multimodal_real_decode",
+    # -- last graded r7 --
+    "q_dedup_minhash_incremental",
+    # -- last graded r8 --
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    # -- last graded r9 --
+    "q_dedup_simhash_neardup",
+    "q_dedup_simhash",
+    # -- last graded r10 --
+    "q_embedding_pca_power",
+    # -- last graded r11 --
+    "q_agg_approx_distinct",
 )
 
 

@@ -69,15 +69,26 @@ _STATS = (
 )
 
 
-def batch_zonemap(batch: DataFrame, key_col: str, date_col: str) -> DataFrame:
-    """Per-file zone-map statistics of one delivered batch."""
-    return batch.groupBy("file_id").agg(
+def batch_zonemap(
+    batch: DataFrame, key_col: str, date_col: str, with_digest: bool = False
+) -> DataFrame:
+    """Per-file zone-map statistics of one delivered batch.
+
+    with_digest=True appends the content-guard digest columns
+    (row_digest, row_digest_sq — see _digest_aggs) IN THE SAME groupBy,
+    so the sink's stats and digest come from one pass over the batch
+    instead of two (ADVICE r11: _row_digest re-scanned the raw batch in
+    a second aggregate)."""
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.min(key_col).alias("key_min"),
         F.max(key_col).alias("key_max"),
         F.min(F.to_date(date_col)).alias("date_min"),
         F.max(F.to_date(date_col)).alias("date_max"),
-    )
+    ]
+    if with_digest:
+        aggs.extend(_digest_aggs(batch))
+    return batch.groupBy("file_id").agg(*aggs)
 
 
 def merge_zonemaps(index: DataFrame, delta: DataFrame) -> DataFrame:
@@ -108,33 +119,49 @@ def prunable_files(index: DataFrame, key_lo: int, key_hi: int) -> DataFrame:
     )
 
 
-def _row_digest(batch: DataFrame) -> DataFrame:
-    """Per-file order-independent multiset digest of the FULL rows:
-    sum of xxhash64(row) widened to DECIMAL(38,0) so the sum is exact
-    (no silent BIGINT wrap / ANSI overflow) and faithful to duplicate
-    rows (xor would cancel a row delivered an even number of times).
-    Distributed agg — nothing but one digest row per file reaches the
-    driver via the stats collect in _content_key."""
-    return batch.groupBy("file_id").agg(
-        F.sum(F.xxhash64(*batch.columns).cast("decimal(38,0)")).alias(
-            "row_digest"
-        )
-    )
+def _digest_aggs(batch: DataFrame, hash_col=None) -> list:
+    """Order-independent multiset digest aggregates of the FULL rows:
+
+    * row_digest    — sum of xxhash64(row) widened to DECIMAL(38,0) so
+      the sum is exact (no silent BIGINT wrap / ANSI overflow) and
+      faithful to duplicate rows (xor would cancel a row delivered an
+      even number of times);
+    * row_digest_sq — sum of the SQUARES of a 31-bit projection of the
+      same hash (ADVICE r11: a linear sum alone is not
+      collision-resistant — distinct multisets with coinciding hash
+      sums would be misclassified as a redelivery; matching the second
+      moment too makes the combiner non-linear). The projection keeps
+      each squared term under 2^62 (exact in LongType) and a 10^9-row
+      per-file sum under ~5·10^27, far inside DECIMAL(38,0).
+
+    Both are distributed aggs — nothing but one digest row per file
+    reaches the driver via the stats collect in _content_key.
+
+    hash_col injects a synthetic hash expression IN TESTS ONLY, where a
+    genuine xxhash64 sum collision is unconstructable (finding one is a
+    2^32-pair birthday search) — production callers always digest the
+    real row hash."""
+    h = F.xxhash64(*batch.columns) if hash_col is None else hash_col
+    hm = F.pmod(h, F.lit(2147483647))
+    return [
+        F.sum(h.cast("decimal(38,0)")).alias("row_digest"),
+        F.sum((hm * hm).cast("decimal(38,0)")).alias("row_digest_sq"),
+    ]
 
 
-def _content_key(stats: DataFrame, digests: DataFrame) -> str:
+def _content_key(stats_with_digest: DataFrame) -> str:
     """Key over the batch's FULL per-file statistics (count AND both
-    envelopes) PLUS a row-level multiset digest — stats alone would
-    misclassify two legitimately distinct successive batches that
-    happen to be stats-identical (e.g. fixed-size chunks of
-    duplicate-keyed rows with the same envelope and count; ADVICE r10)
-    as a redelivery and silently drop the second, undercounting
-    n_rows. With the row digest folded in, a colliding batch carries
-    byte-identical row content — in a deliver-each-row-once stream
-    that IS a redelivery, not new data. key_min/key_max serialize via
-    str() so any orderable key type works (int, string, date; ADVICE
-    r10 — int() raised on non-integer clustering keys)."""
-    dig = {r["file_id"]: str(r["row_digest"]) for r in digests.collect()}
+    envelopes) PLUS the two row-level multiset digest moments — stats
+    alone would misclassify two legitimately distinct successive
+    batches that happen to be stats-identical (e.g. fixed-size chunks
+    of duplicate-keyed rows with the same envelope and count; ADVICE
+    r10) as a redelivery and silently drop the second, undercounting
+    n_rows. With the digest moments folded in, a colliding batch
+    carries row content matching in count, hash sum AND hash second
+    moment — in a deliver-each-row-once stream that IS a redelivery,
+    not new data. key_min/key_max serialize via str() so any orderable
+    key type works (int, string, date; ADVICE r10 — int() raised on
+    non-integer clustering keys)."""
     rows = sorted(
         (
             r["file_id"],
@@ -143,9 +170,10 @@ def _content_key(stats: DataFrame, digests: DataFrame) -> str:
             str(r["key_max"]),
             str(r["date_min"]),
             str(r["date_max"]),
-            dig.get(r["file_id"], ""),
+            str(r["row_digest"]),
+            str(r["row_digest_sq"]),
         )
-        for r in stats.collect()
+        for r in stats_with_digest.collect()
     )
     import hashlib
 
@@ -167,9 +195,12 @@ def make_zonemap_sink(
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        delta = batch_zonemap(batch, key_col, date_col).localCheckpoint(
-            eager=True
-        )
+        # one pass over the batch computes stats AND the content-guard
+        # digest moments (ADVICE r11: previously two separate groupBys)
+        delta_dig = batch_zonemap(
+            batch, key_col, date_col, with_digest=True
+        ).localCheckpoint(eager=True)
+        delta = delta_dig.select(*_STATS)
         # id-guard first (the rollup_maintenance contract: n_rows
         # summing is NOT idempotent, so a replayed batch must skip;
         # checkpoint loss => restart against a fresh index store)
@@ -178,7 +209,7 @@ def make_zonemap_sink(
             return  # checkpoint replay — already folded in, skip
         # defense-in-depth: a redelivery whose id advanced anyway is
         # still recognized by its CONTENT matching the stored key
-        ckey = _content_key(delta, _row_digest(batch))
+        ckey = _content_key(delta_dig)
         kp = _key_path(index_path)
         if applied is not None and os.path.exists(kp):
             with open(kp) as fh:

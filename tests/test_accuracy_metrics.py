@@ -1,0 +1,121 @@
+"""Pins for accuracy.py (VERDICT r11 #4): the rows-only queries' bench
+metrics — coverage (every oracle=None query has a metric), thresholds
+(each metric clears the same bar the scattered operator tests assert),
+and the bench stdout tail budget (all five compact lines must fit the
+driver's ~2 KB capture even with worst-case float widths)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from datawarehouse1_spark import accuracy, registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_rows_only_query_has_a_metric():
+    registry.load_all()
+    rows_only = {n for n in registry.QUERIES if n not in registry.ORACLES}
+    covered = {k.split(":")[0] for k in accuracy.METRICS}
+    assert covered == rows_only, (
+        f"metric coverage drift: missing={sorted(rows_only - covered)} "
+        f"extra={sorted(covered - rows_only)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def measured(spark):
+    return accuracy.rows_only_metrics(spark, SF)
+
+
+# metric key -> (minimum bound, exact pin). Exact pins are laws (perfect
+# recall by pigeonhole, exact parity, deterministic decode); minimum
+# bounds mirror the operator tests' thresholds on random-ish data.
+BOUNDS = {
+    "q_similarity_lsh_topk:recall": (0.4, None),
+    "q_similarity_ivf_topk:recall": (0.4, None),
+    "q_dedup_minhash_lsh:recall": (0.8, None),
+    "q_dedup_minhash_incremental:parity": (None, 1.0),
+    "q_dedup_simhash:copy_rate": (None, 1.0),
+    "q_dedup_simhash_neardup:recall": (None, 1.0),
+    "q_multimodal_real_decode:ok_rate": (None, 1.0),
+    "q_multimodal_features:ok_rate": (None, 1.0),
+    "q_multimodal_frame_sample:fanout_ok": (None, 1.0),
+    "q_embedding_pca_power:cos_eigh": (0.999, None),
+}
+
+
+def test_metrics_clear_their_pinned_thresholds(measured):
+    assert set(measured) == set(accuracy.METRICS)
+    failures = []
+    for key, (lo, exact) in BOUNDS.items():
+        v = measured[key]
+        if v is None:
+            failures.append(f"{key}: errored (None)")
+        elif exact is not None and v != exact:
+            failures.append(f"{key}: {v} != pinned {exact}")
+        elif lo is not None and v < lo:
+            failures.append(f"{key}: {v} < floor {lo}")
+    # HLL @ rsd 0.02: 3-sigma-ish ceiling, generous for tiny groups
+    err = measured["q_agg_approx_distinct:max_rel_err"]
+    if err is None or err > 0.06:
+        failures.append(f"q_agg_approx_distinct:max_rel_err: {err} > 0.06")
+    assert not failures, failures
+
+
+def test_bench_tail_lines_fit_driver_budget():
+    """The driver records only the last ~2000 stdout chars; simulate the
+    five compact lines bench.py emits with worst-case realistic widths
+    (9.99 s per query — current max is 3.2 s and a 10 s query is already
+    a flagged regression; 4-decimal metrics; totals 3-digit) and assert
+    they fit with headroom. This is the static twin of VERDICT r11 #7's
+    'all per-query lines parse from the artifact tail'."""
+    import ast
+    import pathlib
+
+    src = (pathlib.Path(__file__).resolve().parents[1] / "bench.py").read_text()
+    names = {}
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Assign)
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id in ("HEADLINE", "LLM")
+        ):
+            names[node.targets[0].id] = ast.literal_eval(node.value)
+    lines = [
+        json.dumps(
+            {"llm_per_query": {k[2:]: 9.99 for k in names["LLM"]}},
+            separators=(",", ":"),
+        ),
+        json.dumps(
+            {"rows_only_metrics": {k[2:]: 0.9999 for k in accuracy.METRICS}},
+            separators=(",", ":"),
+        ),
+        json.dumps(
+            {"tpch_per_query": {str(i): 9.99 for i in range(1, 23)}},
+            separators=(",", ":"),
+        ),
+        json.dumps(
+            {"headline_per_query": {k[2:]: 9.99 for k in names["HEADLINE"]}},
+            separators=(",", ":"),
+        ),
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": 999.9999,
+                "unit": "sec",
+                "sf": 0.1,
+                "tpch_total": 999.9999,
+                "llm_total": 999.9999,
+                "incomplete": True,
+            },
+            separators=(",", ":"),
+        ),
+    ]
+    total = sum(len(line) + 1 for line in lines)
+    assert total <= 1950, (
+        f"bench tail lines total {total} chars; the driver captures "
+        "~2000 — shrink a section before it truncates the first line"
+    )

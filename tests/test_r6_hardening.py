@@ -109,22 +109,23 @@ def test_bpe_ish_stays_jvm_side(spark):
 
 
 def test_registry_window_structure():
-    """The driver grades queries()[:50]; pin the structural facts the
-    rotation docs claim so an edit that accidentally reorders or
-    shrinks the window fails here, not in the graded artifact.
+    """The driver grades queries()[:50]; pin the r12 rotation's structural
+    rules (VERDICT r11 #1/#2/#3) in a form DERIVED FROM THE ARTIFACTS, so
+    the suite stays green both before AND after the driver drops each
+    round's CORRECTNESS_r*.json (the r11 lesson: a hardcoded head list
+    went red the moment the driver's post-commit artifact landed).
 
-    r11 window (VERDICT r10 #1): (a) the 14 never-graded r10-tail
-    queries grade FIRST; (b) new r11 queries behind them (never-graded
-    outranks re-grade); (c) oldest re-grades (the r6-vintage verdicts,
-    stale since CORRECTNESS_r06) fill to exactly 50, drawn as a PREFIX
-    of the r6-vintage list in registry order so each new query
-    displaces exactly one fill from the tail.
-
-    Structural rule (VERDICT r10 #7, now permanent): EVERY registered
-    query that holds no verdict in any CORRECTNESS_r*.json must sit in
-    the first-50 window — the r8/r10 sequencing bug (queries landing
-    after the window was graded and going a full round unverified)
-    fails here the moment it recurs.
+    Rules pinned:
+      (a) never-graded queries (none today; any future adds) must sit
+          inside the first-50 window — never stranded behind it;
+      (b) every rows-only (oracle=None) query sits behind EVERY
+          oracle-bearing query, so graded slots are always hashable;
+      (c) oracle-bearing section is stalest-verdict-first: vintages are
+          non-decreasing, IGNORING window entries freshly re-graded by
+          the newest artifact (that artifact lands after the commit that
+          rotated them to the front — by construction they were the
+          stalest at rotation time);
+      (d) same non-decreasing rule within the rows-only section.
     """
     import json
     import pathlib
@@ -147,12 +148,15 @@ def test_registry_window_structure():
     # artifacts themselves so the pin can't drift from the data
     root = pathlib.Path(__file__).resolve().parents[1]
     vintage = {}
+    rounds = []
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         r = int(re.search(r"r(\d+)", p.stem).group(1))
+        rounds.append(r)
         for k in json.loads(p.read_text()):
             vintage[k] = max(vintage.get(k, 0), r)
+    max_round = max(rounds)
 
-    # STRUCTURAL: no never-graded query may sit outside the window
+    # (a) no never-graded query may sit outside the window
     never_graded = [n for n in names if n not in vintage]
     stranded = [n for n in never_graded if n not in window]
     assert not stranded, (
@@ -160,44 +164,38 @@ def test_registry_window_structure():
         "(rotate DRIVER_CHECK_ORDER in the same commit that adds them)"
     )
 
-    NEVER_GRADED_R10_TAIL = [
-        "q_stats_kendall_tau",
-        "q_orders_abc_parts",
-        "q_events_user_type_gini",
-        "q_split_ngram_leakage",
-        "q_events_autocorr_daily",
-        "q_docs_oov_rate",
-        "q_events_time_to_convert",
-        "q_stats_runs_test",
-        "q_orders_gini_coefficient",
-        "q_orders_theil_sen_trend",
-        "q_layout_retention_plan",
-        "q_orders_xyz_parts",
-        "q_events_bot_verdict",
-        "q_embedding_cluster_purity",
-    ]
-    NEW_R11 = [
-        # extend as r11 queries land; each displaces one r6 fill
-    ]
-    head = NEVER_GRADED_R10_TAIL + NEW_R11
-    assert window[: len(head)] == head
-    # the 14 + any new r11 queries are exactly the never-graded set
-    assert sorted(never_graded) == sorted(head)
+    # (b) rows-only strictly behind all oracle-bearing (never-graded new
+    # queries are exempt: they must front the window regardless)
+    graded = [n for n in names if n in vintage]
+    n_oracle = sum(1 for n in graded if n in ORACLES)
+    assert all(n in ORACLES for n in graded[:n_oracle]), (
+        "a rows-only query sits ahead of an oracle-bearing one"
+    )
+    assert all(n not in ORACLES for n in graded[n_oracle:])
 
-    # the fills are the oldest held verdicts: the r6-vintage queries in
-    # registry order, taken as a prefix
-    r6_order = [n for n in names if vintage.get(n) == 6]
-    n_fills = 50 - len(head)
-    assert window[len(head) :] == r6_order[:n_fills]
+    # (c)/(d) stalest-first within each section. Entries in the window
+    # whose vintage equals the newest artifact's round were just
+    # re-graded by the driver's post-commit drop — skip them (they were
+    # the stalest when the rotation was committed).
+    def fresh_skipped(section):
+        return [
+            vintage[n]
+            for n in section
+            if not (n in window and vintage[n] == max_round)
+        ]
 
-    # behind the window: freshest-last (vintages non-decreasing)
-    tail_vintages = [vintage[n] for n in names[50:]]
-    assert tail_vintages == sorted(tail_vintages)
+    for section in (graded[:n_oracle], graded[n_oracle:]):
+        vs = fresh_skipped(section)
+        assert vs == sorted(vs), (
+            "section not stalest-verdict-first after skipping "
+            f"freshly re-graded window entries: {vs}"
+        )
 
     # every declared query resolves to a callable, and every oracle
     # belongs to a declared query
     assert set(ORACLES) <= set(QUERIES)
     assert all(callable(QUERIES[n]) for n in names)
+
 
 
 def test_declared_outputs_are_driver_safe_types(spark):

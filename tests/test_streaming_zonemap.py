@@ -168,6 +168,40 @@ def test_zonemap_shield_distinguishes_stats_identical_batches(
     )
 
 
+def test_zonemap_digest_second_moment_separates_sum_collisions(spark):
+    """ADVICE r11: the linear hash-sum digest alone is not
+    collision-resistant — two distinct row multisets whose per-row hash
+    sums coincide would be misclassified as a redelivery. A genuine
+    xxhash64 sum collision is unconstructable in a test (2^32-pair
+    birthday search), so inject a crafted hash column through
+    _digest_aggs' test seam: multisets {1, 5} and {2, 4} collide
+    linearly (sum 6) but differ in the second moment (26 vs 20) — the
+    strengthened combiner must separate them."""
+    from pyspark.sql import functions as F
+
+    def digest(hashes):
+        batch = spark.createDataFrame(
+            [("f1", h) for h in hashes], "file_id string, h long"
+        )
+        row = batch.groupBy("file_id").agg(
+            *zm._digest_aggs(batch, hash_col=F.col("h"))
+        ).first()
+        return int(row.row_digest), int(row.row_digest_sq)
+
+    d1, sq1 = digest([1, 5])
+    d2, sq2 = digest([2, 4])
+    assert d1 == d2 == 6
+    assert sq1 != sq2, (
+        "second-moment digest failed to separate a linear-sum collision"
+    )
+    assert (sq1, sq2) == (26, 20)
+    # negative hashes project through pmod, not truncation: the square
+    # term stays exact and order-independent
+    d3, sq3 = digest([-3, 9])
+    d4, sq4 = digest([9, -3])
+    assert (d3, sq3) == (d4, sq4) == (6, sq3)
+
+
 def test_zonemap_non_integer_key_type(spark, tmp_path):
     """ADVICE r10: key_col is a parameter, so the content key must
     serialize non-integer clustering keys (string, date) — int() raised
