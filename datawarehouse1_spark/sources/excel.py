@@ -29,7 +29,7 @@ from collections.abc import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 LOCK_GLOB = "[!~]*.xlsx"  # excludes Excel `~$...` lock files
 
@@ -64,15 +64,99 @@ def openpyxl_xlsx_parser(name: str, data: bytes) -> pd.DataFrame:
 
 
 def _xlsx_out_schema(schema: StructType, with_status: bool = False) -> StructType:
-    # copy the field list: StructType.add mutates in place and would
-    # otherwise grow the caller's schema
-    out = (
-        StructType(list(schema.fields))
-        .add("source_file", "string")
-        .add("imported_at", "timestamp")
+    # Every data field is declared NULLABLE here even when the warehouse
+    # schema says NOT NULL: status rows (with_status=True) legitimately
+    # carry all-null data columns for a failed file, and a nullable=False
+    # field receiving one NPEs deep in UnsafeProjection the moment the
+    # batch is persisted — killing the stream instead of quarantining the
+    # file. NOT NULL is a SINK constraint (validate_batch, mirroring the
+    # reference where Postgres enforces it at insert, not in the poller).
+    # Fields are rebuilt (not .add on the caller's StructType, which
+    # mutates in place and would grow the caller's schema).
+    out = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
     )
+    out = out.add("source_file", "string").add("imported_at", "timestamp")
     if with_status:
         out = out.add("parse_error", "string")
+    return out
+
+
+def _coerce_to_fields(out: pd.DataFrame, fields) -> pd.DataFrame:
+    """Coerce parsed pandas columns to the DECLARED Spark schema (O6 type
+    coercion at the source, the reference's implicit pandas->Postgres
+    cast). Without this, Arrow serialization of mapInPandas output fails
+    on any dtype drift — e.g. clients.xlsx's telephone parses as a
+    NUMBER (Excel stores it numerically) while the warehouse declares
+    VARCHAR, and the resulting ArrowTypeError escapes the per-file
+    try/except (it happens at batch serialization, after parse) and
+    kills the whole stream instead of failing the file. Conversions:
+
+      string    — integral floats render Excel-style ("612345678", not
+                  "612345678.0"); everything else str()
+      int/long  — nullable Int64 (NaN-safe)
+      float     — float64
+      decimal   — decimal.Decimal quantized to the declared scale
+                  (HALF_UP, the reference's Postgres NUMERIC rounding)
+      timestamp — numeric cells are Excel serials on the 1899-12-30
+                  epoch (how Excel stores every date); others parse via
+                  pandas
+
+    Coercion failures raise inside the caller's per-file try block —
+    fail-the-file, never fail-the-stream."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    def to_str(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if isinstance(v, str):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    for f in fields:
+        s = out[f.name]
+        t = f.dataType
+        if isinstance(t, StringType):
+            out[f.name] = s.map(to_str)
+        elif isinstance(t, (IntegerType, LongType, ShortType, ByteType)):
+            out[f.name] = pd.to_numeric(s).astype("Int64")
+        elif isinstance(t, (DoubleType, FloatType)):
+            out[f.name] = pd.to_numeric(s).astype("float64")
+        elif isinstance(t, DecimalType):
+            q = _decimal.Decimal(1).scaleb(-t.scale)
+            out[f.name] = s.map(
+                lambda v, q=q: None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else _decimal.Decimal(str(v)).quantize(
+                    q, rounding=_decimal.ROUND_HALF_UP
+                )
+            )
+        elif isinstance(t, TimestampType):
+            epoch = _dt.datetime(1899, 12, 30)
+            out[f.name] = s.map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else (
+                    epoch + _dt.timedelta(seconds=round(float(v) * 86400))
+                    if isinstance(v, (int, float))
+                    else pd.to_datetime(v).to_pydatetime()
+                )
+            )
     return out
 
 
@@ -81,6 +165,7 @@ def _make_xlsx_parse_fn(
     col_order: list[str],
     skip_invalid: bool = False,
     with_status: bool = False,
+    fields=None,
 ):
     """The shared per-task parse body: file bytes -> validated rows
     projected to the declared schema + lineage columns. Used by both the
@@ -111,6 +196,9 @@ def _make_xlsx_parse_fn(
                 try:
                     parsed = parser(row["path"], row["content"])
                     validate_required_columns(parsed, col_order, row["path"])
+                    parsed = parsed[col_order].copy()
+                    if fields is not None:
+                        parsed = _coerce_to_fields(parsed, fields)
                 except Exception as exc:
                     if not skip_invalid:
                         raise
@@ -128,7 +216,7 @@ def _make_xlsx_parse_fn(
                         )
                         yield err
                     continue
-                out = parsed[col_order].copy()  # project to declared schema
+                out = parsed  # already projected to the declared schema
                 out["source_file"] = os.path.basename(row["path"])
                 out["imported_at"] = now
                 if with_status:
@@ -156,7 +244,9 @@ def read_xlsx_dir(
     )
     col_order = [f.name for f in schema.fields]
     return binary.mapInPandas(
-        _make_xlsx_parse_fn(parser, col_order, skip_invalid=False),
+        _make_xlsx_parse_fn(
+            parser, col_order, skip_invalid=False, fields=schema.fields
+        ),
         schema=_xlsx_out_schema(schema),
     )
 
@@ -194,7 +284,11 @@ def xlsx_stream(
     col_order = [f.name for f in schema.fields]
     return binary.mapInPandas(
         _make_xlsx_parse_fn(
-            parser, col_order, skip_invalid=True, with_status=with_status
+            parser,
+            col_order,
+            skip_invalid=True,
+            with_status=with_status,
+            fields=schema.fields,
         ),
         schema=_xlsx_out_schema(schema, with_status=with_status),
     )
