@@ -173,13 +173,15 @@ def main() -> None:
     # queries they grade are the scale path. SPARK_GRAFT_BENCH_METRICS=0
     # skips.
     metrics: dict[str, float | None] = {}
+    metrics_errors: dict[str, str] = {}
     metrics_sf_dir = os.environ.get(
         "SPARK_GRAFT_METRICS_SF_DIR", "/root/testdata/sf0.01"
     )
     if os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0":
         from datawarehouse1_spark.accuracy import rows_only_metrics
 
-        metrics = rows_only_metrics(spark, metrics_sf_dir)
+        metrics = rows_only_metrics(spark, metrics_sf_dir, errors=metrics_errors)
+        errors.update(metrics_errors)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -242,8 +244,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # guarded: the section collects every q_tpch_* name, so
+                # a non-canonical one (no q<digits>) must fall back to
+                # its suffix instead of AttributeError-ing AFTER all
+                # queries ran but BEFORE the parseable tail printed
                 "tpch_per_query": {
-                    re.match(r"q_tpch_q(\d+)", k).group(1): round(v, 2)
+                    (
+                        m.group(1)
+                        if (m := re.match(r"q_tpch_q(\d+)", k))
+                        else k[len("q_tpch_") :]
+                    ): round(v, 2)
                     for k, v in tpch.items()
                 }
             },

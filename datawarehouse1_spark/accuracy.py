@@ -58,17 +58,30 @@ def _pair_set(df: DataFrame, a: str = "id_a", b: str = "id_b") -> set:
     }
 
 
+# Per-sf_dir memo of the exact brute-force top-k pair set: the O(q·n)
+# cross-join is the most expensive job in the metrics pass and the LSH
+# and IVF metrics grade against the IDENTICAL set — compute it once.
+# Bounded: one small pair set per sf_dir ever used in-process.
+_EXACT_TOPK_CACHE: dict[str, frozenset] = {}
+
+
+def _exact_topk_pairs(spark: SparkSession, sf_dir: str) -> frozenset:
+    if sf_dir not in _EXACT_TOPK_CACHE:
+        _EXACT_TOPK_CACHE[sf_dir] = frozenset(
+            (r.query_id, r.neighbor_id)
+            for r in _bounded_collect(
+                _q("q_similarity_cosine_topk")(spark, sf_dir).select(
+                    "query_id", "neighbor_id"
+                )
+            )
+        )
+    return _EXACT_TOPK_CACHE[sf_dir]
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str, approx_name: str) -> float:
     """Recall of an ANN tier's (query_id, neighbor_id) set vs the exact
     brute-force cosine top-k declared query on the same corpus."""
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in _bounded_collect(
-            _q("q_similarity_cosine_topk")(spark, sf_dir).select(
-                "query_id", "neighbor_id"
-            )
-        )
-    }
+    exact = _exact_topk_pairs(spark, sf_dir)
     approx = {
         (r.query_id, r.neighbor_id)
         for r in _bounded_collect(
@@ -230,16 +243,14 @@ def features_ok_rate(spark: SparkSession, sf_dir: str) -> float:
 def frame_sample_fanout_exact(spark: SparkSession, sf_dir: str) -> float:
     """Fraction of sampled video assets whose emitted frame count equals
     the closed-form expectation max(duration_ms // every_ms, 1) — the
-    fan-out contract of the mapInPandas sampler."""
-    from datawarehouse1_spark.multimodal.binary_columns import (
-        synthesize_assets_from_documents,
+    fan-out contract of the mapInPandas sampler. Expected counts come
+    from the SAME deterministic staging the query fans out (a separate
+    .limit(50) could pick different rows and report a false defect)."""
+    from datawarehouse1_spark.queries.multimodal_ext import (
+        staged_frame_sample_assets,
     )
 
-    assets = (
-        synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
-        .filter("modality = 'video'")
-        .limit(50)
-    )
+    assets = staged_frame_sample_assets(spark, sf_dir)
     expected = assets.select(
         "asset_id",
         F.greatest(
@@ -264,6 +275,7 @@ def pca_alignment_vs_eigh(spark: SparkSession, sf_dir: str) -> float:
     import numpy as np
 
     from datawarehouse1_spark.operators.vector_stats import (
+        assemble_covariance,
         marginals,
         pair_cells,
         quantized_moments,
@@ -279,14 +291,9 @@ def pca_alignment_vs_eigh(spark: SparkSession, sf_dir: str) -> float:
     mom = quantized_moments(spark, sf_dir)
     cells = pair_cells(mom).collect()
     marg = {int(r.d): int(r.s) for r in marginals(mom).collect()}
-    d = max(int(r.j) for r in cells) + 1
-    n = int(cells[0].n_vecs)
-    cov = np.zeros((d, d))
-    for r in cells:
-        i, j = int(r.i), int(r.j)
-        c = (n * float(int(r.sij)) - marg[i] * marg[j]) / n / n
-        cov[i, j] = c
-        cov[j, i] = c
+    # the SAME assembly the query eigensolves (shared helper — a second
+    # copy of the formula would measure formula drift, not alignment)
+    cov = assemble_covariance(cells, marg)
     w, v = np.linalg.eigh(cov)
     top = v[:, int(np.argmax(w))]
     denom = float(np.linalg.norm(loading) * np.linalg.norm(top))
@@ -320,15 +327,28 @@ METRICS = {
 }
 
 
-def rows_only_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def rows_only_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    errors: dict[str, str] | None = None,
+) -> dict[str, float]:
     """All metrics, rounded for the compact bench line. Per-metric
-    isolation: one failure records NaN-as-None rather than zeroing the
-    artifact (the bench's own per-query isolation rule)."""
+    isolation with the bench's own record-the-reason rule: one failure
+    stores None in the artifact, prints a [metrics-error] stderr line,
+    and (when the caller passes `errors`) records the short exception —
+    a bare None would be indistinguishable from 'not computed' and cost
+    a full bench re-run to triage."""
+    import sys
+
     load_all()
     out: dict[str, float | None] = {}
     for key, fn in METRICS.items():
         try:
             out[key] = round(float(fn(spark, sf_dir)), 4)
-        except Exception:  # noqa: BLE001 - record and keep measuring
+        except Exception as ex:  # noqa: BLE001 - record and keep measuring
             out[key] = None
+            msg = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+            if errors is not None:
+                errors[key] = msg
+            print(f"[metrics-error] {key}: {msg}", file=sys.stderr)
     return out

@@ -109,3 +109,25 @@ def marginals(moments: DataFrame) -> DataFrame:
         .groupBy(F.col("i").alias("d"))
         .agg(F.sum("p").cast(_DEC).alias("s"))
     )
+
+
+def assemble_covariance(cells, marg: dict) -> "object":
+    """Driver-side d×d covariance from the bounded co-moment cells and
+    marginal sums — THE one place the quantized-covariance formula
+    lives. q_embedding_pca_power eigensolves it and accuracy.py grades
+    that query against numpy's dense eigensolve of the same matrix; a
+    second copy of the formula would let the two drift apart and turn
+    the alignment metric into a formula-diff detector. Exact integer
+    arithmetic up to the final float division; collect is bounded by
+    d(d+1)/2 (a config constant, 64² here)."""
+    import numpy as np
+
+    d = max(int(r.j) for r in cells) + 1
+    n = int(cells[0].n_vecs)
+    cov = np.zeros((d, d), dtype=np.float64)
+    for r in cells:
+        i, j = int(r.i), int(r.j)
+        c = (n * float(int(r.sij)) - marg[i] * marg[j]) / n / n
+        cov[i, j] = c
+        cov[j, i] = c
+    return cov

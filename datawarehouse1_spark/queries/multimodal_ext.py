@@ -139,12 +139,23 @@ def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(synthesize_mjpeg_video_assets(docs), every_ms=80)
 
 
+def staged_frame_sample_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 video assets q_multimodal_frame_sample fans out (doc_id%3==2
+    under asset_id<150 → exactly 50 at every SF). A DETERMINISTIC filter,
+    not .limit(50): limit without orderBy may pick different rows across
+    executions, and accuracy.py recomputes the expected fan-out from this
+    same staging — a divergent pick would report a false fan-out defect.
+    Shared with accuracy.py::frame_sample_fanout_exact."""
+    return (
+        synthesize_assets_from_documents(table(spark, sf_dir, "documents"))
+        .filter("modality = 'video' AND asset_id < 150")
+    )
+
+
 @declared("q_multimodal_frame_sample", oracle=None)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame."""
-    assets = synthesize_assets_from_documents(
-        table(spark, sf_dir, "documents")
-    ).filter("modality = 'video'").limit(50)
+    assets = staged_frame_sample_assets(spark, sf_dir)
     return stringify_array_cols(frame_sample(assets, every_ms=5000))
 
 

@@ -154,14 +154,10 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    d = max(int(r.j) for r in cells) + 1
-    n = int(cells[0].n_vecs)
-    cov = np.zeros((d, d), dtype=np.float64)
-    for r in cells:
-        i, j = int(r.i), int(r.j)
-        c = (n * float(int(r.sij)) - marg[i] * marg[j]) / n / n
-        cov[i, j] = c
-        cov[j, i] = c
+    from datawarehouse1_spark.operators.vector_stats import assemble_covariance
+
+    cov = assemble_covariance(cells, marg)
+    d = cov.shape[0]
     v = np.ones(d, dtype=np.float64) / np.sqrt(d)
     for _ in range(200):
         w = cov @ v
