@@ -178,9 +178,19 @@ def main() -> None:
         "SPARK_GRAFT_METRICS_SF_DIR", "/root/testdata/sf0.01"
     )
     if os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0":
-        from datawarehouse1_spark.accuracy import rows_only_metrics
+        # outer guard: this section runs AFTER every timing section but
+        # BEFORE any output line — an import-time or setup crash here
+        # would throw away ~10 min of timings with no artifact at all
+        try:
+            from datawarehouse1_spark.accuracy import rows_only_metrics
 
-        metrics = rows_only_metrics(spark, metrics_sf_dir, errors=metrics_errors)
+            metrics = rows_only_metrics(
+                spark, metrics_sf_dir, errors=metrics_errors
+            )
+        except Exception as ex:  # noqa: BLE001 - record and keep printing
+            metrics_errors["rows_only_metrics"] = (
+                f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+            )
         errors.update(metrics_errors)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
