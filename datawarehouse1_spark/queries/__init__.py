@@ -53,6 +53,7 @@ _MODULES = (
     "layout_r10b",
     "analytics_r10h",
     "vectors_r10c",
+    "analytics_r12",
 )
 
 

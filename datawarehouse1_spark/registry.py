@@ -58,6 +58,12 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Vintages computed from CORRECTNESS_r{01..11}.json. Structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
+    # ---- (a) NEW r12 queries, never graded — front of the window ----
+    "q_stats_spearman_rho",
+    "q_quality_auc_by_source",
+    "q_privacy_k_anonymity",
+    "q_profile_fd_discovery",
+    "q_text_collocations_pmi",
     # ---- (b) oracle-bearing, stalest verdict first ----
     # -- last graded r6 --
     "q_similarity_cosine_topk",
@@ -106,13 +112,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_topk_orderby_limit",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q2_min_cost_supplier",
+    # ---- graded window ends here (first 50): 5 new r12 queries +
+    #      10 r6-vintage + 35 oldest r7-vintage oracle-bearing
+    #      re-grades (q_tpch_q3/q4/q6/q7/q8 and onward queue next,
+    #      still stalest-first) ----
     "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority",
     "q_tpch_q6_forecast_revenue",
     "q_tpch_q7_volume_shipping",
     "q_tpch_q8_market_share",
-    # ---- graded window ends here (first 50): 10 r6-vintage +
-    #      40 oldest r7-vintage oracle-bearing re-grades ----
     "q_tpch_q9_product_type_profit",
     "q_tpch_q10_returned_items",
     "q_tpch_q11_important_stock",

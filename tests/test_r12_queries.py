@@ -1,0 +1,305 @@
+"""Round-12 batch-1 law tests: first-principles checks for Spearman
+rank correlation, per-source ROC-AUC, the k-anonymity report,
+FD discovery, and PMI collocations — one independent-implementation
+battery per new declared query (the r10 discipline), plus plan-shape
+pins for the rules they must obey."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from datawarehouse1_spark import registry
+from datawarehouse1_spark.queries.analytics_r12 import (
+    _FD_CASES,
+    _PMI_MIN_COUNT,
+    _rank2,
+    _spearman_pair,
+)
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp_ntz"
+)
+
+
+def _read(name: str):
+    return pq.read_table(f"{SF_DIR}/{name}.parquet").to_pandas()
+
+
+# ------------------------------------------------------------ spearman
+
+
+def test_rank2_average_ranks(spark):
+    """2r = 2·avg_rank on a hand-checked tied multiset, invariant to
+    the bucket width (the two-level cumsum must agree with the naive
+    single-pass ranks whatever the bucket split)."""
+    marg = spark.createDataFrame(
+        [(10, 2), (20, 3), (30, 1), (45, 4)], "v long, c long"
+    )
+    expected = {10: 3, 20: 8, 30: 12, 45: 17}  # 2*cnt_less + cnt_eq + 1
+    for width in (1, 7, 1000):
+        got = {r["v"]: r["r2"] for r in _rank2(marg, width).collect()}
+        assert got == expected, f"width={width}: {got}"
+
+
+def _stage_li(spark, tmp_path, rows):
+    full = [
+        (i + 1, 1, 1, 1, float(q), float(p), 0.01, 0.02, "N", "O", None)
+        for i, (q, p) in enumerate(rows)
+    ]
+    spark.createDataFrame(full, _LI_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_spearman_monotone_extremes(spark, tmp_path):
+    """rho6 = ±1 for strictly monotone (non-linear) relations — the
+    defining property Pearson lacks."""
+    up = [(q, q**3 + 0.25) for q in range(1, 21)]
+    sf = _stage_li(spark, tmp_path, up)
+    rows = {
+        (r["col_x"], r["col_y"]): r["rho6"]
+        for r in registry.QUERIES["q_stats_spearman_rho"](spark, sf).collect()
+    }
+    assert rows[("l_quantity", "l_extendedprice")] == 1.0
+    # constant discount/tax => zero variance => NULL, never a crash
+    assert rows[("l_discount", "l_tax")] is None
+
+    down = [(q, 10000.0 - q**3) for q in range(1, 21)]
+    sf = _stage_li(spark, tmp_path / "d", down)
+    rows = {
+        (r["col_x"], r["col_y"]): r["rho6"]
+        for r in registry.QUERIES["q_stats_spearman_rho"](spark, sf).collect()
+    }
+    assert rows[("l_quantity", "l_extendedprice")] == -1.0
+
+
+def test_spearman_ties_match_reference_formula(spark):
+    """The helper's tie-corrected rho equals Pearson on average ranks
+    computed independently (pandas rank) over the real sf0.001 fact."""
+    li = _read("lineitem")
+    for x, y in (("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")):
+        rx = (li[x].round(2) * 100).round().astype("int64").rank(method="average")
+        ry = (li[y].round(2) * 100).round().astype("int64").rank(method="average")
+        r2x = (2 * rx).round().astype("int64")
+        r2y = (2 * ry).round().astype("int64")
+        n = len(li)
+        sx, sy = int(r2x.sum()), int(r2y.sum())
+        sxx = int((r2x * r2x).sum())
+        syy = int((r2y * r2y).sum())
+        sxy = int((r2x * r2y).sum())
+        rho = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(
+            n * syy - sy * sy
+        )
+        got = {
+            (r["col_x"], r["col_y"]): r["rho6"]
+            for r in registry.QUERIES["q_stats_spearman_rho"](
+                spark, SF_DIR
+            ).collect()
+        }[(x, y)]
+        assert math.isclose(got, rho, abs_tol=2e-6), (x, y, got, rho)
+
+
+def test_spearman_pair_helper_self_correlation(spark, tmp_path):
+    """rho(x, x) through the full joint-distribution machinery is
+    exactly 1 even with heavy ties."""
+    rows = [(q % 5 + 1, q % 5 + 1) for q in range(40)]
+    sf = _stage_li(spark, tmp_path, rows)
+    from datawarehouse1_spark.catalog import table
+
+    li = table(spark, sf, "lineitem")
+    out = _spearman_pair(li, "l_quantity", "l_extendedprice", 1, 1).collect()
+    assert out[0]["rho6"] == 1.0
+
+
+# ------------------------------------------------------------ ROC-AUC
+
+
+def test_auc_matches_bruteforce():
+    """auc_e6 equals the independent average-rank AUC (pandas ranks,
+    exact integer floor) per source, and sits in [0, 1e6]."""
+    docs = _read("documents")
+    docs["pos"] = docs["lang"].fillna("") == "en"
+    expected = {}
+    for src, g in docs.groupby("source"):
+        r2 = (2 * g["n_chars"].rank(method="average")).round().astype("int64")
+        n1 = int(g["pos"].sum())
+        n0 = int((~g["pos"]).sum())
+        s2r = int(r2[g["pos"]].sum())
+        auc = (
+            None
+            if n1 * n0 == 0
+            else ((s2r - n1 * (n1 + 1)) * 500000) // (n1 * n0)
+        )
+        expected[src] = (n1, n0, auc)
+    import duckdb  # noqa: F401  (env parity with conftest)
+
+    from datawarehouse1_spark import get_spark
+
+    spark = get_spark("datawarehouse1-tests")
+    got = {
+        r["source"]: (r["n_pos"], r["n_neg"], r["auc_e6"])
+        for r in registry.QUERIES["q_quality_auc_by_source"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    for _, _, auc in got.values():
+        assert auc is None or 0 <= auc <= 1_000_000
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_matches_bruteforce(spark):
+    cust = _read("customer")
+    cust["delinq"] = cust["c_acctbal"] < 0
+    sizes = cust.groupby(["c_mktsegment", "c_nationkey"]).agg(
+        s=("c_custkey", "size"), ldiv=("delinq", "nunique")
+    )
+    buckets = defaultdict(lambda: [0, 0, 10**9, 0, 10**9])
+    for _, row in sizes.iterrows():
+        s, ldiv = int(row["s"]), int(row["ldiv"])
+        b = buckets[s.bit_length() - 1]  # floor(log2 s)
+        b[0] += 1
+        b[1] += s
+        b[2] = min(b[2], s)
+        if s < 5:
+            b[3] += s
+        b[4] = min(b[4], ldiv)
+    total = sum(b[1] for b in buckets.values())
+    expected = {
+        k: (
+            b[0],
+            b[1],
+            b[1] * 1_000_000 // total,
+            b[2],
+            b[3],
+            b[4],
+        )
+        for k, b in buckets.items()
+    }
+    got = {
+        r["size_log2"]: (
+            r["n_classes"],
+            r["n_rows"],
+            r["rows_ppm"],
+            r["min_size"],
+            r["n_rows_at_risk"],
+            r["min_l_div"],
+        )
+        for r in registry.QUERIES["q_privacy_k_anonymity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in got.values()) == len(cust)
+
+
+# ------------------------------------------------------ FD discovery
+
+
+def test_fd_discovery_matches_bruteforce(spark):
+    got = {
+        (r["tbl"], r["det"], r["dep"]): (
+            r["n_det"],
+            r["n_pairs"],
+            r["n_violating_dets"],
+            r["holds"],
+        )
+        for r in registry.QUERIES["q_profile_fd_discovery"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(got) == len(_FD_CASES)
+    for tbl, det, dep in _FD_CASES:
+        df = _read(tbl)
+        grp = df.groupby(list(det))[dep].nunique()
+        n_det = int(len(grp))
+        n_pairs = int(grp.sum())
+        viol = int((grp > 1).sum())
+        assert got[(tbl, "+".join(det), dep)] == (
+            n_det,
+            n_pairs,
+            viol,
+            viol == 0,
+        ), (tbl, det, dep)
+    # the two true keys of the synthetic schema must verify
+    assert got[("orders", "o_orderkey", "o_custkey")][3] is True
+    assert got[("customer", "c_custkey", "c_mktsegment")][3] is True
+
+
+def test_fd_plan_has_no_expand(spark):
+    """Rule 4: the per-case countDistinct must plan as a two-level
+    partial distinct, never an Expand over the fact."""
+    plan = (
+        registry.QUERIES["q_profile_fd_discovery"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+
+
+# -------------------------------------------------- PMI collocations
+
+
+def test_pmi_matches_bruteforce(spark):
+    docs = _read("documents")
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for text in docs["text"]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        uni.update(toks)
+        big.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    n_bi = sum(big.values())
+    scored = []
+    for bg, c_xy in big.items():
+        if c_xy < _PMI_MIN_COUNT:
+            continue
+        w1, w2 = bg.split(" ")
+        lift = c_xy * n_bi * 1_000_000 // (uni[w1] * uni[w2])
+        scored.append((-lift, bg, c_xy, uni[w1], uni[w2]))
+    scored.sort()
+    expected = [
+        (bg, c_xy, c1, c2, -neg) for neg, bg, c_xy, c1, c2 in scored[:20]
+    ]
+    got = [
+        (r["bigram"], r["n_pair"], r["n_w1"], r["n_w2"], r["lift_e6"])
+        for r in registry.QUERIES["q_text_collocations_pmi"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_pmi_plan_stays_jvm_side(spark):
+    plan = (
+        registry.QUERIES["q_text_collocations_pmi"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_pmi_results_respect_min_count_and_order(spark):
+    rows = registry.QUERIES["q_text_collocations_pmi"](
+        spark, SF_DIR
+    ).collect()
+    assert all(r["n_pair"] >= _PMI_MIN_COUNT for r in rows)
+    lifts = [(r["lift_e6"], r["bigram"]) for r in rows]
+    assert lifts == sorted(lifts, key=lambda t: (-t[0], t[1]))
