@@ -54,6 +54,7 @@ _MODULES = (
     "analytics_r10h",
     "vectors_r10c",
     "analytics_r12",
+    "analytics_r12b",
 )
 
 

@@ -64,6 +64,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_privacy_k_anonymity",
     "q_profile_fd_discovery",
     "q_text_collocations_pmi",
+    "q_events_markov_stationary",
+    "q_orders_new_vs_returning",
+    "q_text_simpson_diversity",
+    "q_events_dow_uniformity_chisq",
     # ---- (b) oracle-bearing, stalest verdict first ----
     # -- last graded r6 --
     "q_similarity_cosine_topk",

@@ -303,3 +303,202 @@ def test_pmi_results_respect_min_count_and_order(spark):
     assert all(r["n_pair"] >= _PMI_MIN_COUNT for r in rows)
     lifts = [(r["lift_e6"], r["bigram"]) for r in rows]
     assert lifts == sorted(lifts, key=lambda t: (-t[0], t[1]))
+
+
+# ---------------------------------------------------- batch 2 laws
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _stage_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_markov_period_two_chain(spark, tmp_path):
+    """A↔B alternating chain: P swaps the masses exactly, so the 8-step
+    iterate from uniform is exactly (0.5, 0.5) — no floor loss."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        for i in range(10):
+            rows.append(
+                (
+                    u * 100 + i,
+                    t0 + dt.timedelta(minutes=i),
+                    u,
+                    "A" if i % 2 == 0 else "B",
+                    1.0,
+                    "{}",
+                )
+            )
+    sf = _stage_events(spark, tmp_path, rows)
+    got = {
+        r["state"]: r["stationary_e6"]
+        for r in registry.QUERIES["q_events_markov_stationary"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {"A": 500000, "B": 500000}
+
+
+def test_markov_absorbing_state(spark, tmp_path):
+    """B→A and A→A only: all mass reaches A after one step and stays;
+    B receives none and drops out of the iterate."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 0: B A A A ... (B->A, then A->A)
+    rows = [(0, t0, 0, "B", 1.0, "{}")]
+    rows += [
+        (i, t0 + dt.timedelta(minutes=i), 0, "A", 1.0, "{}")
+        for i in range(1, 8)
+    ]
+    sf = _stage_events(spark, tmp_path, rows)
+    got = {
+        r["state"]: r["stationary_e6"]
+        for r in registry.QUERIES["q_events_markov_stationary"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {"A": 1000000}
+
+
+def test_markov_mass_conservation(spark):
+    """Floor losses are bounded: the 8-step masses still sum to 1e6
+    within a few units per state on the real chain."""
+    rows = registry.QUERIES["q_events_markov_stationary"](
+        spark, SF_DIR
+    ).collect()
+    total = sum(r["stationary_e6"] for r in rows)
+    assert 1_000_000 - 10 * len(rows) <= total <= 1_000_000
+
+
+def test_new_vs_returning_matches_bruteforce(spark):
+    orders = _read("orders").sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    orders["rn"] = orders.groupby("o_custkey").cumcount() + 1
+    orders["ym"] = (
+        orders["o_orderdate"].dt.year * 100 + orders["o_orderdate"].dt.month
+    )
+    orders["cents"] = (orders["o_totalprice"].round(2) * 100).round().astype(
+        "int64"
+    )
+    expected = {}
+    for ym, g in orders.groupby("ym"):
+        new = g[g["rn"] == 1]
+        rep = g[g["rn"] > 1]
+        nc, rc = int(new["cents"].sum()), int(rep["cents"].sum())
+        expected[int(ym)] = (
+            len(new),
+            len(rep),
+            nc,
+            rc,
+            None if nc + rc == 0 else nc * 1_000_000 // (nc + rc),
+        )
+    got = {}
+    for r in registry.QUERIES["q_orders_new_vs_returning"](
+        spark, SF_DIR
+    ).collect():
+        got[r["ym"]] = (
+            r["n_new_orders"],
+            r["n_repeat_orders"],
+            round(r["new_revenue"] * 100),
+            round(r["repeat_revenue"] * 100),
+            r["new_share_e6"],
+        )
+    assert got == expected
+    # every customer contributes exactly one first order overall
+    assert sum(v[0] for v in got.values()) == orders["o_custkey"].nunique()
+
+
+def test_simpson_extremes(spark, tmp_path):
+    rows = [
+        (1, "spam spam spam spam", "en", "srcA", 19),
+        (2, "alpha beta gamma delta", "en", "srcB", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: r["simpson_e6"]
+        for r in registry.QUERIES["q_text_simpson_diversity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"srcA": 1_000_000, "srcB": 0}
+
+
+def test_simpson_matches_bruteforce(spark):
+    docs = _read("documents")
+    per_src = defaultdict(Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        per_src[src].update(toks)
+    expected = {}
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        s2 = sum(c * (c - 1) for c in cnt.values())
+        expected[src] = (
+            n,
+            len(cnt),
+            None if n <= 1 else s2 * 1_000_000 // (n * (n - 1)),
+        )
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab"], r["simpson_e6"])
+        for r in registry.QUERIES["q_text_simpson_diversity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dow_chisq_matches_bruteforce(spark):
+    ev = _read("events")
+    days = (ev["ts"].dt.normalize() - __import__("pandas").Timestamp("1970-01-01")).dt.days
+    ev = ev.assign(dow=(days + 4) % 7)
+    expected = {}
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        counts = g["dow"].value_counts()
+        sq = sum((7 * int(c) - n) ** 2 for c in counts)
+        sq += (7 - len(counts)) * n * n
+        expected[et] = (n, sq * 1_000_000 // (7 * n))
+    got = {
+        r["event_type"]: (r["n_events"], r["chisq_e6"])
+        for r in registry.QUERIES["q_events_dow_uniformity_chisq"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dow_chisq_extremes(spark, tmp_path):
+    """All events on ONE weekday: chi² = 6N·1e6 exactly; a perfectly
+    uniform week: chi² = 0."""
+    import datetime as dt
+
+    one_day = [
+        (i, dt.datetime(2024, 1, 1, 10, i), i, "burst", 1.0, "{}")
+        for i in range(10)
+    ]
+    uniform = [
+        (100 + d, dt.datetime(2024, 1, 1 + d, 9, 0), 100 + d, "flat", 1.0, "{}")
+        for d in range(7)
+    ]
+    sf = _stage_events(spark, tmp_path, one_day + uniform)
+    got = {
+        r["event_type"]: r["chisq_e6"]
+        for r in registry.QUERIES["q_events_dow_uniformity_chisq"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {"burst": 6 * 10 * 1_000_000, "flat": 0}
