@@ -55,6 +55,8 @@ _MODULES = (
     "vectors_r10c",
     "analytics_r12",
     "analytics_r12b",
+    "analytics_r12c",
+    "analytics_r12d",
 )
 
 

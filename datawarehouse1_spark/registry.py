@@ -68,6 +68,14 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_orders_new_vs_returning",
     "q_text_simpson_diversity",
     "q_events_dow_uniformity_chisq",
+    "q_text_keyphrases_rake",
+    "q_events_fano_burstiness",
+    "q_layout_sort_advisor",
+    "q_quality_calibration_bins",
+    "q_orders_conversion_hazard",
+    "q_stats_cramers_v",
+    "q_text_heaps_fit",
+    "q_text_vocab_coverage",
     # ---- (b) oracle-bearing, stalest verdict first ----
     # -- last graded r6 --
     "q_similarity_cosine_topk",

@@ -502,3 +502,432 @@ def test_dow_chisq_extremes(spark, tmp_path):
         ).collect()
     }
     assert got == {"burst": 6 * 10 * 1_000_000, "flat": 0}
+
+
+# ---------------------------------------------------- batch 3 laws
+
+from datawarehouse1_spark.queries.analytics_r12c import (  # noqa: E402
+    _ADVISOR_ROWS_PER_FILE,
+    _CAL_BIN,
+    _RAKE_MAX_LEN,
+    _RAKE_STOP,
+    _RAKE_TOP_K,
+)
+
+
+def test_rake_matches_bruteforce(spark):
+    docs = _read("documents")
+    stop = set(_RAKE_STOP)
+    phrases = []  # (phrase_words,) occurrences
+    for text in docs["text"]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        run = []
+        for w in toks + ["the"]:  # sentinel flushes the last run
+            if w in stop:
+                if run and len(run) <= _RAKE_MAX_LEN:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    ws = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    scored = Counter()
+    score_of = {}
+    for p in phrases:
+        txt = " ".join(p)
+        scored[txt] += 1
+        score_of[txt] = sum(ws[w] for w in p)
+    top = sorted(
+        ((txt, n, score_of[txt]) for txt, n in scored.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:_RAKE_TOP_K]
+    got = [
+        (r["phrase"], r["n_occurrences"], r["score_e6"])
+        for r in registry.QUERIES["q_text_keyphrases_rake"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == top
+    for phrase, _, _ in got:
+        assert not (set(phrase.split()) & stop)
+        assert 1 <= len(phrase.split()) <= _RAKE_MAX_LEN
+
+
+def test_fano_matches_bruteforce(spark):
+    ev = _read("events")
+    dates = ev["ts"].dt.normalize()
+    span = int((dates.max() - dates.min()).days) + 1
+    expected = {}
+    for et, g in ev.groupby("event_type"):
+        daily = g["ts"].dt.normalize().value_counts()
+        s = int(daily.sum())
+        q = int((daily * daily).sum())
+        expected[et] = (span, s, (span * q - s * s) * 1_000_000 // (span * s))
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["fano_e6"])
+        for r in registry.QUERIES["q_events_fano_burstiness"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_fano_extremes(spark, tmp_path):
+    """A perfectly steady daily stream has F=0; a one-day burst over an
+    n-day span has F = N(n-1)/n exactly."""
+    import datetime as dt
+
+    flat = [
+        (d, dt.datetime(2024, 1, 1 + d, 9, 0), d, "flat", 1.0, "{}")
+        for d in range(7)
+    ]
+    burst = [
+        (100 + i, dt.datetime(2024, 1, 1, 10, i), 100 + i, "burst", 1.0, "{}")
+        for i in range(10)
+    ]
+    sf = _stage_events(spark, tmp_path, flat + burst)
+    got = {
+        r["event_type"]: r["fano_e6"]
+        for r in registry.QUERIES["q_events_fano_burstiness"](
+            spark, sf
+        ).collect()
+    }
+    # burst: (7*100 - 100)*1e6 // (7*10)
+    assert got == {"flat": 0, "burst": (7 * 100 - 100) * 1_000_000 // 70}
+
+
+def test_sort_advisor_matches_bruteforce(spark):
+    li = _read("lineitem")
+    r = _ADVISOR_ROWS_PER_FILE
+    cases = {
+        "l_partkey": li["l_partkey"],
+        "l_suppkey": li["l_suppkey"],
+        "l_orderkey": li["l_orderkey"],
+        "l_shipdate": (
+            li["l_shipdate"].dt.normalize()
+            - __import__("pandas").Timestamp("1970-01-01")
+        ).dt.days,
+    }
+    expected = {}
+    for label, col in cases.items():
+        counts = col.value_counts()
+        n = int(counts.sum())
+        nd = int(len(counts))
+        nft = (n + r - 1) // r
+        fsum = int(sum((int(c) + r - 1) // r + 1 for c in counts))
+        expected[label] = (
+            n,
+            nd,
+            nft,
+            fsum * 1_000_000 // nd,
+            max(0, 1_000_000 - fsum * 1_000_000 // (nd * nft)),
+        )
+    got = {
+        r_["col"]: (
+            r_["n_rows"],
+            r_["n_distinct"],
+            r_["n_files_total"],
+            r_["avg_files_per_value_e6"],
+            r_["prune_score_e6"],
+        )
+        for r_ in registry.QUERIES["q_layout_sort_advisor"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_sort_advisor_prefers_selective_key(spark, tmp_path):
+    """Staged 5-file fact: a unique key scores 1e6·(1−2/5); a constant
+    column is hopeless and clamps to 0."""
+    n = 5 * _ADVISOR_ROWS_PER_FILE
+    df = spark.range(n).selectExpr(
+        "id AS l_orderkey",
+        "CAST(1 AS LONG) AS l_partkey",  # constant: worst key
+        "CAST(id % 7 AS LONG) AS l_suppkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(2.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.01 AS DOUBLE) AS l_discount",
+        "CAST(0.02 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+        "CAST('2024-01-01' AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r["col"]: r["prune_score_e6"]
+        for r in registry.QUERIES["q_layout_sort_advisor"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["l_orderkey"] == 1_000_000 - 2 * 1_000_000 // 5
+    assert got["l_partkey"] == 0  # ceil(n/R)+1 = 6 files > 5 total -> clamp
+    # a 7-value key whose values each fit in one file ties the unique
+    # key under the point-lookup model (both touch <=2 of 5 files)
+    assert got["l_orderkey"] >= got["l_suppkey"] > got["l_partkey"]
+
+
+def test_calibration_matches_bruteforce(spark):
+    docs = _read("documents")
+    docs["en"] = docs["lang"].fillna("") == "en"
+    docs["bin_lo"] = (docs["n_chars"] // _CAL_BIN) * _CAL_BIN
+    td, te = len(docs), int(docs["en"].sum())
+    expected = {}
+    for b, g in docs.groupby("bin_lo"):
+        nd, ne = len(g), int(g["en"].sum())
+        expected[int(b)] = (
+            nd,
+            ne,
+            ne * 1_000_000 // nd,
+            None if te == 0 else ne * td * 1_000_000 // (nd * te),
+        )
+    got = {
+        r["bin_lo"]: (r["n_docs"], r["n_en"], r["en_rate_ppm"], r["lift_e6"])
+        for r in registry.QUERIES["q_quality_calibration_bins"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) == td
+
+
+# ---------------------------------------------------- batch 4 laws
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp_ntz,"
+    " o_orderpriority string"
+)
+
+
+def test_hazard_matches_bruteforce(spark):
+    orders = _read("orders").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    orders["rn"] = orders.groupby("o_custkey").cumcount() + 1
+    horizon = orders["o_orderdate"].dt.normalize().max()
+    firsts = orders[orders["rn"] == 1].set_index("o_custkey")["o_orderdate"]
+    seconds = orders[orders["rn"] == 2].set_index("o_custkey")["o_orderdate"]
+    weekly_conv, weekly_cens = Counter(), Counter()
+    for cust, fd in firsts.items():
+        if cust in seconds.index:
+            wk = (
+                seconds[cust].normalize() - fd.normalize()
+            ).days // 7
+            weekly_conv[wk] += 1
+        else:
+            wk = (horizon - fd.normalize()).days // 7
+            weekly_cens[wk] += 1
+    weeks = sorted(set(weekly_conv) | set(weekly_cens))
+    expected = {}
+    for k in weeks:
+        at_risk = sum(
+            weekly_conv[j] + weekly_cens[j] for j in weeks if j >= k
+        )
+        expected[k] = (
+            at_risk,
+            weekly_conv[k],
+            weekly_cens[k],
+            weekly_conv[k] * 1_000_000 // at_risk,
+        )
+    got = {
+        r["week"]: (
+            r["n_at_risk"],
+            r["n_convert"],
+            r["n_censored"],
+            r["hazard_ppm"],
+        )
+        for r in registry.QUERIES["q_orders_conversion_hazard"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # at_risk at the earliest week covers every customer exactly once
+    assert got[min(got)][0] == orders["o_custkey"].nunique()
+
+
+def test_hazard_staged_hand_computed(spark, tmp_path):
+    """3 customers: B converts in week 0, A in week 1, C is censored
+    (single order) — the at-risk ladder and hazards computed by hand."""
+    import datetime as dt
+
+    d = dt.datetime
+    rows = [
+        (1, 10, "O", 10.0, d(2024, 1, 1), "1-URGENT"),   # A first
+        (2, 10, "O", 10.0, d(2024, 1, 9), "1-URGENT"),   # A second: wk 1
+        (3, 20, "O", 10.0, d(2024, 1, 1), "1-URGENT"),   # B first
+        (4, 20, "O", 10.0, d(2024, 1, 3), "1-URGENT"),   # B second: wk 0
+        (5, 30, "O", 10.0, d(2024, 1, 1), "1-URGENT"),   # C only order
+    ]
+    spark.createDataFrame(rows, _ORDERS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["week"]: (
+            r["n_at_risk"],
+            r["n_convert"],
+            r["n_censored"],
+            r["hazard_ppm"],
+        )
+        for r in registry.QUERIES["q_orders_conversion_hazard"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # horizon = 2024-01-09; C censored at week (8 days)//7 = 1
+    assert got == {
+        0: (3, 1, 0, 333333),
+        1: (2, 1, 1, 500000),
+    }
+
+
+def test_cramers_v_matches_bruteforce(spark):
+    cust = _read("customer")
+    obs = Counter(zip(cust["c_mktsegment"], cust["c_nationkey"]))
+    ra = Counter(cust["c_mktsegment"])
+    cb = Counter(cust["c_nationkey"])
+    n = len(cust)
+    chi2 = 0
+    for a in ra:
+        for b in cb:
+            o = obs.get((a, b), 0)
+            dev = o * n - ra[a] * cb[b]
+            chi2 += dev * dev * 1_000_000 // (n * ra[a] * cb[b])
+    k = min(len(ra) - 1, len(cb) - 1)
+    v = math.sqrt(chi2 / 1_000_000 / (n * k))
+    row = registry.QUERIES["q_stats_cramers_v"](spark, SF_DIR).collect()[0]
+    assert row["n_rows"] == n
+    assert row["n_segments"] == len(ra)
+    assert row["n_nations"] == len(cb)
+    assert row["chi2_e6"] == chi2
+    assert math.isclose(row["cramers_v6"], v, abs_tol=2e-6)
+
+
+def test_cramers_v_extremes(spark, tmp_path):
+    """Independent columns → V = 0; a segment that determines the
+    nation → V = 1 (2×2, equal masses: chi2_e6 = n·1e6 exactly)."""
+    import datetime as dt  # noqa: F401
+
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    )
+    # independent: every (seg, nation) combo has the same count
+    indep = [
+        (i, f"c{i}", i % 2, 100.0, "AB"[(i // 2) % 2])
+        for i in range(40)
+    ]
+    spark.createDataFrame(indep, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    row = registry.QUERIES["q_stats_cramers_v"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row["chi2_e6"] == 0 and row["cramers_v6"] == 0.0
+
+    assoc = [
+        (i, f"c{i}", i % 2, 100.0, "AB"[i % 2]) for i in range(40)
+    ]
+    spark.createDataFrame(assoc, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    row = registry.QUERIES["q_stats_cramers_v"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row["chi2_e6"] == 40 * 1_000_000
+    assert row["cramers_v6"] == 1.0
+
+
+def test_heaps_matches_bruteforce(spark):
+    docs = _read("documents")
+    doc_toks, first_seen = {}, {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        doc_toks[int(did)] = len(toks)
+        for w in toks:
+            if w not in first_seen or int(did) < first_seen[w]:
+                first_seen[w] = int(did)
+    tok_b, voc_b = Counter(), Counter()
+    for did, nt in doc_toks.items():
+        tok_b[(did + 1).bit_length() - 1] += nt
+    for w, fd in first_seen.items():
+        voc_b[(fd + 1).bit_length() - 1] += 1
+    pts = []
+    ct = cv = 0
+    for bk in sorted(tok_b):
+        ct += tok_b[bk]
+        cv += voc_b.get(bk, 0)
+        if ct >= 1 and cv >= 1:
+            pts.append((ct.bit_length() - 1, cv.bit_length() - 1))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = registry.QUERIES["q_text_heaps_fit"](spark, SF_DIR).collect()[0]
+    assert row["n_points"] == n
+    assert math.isclose(row["beta6"], beta, abs_tol=2e-6)
+
+
+def test_heaps_linear_growth_extreme(spark, tmp_path):
+    """Every doc contributes exactly 2 new words and 4 tokens → vocab
+    grows linearly with tokens → beta = 1, perfect fit."""
+    rows = [
+        (i, f"a{i} b{i} a{i} b{i}", "en", "src", 11) for i in range(32)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = registry.QUERIES["q_text_heaps_fit"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row["beta6"] == 1.0 and row["r2_6"] == 1.0
+
+
+def test_vocab_coverage_matches_bruteforce(spark):
+    docs = _read("documents")
+    tf: Counter = Counter()
+    for text in docs["text"]:
+        tf.update(
+            t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t
+        )
+    spectrum = defaultdict(lambda: [0, 0])
+    for _, c in tf.items():
+        b = spectrum[c.bit_length() - 1]
+        b[0] += 1
+        b[1] += c
+    total = sum(v[1] for v in spectrum.values())
+    expected, cum_t, cum_m = {}, 0, 0
+    for bk in sorted(spectrum, reverse=True):
+        cum_t += spectrum[bk][0]
+        cum_m += spectrum[bk][1]
+        expected[bk] = (
+            spectrum[bk][0],
+            spectrum[bk][1],
+            cum_t,
+            cum_m * 1_000_000 // total,
+        )
+    got = {
+        r["count_log2"]: (
+            r["n_types"],
+            r["mass"],
+            r["cum_types"],
+            r["coverage_ppm"],
+        )
+        for r in registry.QUERIES["q_text_vocab_coverage"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # the least-frequent bucket closes the mass exactly
+    assert got[min(got)][3] == 1_000_000
