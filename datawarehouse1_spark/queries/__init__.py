@@ -57,6 +57,7 @@ _MODULES = (
     "analytics_r12b",
     "analytics_r12c",
     "analytics_r12d",
+    "analytics_r12e",
 )
 
 

@@ -76,6 +76,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_stats_cramers_v",
     "q_text_heaps_fit",
     "q_text_vocab_coverage",
+    "q_stats_eta_squared",
+    "q_orders_seasonal_naive_backtest",
     # ---- (b) oracle-bearing, stalest verdict first ----
     # -- last graded r6 --
     "q_similarity_cosine_topk",

@@ -931,3 +931,117 @@ def test_vocab_coverage_matches_bruteforce(spark):
     assert got == expected
     # the least-frequent bucket closes the mass exactly
     assert got[min(got)][3] == 1_000_000
+
+
+# ---------------------------------------------------- batch 5 laws
+
+
+def test_eta_squared_matches_bruteforce(spark):
+    cases = {
+        "acctbal_by_segment": ("customer", "c_mktsegment", "c_acctbal"),
+        "totalprice_by_priority": ("orders", "o_orderpriority", "o_totalprice"),
+    }
+    expected = {}
+    for label, (tbl, grp, num) in cases.items():
+        df = _read(tbl)
+        cents = (df[num].round(2) * 100).round().astype("int64")
+        g = cents.groupby(df[grp])
+        n = len(df)
+        s = int(cents.sum())
+        q = int((cents * cents).sum())
+        a = sum(
+            int(sg) * int(sg) * n // int(ng)
+            for sg, ng in zip(g.sum(), g.size())
+        )
+        den = n * q - s * s
+        eta = None if den == 0 else max(0, a - s * s) * 1_000_000 // den
+        expected[label] = (n, int(g.size().shape[0]), eta)
+    got = {
+        r["case_name"]: (r["n_rows"], r["n_groups"], r["eta2_e6"])
+        for r in registry.QUERIES["q_stats_eta_squared"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    for _, _, eta in got.values():
+        assert eta is None or 0 <= eta <= 1_000_000
+
+
+def test_eta_squared_extremes(spark, tmp_path):
+    """Group determines the value exactly → η² = 1e6 (no floor loss:
+    the per-group division is exact); a constant column → NULL."""
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    )
+    determined = [
+        (i, f"c{i}", 1, float(100 * (i % 3)), "ABC"[i % 3])
+        for i in range(30)
+    ]
+    spark.createDataFrame(determined, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    # the orders arm still needs its table: reuse the real one via a
+    # symlink-free copy of the sf0.001 orders parquet
+    import os
+    import shutil
+
+    src = f"{SF_DIR}/orders.parquet"
+    dst = str(tmp_path / "orders.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    got = {
+        r["case_name"]: r["eta2_e6"]
+        for r in registry.QUERIES["q_stats_eta_squared"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["acctbal_by_segment"] == 1_000_000
+
+    constant = [(i, f"c{i}", 1, 42.0, "ABC"[i % 3]) for i in range(30)]
+    spark.createDataFrame(constant, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r["case_name"]: r["eta2_e6"]
+        for r in registry.QUERIES["q_stats_eta_squared"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["acctbal_by_segment"] is None
+
+
+def test_seasonal_backtest_matches_bruteforce(spark):
+    orders = _read("orders")
+    orders["m_idx"] = (
+        orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month
+    )
+    orders["ym"] = (
+        orders["o_orderdate"].dt.year * 100 + orders["o_orderdate"].dt.month
+    )
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    monthly = orders.groupby(["m_idx", "ym"])["cents"].sum().reset_index()
+    by_idx = dict(zip(monthly["m_idx"], monthly["cents"]))
+    ym_of = dict(zip(monthly["m_idx"], monthly["ym"]))
+    expected = {}
+    for m, cur in by_idx.items():
+        if m - 12 in by_idx:
+            prev = by_idx[m - 12]
+            expected[int(ym_of[m])] = (
+                int(cur),
+                int(prev),
+                abs(int(cur) - int(prev)) * 1_000_000 // int(cur),
+            )
+    got = {
+        r["ym"]: (
+            round(r["actual_revenue"] * 100),
+            round(r["forecast_revenue"] * 100),
+            r["ape_ppm"],
+        )
+        for r in registry.QUERIES["q_orders_seasonal_naive_backtest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the corpus spans > 1 year
