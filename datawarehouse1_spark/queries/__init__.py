@@ -58,6 +58,8 @@ _MODULES = (
     "analytics_r12c",
     "analytics_r12d",
     "analytics_r12e",
+    "analytics_r12f",
+    "analytics_r12g",
 )
 
 

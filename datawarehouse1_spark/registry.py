@@ -78,6 +78,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_vocab_coverage",
     "q_stats_eta_squared",
     "q_orders_seasonal_naive_backtest",
+    "q_stats_kruskal_wallis",
+    "q_quality_brier_decomposition",
+    "q_quality_pr_threshold_sweep",
+    "q_graph_degree_distribution",
+    "q_embedding_knn_label_agreement",
+    "q_stats_brown_forsythe",
+    "q_graph_components_copurchase",
+    "q_text_ttr_by_length",
+    "q_events_type_affinity",
     # ---- (b) oracle-bearing, stalest verdict first ----
     # -- last graded r6 --
     "q_similarity_cosine_topk",
