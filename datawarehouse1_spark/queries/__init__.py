@@ -60,6 +60,7 @@ _MODULES = (
     "analytics_r12e",
     "analytics_r12f",
     "analytics_r12g",
+    "analytics_r12h",
 )
 
 

@@ -59,6 +59,10 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # ---- (a) NEW r12 queries, never graded — front of the window ----
+    "q_profile_ind_discovery",
+    "q_profile_key_discovery",
+    "q_orders_price_elasticity",
+    "q_date_business_days",
     "q_stats_spearman_rho",
     "q_quality_auc_by_source",
     "q_privacy_k_anonymity",
@@ -135,10 +139,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_topk_orderby_limit",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q2_min_cost_supplier",
-    # ---- graded window ends here (first 50): 5 new r12 queries +
-    #      10 r6-vintage + 35 oldest r7-vintage oracle-bearing
-    #      re-grades (q_tpch_q3/q4/q6/q7/q8 and onward queue next,
-    #      still stalest-first) ----
+    # ---- NOTE: the graded window is the first 50 entries of this
+    #      tuple WHEREVER that falls — every new never-graded query
+    #      inserted above pushes one stale re-grade below the line;
+    #      entries below queue for later rounds, still stalest-first --
     "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority",
     "q_tpch_q6_forecast_revenue",
