@@ -61,6 +61,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # ---- (a) NEW r12 queries, never graded — front of the window ----
     "q_profile_ind_discovery",
     "q_profile_key_discovery",
+    "q_quality_cumulative_gains",
+    "q_graph_clustering_coeff",
+    "q_events_transition_gini",
+    "q_text_head_tail_drift",
     "q_orders_price_elasticity",
     "q_date_business_days",
     "q_stats_spearman_rho",
