@@ -416,10 +416,15 @@ def q_text_head_tail_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded second aggregate broadcast back; the TVD reduction runs
     on the token-grain table once."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
+    # materialize the token array ONCE behind a projection boundary —
+    # inlining _tokens() into both size() and posexplode() makes
+    # codegen run the regex split twice per document (measured 4.5 s →
+    # 1.0 s at sf0.1)
+    arr = d.select("source", _tokens().alias("t"))
+    tok = arr.select(
         "source",
-        F.size(_tokens()).alias("n"),
-        F.posexplode(_tokens()).alias("pos0", "token"),
+        F.size("t").alias("n"),
+        F.posexplode("t").alias("pos0", "token"),
     ).select(
         "source",
         "token",
