@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.functions.money import sql_cents
+from datawarehouse1_spark.queries.deciles import (
+    decile_bounds,
+    decile_bounds_sql,
+    decile_expr_sql,
+)
 from datawarehouse1_spark.registry import declared
 
 _CENTS = sql_cents("o_totalprice")
@@ -171,14 +176,9 @@ def q_orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- 3.
 
-_B = [f"b{k}" for k in range(1, 10)]
-_BOUNDS_SQL = ", ".join(
-    f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY o_totalprice) AS b{k}"
-    for k in range(1, 10)
-)
-_DECILE_SQL = "CAST(1 " + " ".join(
-    f"+ CAST(o_totalprice > {b} AS INT)" for b in _B
-) + " AS INT)"
+# shared rule-22 decile construction (also q_quality_cumulative_gains)
+_BOUNDS_SQL = decile_bounds_sql("o_totalprice")
+_DECILE_SQL = decile_expr_sql("o_totalprice")
 
 
 @declared(
@@ -215,15 +215,7 @@ def q_orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (a BIGINT product wraps past ~9.2e12 cents); the
     oracle's native HUGEINT is already exact."""
     o = table(spark, sf_dir, "orders")
-    bounds = o.agg(
-        *[
-            F.expr(
-                f"percentile_disc(0.{k}) WITHIN GROUP"
-                " (ORDER BY o_totalprice)"
-            ).alias(f"b{k}")
-            for k in range(1, 10)
-        ]
-    )
+    bounds = decile_bounds(o, "o_totalprice")
     d = o.crossJoin(F.broadcast(bounds)).select(
         F.expr(_DECILE_SQL).alias("decile"),
         F.expr(_CENTS).alias("cents"),

@@ -256,13 +256,19 @@ def q_orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # widen BEFORE the sum: the oracle's SUM(BIGINT) natively
+    # accumulates in HUGEINT, and Spark's 64-bit accumulator would wrap
+    # on syy past ~4e11 rows (ANSI off => silently) — the
+    # q_orders_value_deciles lesson applied to accumulation
+    xd = F.col("x").cast(_DEC)
+    yd = F.col("y").cast(_DEC)
     m = pts.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum("x").cast(_DEC).alias("sx"),
-        F.sum("y").cast(_DEC).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     num = "(n * sxy - sx * sy)"
     den = "NULLIF(n * sxx - sx * sx, CAST(0 AS decimal(38,0)))"

@@ -46,6 +46,11 @@ from datawarehouse1_spark.queries.analytics_r12b import (
     _TOKENIZE_SQL,
     _tokens,
 )
+from datawarehouse1_spark.queries.deciles import (
+    decile_bounds,
+    decile_bounds_sql,
+    decile_expr_sql,
+)
 from datawarehouse1_spark.registry import declared
 
 _DEC = "decimal(38,0)"
@@ -54,14 +59,8 @@ _DEC = "decimal(38,0)"
 # 1. Cumulative gains / lift by score decile
 # ---------------------------------------------------------------------------
 
-_GB = [f"b{k}" for k in range(1, 10)]
-_GAINS_BOUNDS_SQL = ", ".join(
-    f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY n_chars) AS b{k}"
-    for k in range(1, 10)
-)
-_GAINS_DECILE_SQL = "CAST(1 " + " ".join(
-    f"+ CAST(n_chars > {b} AS INT)" for b in _GB
-) + " AS INT)"
+_GAINS_BOUNDS_SQL = decile_bounds_sql("n_chars")
+_GAINS_DECILE_SQL = decile_expr_sql("n_chars")
 
 
 @declared(
@@ -105,14 +104,7 @@ def q_quality_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) products (HUGEINT in the oracle), NULLIF-guarded for
     a positive-free corpus."""
     d = table(spark, sf_dir, "documents")
-    bounds = d.agg(
-        *[
-            F.expr(
-                f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY n_chars)"
-            ).alias(f"b{k}")
-            for k in range(1, 10)
-        ]
-    )
+    bounds = decile_bounds(d, "n_chars")
     is_en = F.coalesce(F.col("lang"), F.lit("")) == "en"
     dd = d.crossJoin(F.broadcast(bounds)).select(
         F.expr(_GAINS_DECILE_SQL).alias("decile"),
@@ -125,10 +117,6 @@ def q_quality_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy(F.desc("decile")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    zero = F.lit(0).cast(_DEC)
     return agg.select(
         "decile",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -142,22 +130,10 @@ def q_quality_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("capture_e6"),
-        (
-            (F.col("n_pos") * F.sum("n_docs").over(w_all) * F.lit(1000000))
-        )
-        .cast(_DEC)
-        .alias("_liftnum"),
-        (F.col("n_docs") * F.sum("n_pos").over(w_all))
-        .cast(_DEC)
-        .alias("_liftden"),
-    ).select(
-        "decile",
-        "n_docs",
-        "n_pos",
-        "cum_docs",
-        "capture_e6",
         F.expr(
-            "_liftnum div NULLIF(_liftden, CAST(0 AS decimal(38,0)))"
+            "n_pos * SUM(n_docs) OVER () * 1000000"
+            " div NULLIF(n_docs * SUM(n_pos) OVER (),"
+            " CAST(0 AS decimal(38,0)))"
         )
         .cast("long")
         .alias("lift_e6"),
