@@ -65,6 +65,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_graph_clustering_coeff",
     "q_events_transition_gini",
     "q_text_head_tail_drift",
+    "q_events_peak_concurrency",
+    "q_graph_link_prediction",
     "q_orders_price_elasticity",
     "q_date_business_days",
     "q_stats_spearman_rho",
