@@ -449,6 +449,25 @@ EXCHANGE_BUDGET = {
     # 1-row centroid collect agg + (cluster, label) cell agg + the
     # 8-row majority election; vectors never shuffle
     "q_embedding_cluster_purity": 3,
+    # r12 batch 8-10 audit (sf0.001, local[8]):
+    # 8 IND arms x (child distinct + parent distinct + value join)
+    "q_profile_ind_discovery": 24,
+    # 10 key arms x (tuple group-count + 1-row reduction)
+    "q_profile_key_discovery": 20,
+    "q_orders_price_elasticity": 1,  # broadcast part + one brand agg
+    "q_date_business_days": 1,  # orderkey join broadcast at test SF
+    # 1-row bounds agg + decile agg + the bounded 10-row window
+    "q_quality_cumulative_gains": 3,
+    # edge build (distinct + self-join + support agg) precedes the
+    # checkpoint; degree/triangle/profile aggs after
+    "q_graph_clustering_coeff": 15,
+    "q_events_transition_gini": 3,  # user window + type^2 agg + final
+    # (source, token) agg + bounded totals + join-back + reduction
+    "q_text_head_tail_drift": 4,
+    # per-day RANGE window + day totals + bounded carry window
+    "q_events_peak_concurrency": 3,
+    # edge build + sym/deg/wedge/anti/score joins; top-20 TakeOrdered
+    "q_graph_link_prediction": 8,
 }
 
 
