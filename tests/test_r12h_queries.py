@@ -6,6 +6,9 @@ from __future__ import annotations
 
 from datetime import date, datetime, timedelta
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from datawarehouse1_spark import registry
 from datawarehouse1_spark.queries.analytics_r12h import (
     _ind_arm,
@@ -170,6 +173,33 @@ def _busdays_ref(o: date, s: date) -> int:
         if d.weekday() < 5:
             n += 1
     return n
+
+
+def _busdays_closed_form(o: date, s: date) -> int:
+    """Pure-python mirror of the query's W(ship)-W(order) arithmetic
+    (days since the Monday epoch 1969-12-29, truncating // as both
+    engines' non-negative div)."""
+    monday = date(1969, 12, 29)
+
+    def W(d: date) -> int:
+        m = (d - monday).days
+        return 5 * (m // 7) + min(m % 7 + 1, 5)
+
+    return W(s) - W(o)
+
+
+@given(
+    o_off=st.integers(min_value=0, max_value=6000),
+    span=st.integers(min_value=0, max_value=4000),
+)
+@settings(max_examples=300, deadline=None)
+def test_business_days_closed_form_property(o_off, span):
+    """The closed form equals literal weekday-walking for arbitrary
+    date pairs across months, years, and every weekday phase — pure
+    arithmetic, so hypothesis can afford hundreds of examples."""
+    o = date(1990, 1, 1) + timedelta(days=o_off)
+    s = o + timedelta(days=span)
+    assert _busdays_closed_form(o, s) == _busdays_ref(o, s), (o, s)
 
 
 def test_business_days_match_literal_iteration(spark, tmp_path):
