@@ -67,6 +67,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_head_tail_drift",
     "q_events_peak_concurrency",
     "q_graph_link_prediction",
+    "q_events_dwell_time",
+    "q_orders_basket_profile",
     "q_orders_price_elasticity",
     "q_date_business_days",
     "q_stats_spearman_rho",

@@ -468,6 +468,9 @@ EXCHANGE_BUDGET = {
     "q_events_peak_concurrency": 3,
     # edge build + sym/deg/wedge/anti/score joins; top-20 TakeOrdered
     "q_graph_link_prediction": 8,
+    "q_events_dwell_time": 2,  # user window + |types| agg
+    # (orderkey, partkey) distinct level + orderkey agg + histogram
+    "q_orders_basket_profile": 3,
 }
 
 
