@@ -48,6 +48,10 @@ from datawarehouse1_spark.queries.analytics_r12b import (
     _tokens,
 )
 from datawarehouse1_spark.queries.analytics_r12f import _exact_floor_div
+from datawarehouse1_spark.queries.copurchase import (
+    copurchase_edges,
+    copurchase_edges_sql,
+)
 from datawarehouse1_spark.registry import declared
 
 _DEC = "decimal(38,0)"
@@ -264,19 +268,11 @@ _COPURCHASE_SUPPORT = 2  # orders containing both parts
 @declared(
     "q_graph_components_copurchase",
     oracle=f"""
-    WITH RECURSIVE ip AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM ip a JOIN ip b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_COPURCHASE_SUPPORT}
-    ),
+    WITH RECURSIVE {copurchase_edges_sql(_COPURCHASE_SUPPORT)},
     sym AS (
-      SELECT pa AS src, pb AS dst FROM pairs
+      SELECT pa AS src, pb AS dst FROM e
       UNION
-      SELECT pb AS src, pa AS dst FROM pairs
+      SELECT pb AS src, pa AS dst FROM e
     ),
     walk(id, label) AS (
       SELECT src, src FROM sym
@@ -310,25 +306,8 @@ def q_graph_components_copurchase(
         dedup_clusters_from_pairs,
     )
 
-    ip = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = ip.alias("a")
-    b = ip.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _COPURCHASE_SUPPORT)
+    pairs = copurchase_edges(
+        spark, sf_dir, _COPURCHASE_SUPPORT, checkpoint=False
     )
     comp = dedup_clusters_from_pairs(pairs, id_a="pa", id_b="pb")
     sizes = comp.groupBy("keeper").agg(F.count(F.lit(1)).alias("comp_size"))

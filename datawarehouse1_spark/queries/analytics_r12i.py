@@ -46,6 +46,10 @@ from datawarehouse1_spark.queries.analytics_r12b import (
     _TOKENIZE_SQL,
     _tokens,
 )
+from datawarehouse1_spark.queries.copurchase import (
+    copurchase_edges,
+    copurchase_edges_sql,
+)
 from datawarehouse1_spark.queries.deciles import (
     decile_bounds,
     decile_bounds_sql,
@@ -144,24 +148,10 @@ def q_quality_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. Clustering-coefficient profile of the co-purchase graph
 # ---------------------------------------------------------------------------
 
-_CC_SUPPORT = 2
-
-_CC_EDGES_SQL = f"""
-    ip AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    e AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM ip a JOIN ip b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_SUPPORT}
-    )"""
-
-
 @declared(
     "q_graph_clustering_coeff",
     oracle=f"""
-    WITH {_CC_EDGES_SQL},
+    WITH {copurchase_edges_sql()},
     sym AS (
       SELECT pa AS u, pb AS v FROM e
       UNION ALL
@@ -207,28 +197,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     two equi-joins on the ORIENTED edge list (each shuffles on an edge
     endpoint — the standard distributed triangle count); the profile
     is bounded by the degree domain."""
-    ip = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = ip.alias("a")
-    b = ip.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _CC_SUPPORT)
-        .select("pa", "pb")
-    )
-    e = e.localCheckpoint()  # reuse 3x below without re-running the join
+    # shared support>=2 edge list, checkpointed for the 3-branch reuse
+    e = copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("node")).unionAll(
         e.select(F.col("pb").alias("node"))
     )

@@ -36,9 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.queries.copurchase import (
+    copurchase_edges,
+    copurchase_edges_sql,
+)
 from datawarehouse1_spark.registry import declared
-
-_DEC = "decimal(38,0)"
 
 # ---------------------------------------------------------------------------
 # 1. Peak concurrency per day (sweep line over 5-minute holds)
@@ -89,7 +91,8 @@ _HOLD_SECONDS = 300
     )
     SELECT c.day, c.n_starts,
            CAST(coalesce(c.carry_in, 0) AS BIGINT) AS carry_in,
-           CAST(MAX(coalesce(c.carry_in, 0) + i.run) AS BIGINT)
+           CAST(GREATEST(coalesce(c.carry_in, 0),
+                         MAX(coalesce(c.carry_in, 0) + i.run)) AS BIGINT)
              AS peak_concurrency
     FROM carry c JOIN in_day i ON i.day = c.day
     GROUP BY c.day, c.n_starts, c.carry_in
@@ -105,9 +108,13 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals are half-open (an end and a start at the same μs never
     overlap).  Rule 22: the running sum partitions BY DAY; cross-day
     carry-over cumulates on the bounded per-day totals table only and
-    broadcasts back.  The peak is over delta instants (a day's carried
-    plateau with no events registers at its first delta row).  Scale:
-    2 rows per event, one day-keyed exchange, no global sort."""
+    broadcasts back.  The peak is GREATEST(carry_in, carry_in +
+    max(run)): the carried midnight plateau is itself an attained
+    level (held until the day's first delta), so a day whose first
+    deltas are ends must not under-report it (r12 review catch — the
+    oracle encoded the same formula, so only a semantic reading found
+    it).  Scale: 2 rows per event, one day-keyed exchange, no global
+    sort."""
     ev = table(spark, sf_dir, "events").select("ts")
     # ts is TIMESTAMP_NTZ (rule 25): zone-free diff against the NTZ
     # epoch, never unix_* (which coerces through the session zone)
@@ -153,7 +160,10 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_day.join(F.broadcast(carry), "day")
         .groupBy("day", "n_starts", "carry_in")
         .agg(
-            F.max(F.col("carry_in") + F.col("run"))
+            F.greatest(
+                F.col("carry_in"),
+                F.max(F.col("carry_in") + F.col("run")),
+            )
             .cast("long")
             .alias("peak_concurrency")
         )
@@ -164,22 +174,13 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. Link prediction: top-20 non-edges by common-neighbor Jaccard
 # ---------------------------------------------------------------------------
 
-_LP_SUPPORT = 2
 _LP_TOPK = 20
 
 
 @declared(
     "q_graph_link_prediction",
     oracle=f"""
-    WITH ip AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    e AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM ip a JOIN ip b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_LP_SUPPORT}
-    ),
+    WITH {copurchase_edges_sql()},
     sym AS (
       SELECT pa AS u, pb AS v FROM e
       UNION ALL SELECT pb AS u, pa AS v FROM e
@@ -206,7 +207,7 @@ _LP_TOPK = 20
     """,
 )
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_LP_TOPK} predicted co-purchase links: non-adjacent part
+    """Top-20 predicted co-purchase links: non-adjacent part
     pairs ranked by common-neighbor Jaccard — the "bought together
     candidates you haven't bundled yet" generator, turning the graph
     operators predictive.  Candidates come from WEDGES (a—b—c paths:
@@ -218,28 +219,9 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans it as TakeOrdered (no global sort materializes).  Scale:
     wedge counts bound by Σ_b deg(b)², the skew knob being the
     support threshold upstream."""
-    ip = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = ip.alias("a")
-    b = ip.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _LP_SUPPORT)
-        .select("pa", "pb")
-    )
-    e = e.localCheckpoint()  # reused for sym, wedges, and the anti-join
+    # shared support>=2 edge list, checkpointed: reused for sym,
+    # wedges, and the anti-join
+    e = copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )

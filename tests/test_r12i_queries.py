@@ -13,7 +13,7 @@ _DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 _EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string,"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
     " value double, props string"
 )
 _ORDERS_SCHEMA = (

@@ -10,7 +10,7 @@ from datawarehouse1_spark import registry
 registry.load_all()
 
 _EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string,"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
     " value double, props string"
 )
 _LINEITEM_SCHEMA = (
@@ -64,6 +64,25 @@ def test_peak_concurrency_overlap_halfopen_and_carry(spark, tmp_path):
     assert (d1.n_starts, d1.carry_in, d1.peak_concurrency) == (5, 0, 3)
     # carry_in = +1: event 5 started on day 1, its end lands on day 2
     assert (d2.n_starts, d2.carry_in, d2.peak_concurrency) == (2, 1, 3)
+
+
+def test_peak_concurrency_carried_plateau_is_the_peak(spark, tmp_path):
+    """A day whose only delta rows are ENDS must report the carried
+    midnight plateau as its peak, not the post-end level (r12 review
+    catch: max(carry_in + run) alone under-reported by carry_in)."""
+    rows = [
+        _ev(1, datetime(2024, 3, 1, 23, 58, 0)),
+        _ev(2, datetime(2024, 3, 1, 23, 58, 30)),
+    ]
+    sf = _stage(spark, tmp_path, "events", _EVENTS_SCHEMA, rows)
+    out = {
+        str(r.day): r
+        for r in registry.QUERIES["q_events_peak_concurrency"](
+            spark, sf
+        ).collect()
+    }
+    d2 = out["2024-03-02"]
+    assert (d2.n_starts, d2.carry_in, d2.peak_concurrency) == (0, 2, 2)
 
 
 def test_peak_concurrency_back_to_back_is_one(spark, tmp_path):

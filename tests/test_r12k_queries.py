@@ -10,7 +10,7 @@ from datawarehouse1_spark import registry
 registry.load_all()
 
 _EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string,"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
     " value double, props string"
 )
 _LINEITEM_SCHEMA = (
