@@ -122,6 +122,9 @@ def main() -> None:
         "q_semantic_dedup_corpus",
         "q_dedup_paragraphs",
         "q_similarity_lsh_topk",
+        # r12: the IVF demo now trains its coarse quantizer per run
+        # (recall 0.525 -> 0.82 at sf0.1, +~3 s KMeans — compare
+        # per-query, not llm_total)
         "q_similarity_ivf_topk",
         "q_text_pii_redact",
         "q_text_bpe_token_count",
