@@ -88,10 +88,20 @@ def lsh_topk(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Top-k cosine neighbors per query via multi-table LSH: L independent
     hyperplane tables; a pair is a candidate if it collides in ANY table
     (recall ~ 1-(1-p^b)^L). Candidates deduped, then exact cosine + top-k.
+
+    `probe_bits` > 0 enables MULTI-PROBE on the QUERY side: besides its
+    own bucket, each query also probes the buckets reachable by flipping
+    any one of the first `probe_bits` hyperplane bits (the classic
+    Lv et al. probing sequence truncated to Hamming distance 1).  The
+    probes expand only the tiny broadcast side — the corpus is hashed,
+    shuffled, and stored EXACTLY once either way — so recall rises like
+    adding tables without touching corpus-side cost; that asymmetry is
+    the whole point at 100 TB.
 
     Scale shape: per table, one bucket equi-join keyed on a short bit
     string; vectors shuffle once per table at most, never O(n²)."""
@@ -108,9 +118,27 @@ def lsh_topk(
             ).alias("tbl", "bucket"),
         )
 
+    q_sigs = with_sigs(queries, "query_id")
+    if probe_bits:
+        flips = [
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(
+                    F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, n_planes),
+            )
+            for i in range(min(probe_bits, n_planes))
+        ]
+        q_sigs = q_sigs.select(
+            "query_id",
+            "tbl",
+            F.explode(F.array(F.col("bucket"), *flips)).alias("bucket"),
+        )
+
     cand = (
         with_sigs(corpus, "neighbor_id")
-        .join(F.broadcast(with_sigs(queries, "query_id")), ["tbl", "bucket"])
+        .join(F.broadcast(q_sigs), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])

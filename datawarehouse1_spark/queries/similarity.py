@@ -231,7 +231,11 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return lsh_topk(emb, queries, k=TOP_K, n_planes=4, n_tables=8)
+    # full distance-1 multi-probe: expands only the broadcast query
+    # side (corpus hashed/shuffled once either way)
+    return lsh_topk(
+        emb, queries, k=TOP_K, n_planes=4, n_tables=8, probe_bits=4
+    )
 
 
 @declared("q_similarity_ivf_topk", oracle=None)

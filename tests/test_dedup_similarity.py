@@ -82,6 +82,32 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert all(r.rnk <= 5 for r in approx)
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Distance-1 multi-probe expands the candidate set strictly
+    monotonically (every single-probe bucket is also probed), so its
+    recall can never be lower — and on this corpus it is strictly
+    higher."""
+    from datawarehouse1_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["q_similarity_cosine_topk"](spark, SF).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 8")
+
+    def recall(probe_bits):
+        got = lsh_topk(
+            emb, queries, k=5, n_planes=4, n_tables=8,
+            probe_bits=probe_bits,
+        ).collect()
+        pairs = {(r.query_id, r.neighbor_id) for r in got}
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0, (r0, r4)
+    assert r4 >= 0.9, f"multi-probe recall {r4:.2f}"
+
+
 def test_ivf_topk_shape(spark):
     emb = table(spark, SF, "embeddings")
     queries = emb.filter("vec_id < 8")
