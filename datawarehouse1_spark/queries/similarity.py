@@ -264,8 +264,12 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     cents = _IVF_CENTROIDS.get(sf_dir)
-    if cents is None:
-        cents = train_ivf_centroids(emb, n_centroids=16)
+    if cents is None and sf_dir not in _IVF_CENTROIDS:
+        # KMeans cannot fit fewer rows than clusters (empty-corpus
+        # law): fall back to the seeded-random quantizer there. The
+        # guard's cost is bounded by the cluster count, not the corpus.
+        if emb.limit(16).count() >= 16:
+            cents = train_ivf_centroids(emb, n_centroids=16)
         _IVF_CENTROIDS[sf_dir] = cents
     return ivf_topk(
         emb, queries, k=TOP_K, n_centroids=16, nprobe=6, centroids=cents
