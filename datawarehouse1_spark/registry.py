@@ -54,64 +54,12 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #       ones — re-grading them burns a hashable slot on `err: no_oracle`
 #       (VERDICT r11 #3); their quantitative evidence ships via the
 #       rows_only_metrics line in bench.py instead.
-# r12 window = 10 r6-vintage + 40 oldest r7-vintage oracle-bearing.
-# Vintages computed from CORRECTNESS_r{01..11}.json. Structure pinned by
+# r13 window = the 49 r7-vintage oracle-bearing (TPC-H canon included)
+# + the stalest r8-vintage one (VERDICT r12 #1 — pure refresh round).
+# Vintages computed from CORRECTNESS_r{01..12}.json. Structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # ---- (a) NEW r12 queries, never graded — front of the window ----
-    "q_profile_ind_discovery",
-    "q_profile_key_discovery",
-    "q_quality_cumulative_gains",
-    "q_graph_clustering_coeff",
-    "q_events_transition_gini",
-    "q_text_head_tail_drift",
-    "q_events_peak_concurrency",
-    "q_graph_link_prediction",
-    "q_events_dwell_time",
-    "q_orders_basket_profile",
-    "q_orders_price_elasticity",
-    "q_date_business_days",
-    "q_stats_spearman_rho",
-    "q_quality_auc_by_source",
-    "q_privacy_k_anonymity",
-    "q_profile_fd_discovery",
-    "q_text_collocations_pmi",
-    "q_events_markov_stationary",
-    "q_orders_new_vs_returning",
-    "q_text_simpson_diversity",
-    "q_events_dow_uniformity_chisq",
-    "q_text_keyphrases_rake",
-    "q_events_fano_burstiness",
-    "q_layout_sort_advisor",
-    "q_quality_calibration_bins",
-    "q_orders_conversion_hazard",
-    "q_stats_cramers_v",
-    "q_text_heaps_fit",
-    "q_text_vocab_coverage",
-    "q_stats_eta_squared",
-    "q_orders_seasonal_naive_backtest",
-    "q_stats_kruskal_wallis",
-    "q_quality_brier_decomposition",
-    "q_quality_pr_threshold_sweep",
-    "q_graph_degree_distribution",
-    "q_embedding_knn_label_agreement",
-    "q_stats_brown_forsythe",
-    "q_graph_components_copurchase",
-    "q_text_ttr_by_length",
-    "q_events_type_affinity",
-    # ---- (b) oracle-bearing, stalest verdict first ----
-    # -- last graded r6 --
-    "q_similarity_cosine_topk",
-    "q_scan_project",
-    "q_cast_types",
-    "q_filter_pred",
-    "q_join_inner_fact_dim",
-    "q_join_broadcast_dim",
-    "q_join_anti_orphans",
-    "q_flagship_monthly_revenue",
-    "q_tpch_q5_local_supplier",
-    "q_tpch_q21_waiting_supplier",
-    # -- last graded r7 --
+    # ---- r7-vintage oracle-bearing ----
     "q_hierarchy_sql_recursive",
     "q_unpivot_metrics",
     "q_events_anomaly_days",
@@ -147,10 +95,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_topk_orderby_limit",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q2_min_cost_supplier",
-    # ---- NOTE: the graded window is the first 50 entries of this
-    #      tuple WHEREVER that falls — every new never-graded query
-    #      inserted above pushes one stale re-grade below the line;
-    #      entries below queue for later rounds, still stalest-first --
     "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority",
     "q_tpch_q6_forecast_revenue",
@@ -165,7 +109,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q15_top_supplier",
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
-    # -- last graded r8 --
+    # ---- r8-vintage oracle-bearing ----
     "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
@@ -214,7 +158,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention_weekly",
     "q_join_asof",
-    # -- last graded r9 --
+    # ---- r9-vintage oracle-bearing ----
     "q_route_filter",
     "q_upsert_latest",
     "q_excel_serial_date",
@@ -263,7 +207,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_multimodal_exif_scan",
     "q_curation_optout_takedown",
     "q_curation_master_pipeline",
-    # -- last graded r10 --
+    # ---- r10-vintage oracle-bearing ----
     "q_profile_join_cardinality",
     "q_events_resample_ohlc",
     "q_window_dense_rank_peers",
@@ -313,7 +257,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_curation_boilerplate_snippets",
     "q_split_kfold_assign",
     "q_embedding_cluster_balance",
-    # -- last graded r11 --
+    # ---- r11-vintage oracle-bearing ----
     "q_stats_kendall_tau",
     "q_orders_abc_parts",
     "q_events_user_type_gini",
@@ -363,25 +307,76 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_text_fingerprint",
     "q_dedup_exact_hash",
     "q_join_multi_star",
-    # ---- (c) rows-only (oracle=None), behind every hashable query ----
-    # -- last graded r6 --
+    # ---- r12-vintage oracle-bearing ----
+    "q_profile_ind_discovery",
+    "q_profile_key_discovery",
+    "q_quality_cumulative_gains",
+    "q_graph_clustering_coeff",
+    "q_events_transition_gini",
+    "q_text_head_tail_drift",
+    "q_events_peak_concurrency",
+    "q_graph_link_prediction",
+    "q_events_dwell_time",
+    "q_orders_basket_profile",
+    "q_orders_price_elasticity",
+    "q_date_business_days",
+    "q_stats_spearman_rho",
+    "q_quality_auc_by_source",
+    "q_privacy_k_anonymity",
+    "q_profile_fd_discovery",
+    "q_text_collocations_pmi",
+    "q_events_markov_stationary",
+    "q_orders_new_vs_returning",
+    "q_text_simpson_diversity",
+    "q_events_dow_uniformity_chisq",
+    "q_text_keyphrases_rake",
+    "q_events_fano_burstiness",
+    "q_layout_sort_advisor",
+    "q_quality_calibration_bins",
+    "q_orders_conversion_hazard",
+    "q_stats_cramers_v",
+    "q_text_heaps_fit",
+    "q_text_vocab_coverage",
+    "q_stats_eta_squared",
+    "q_orders_seasonal_naive_backtest",
+    "q_stats_kruskal_wallis",
+    "q_quality_brier_decomposition",
+    "q_quality_pr_threshold_sweep",
+    "q_graph_degree_distribution",
+    "q_embedding_knn_label_agreement",
+    "q_stats_brown_forsythe",
+    "q_graph_components_copurchase",
+    "q_text_ttr_by_length",
+    "q_events_type_affinity",
+    "q_similarity_cosine_topk",
+    "q_scan_project",
+    "q_cast_types",
+    "q_filter_pred",
+    "q_join_inner_fact_dim",
+    "q_join_broadcast_dim",
+    "q_join_anti_orphans",
+    "q_flagship_monthly_revenue",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q21_waiting_supplier",
+    # ---- r6-vintage rows-only ----
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_multimodal_real_decode",
-    # -- last graded r7 --
+    # ---- r7-vintage rows-only ----
     "q_dedup_minhash_incremental",
-    # -- last graded r8 --
+    # ---- r8-vintage rows-only ----
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    # -- last graded r9 --
+    # ---- r9-vintage rows-only ----
     "q_dedup_simhash_neardup",
     "q_dedup_simhash",
-    # -- last graded r10 --
+    # ---- r10-vintage rows-only ----
     "q_embedding_pca_power",
-    # -- last graded r11 --
+    # ---- r11-vintage rows-only ----
     "q_agg_approx_distinct",
 )
+
 
 
 def load_all() -> None:
