@@ -19,11 +19,13 @@ from datawarehouse1_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from datawarehouse1_spark.registry import declared
+from datawarehouse1_spark.state_memo import AppScopedMemo
 
 # Checkpointed minhash history index per (Spark app, corpus dir) — the
 # pipeline's persisted state, rebuilt bit-identically (seeded) if the
-# app changes. See q_dedup_minhash_incremental.
-_MINHASH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+# app changes. Shared eviction discipline with the IVF quantizer memo
+# (state_memo.AppScopedMemo). See q_dedup_minhash_incremental.
+_MINHASH_INDEX_CACHE = AppScopedMemo()
 
 
 def staged_minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,14 +328,13 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measure what a steady-state batch actually costs. MinHash is
     # seeded, so a rebuild is bit-identical — memoizing changes cost,
     # never results (the IVF-quantizer precedent).
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _MINHASH_INDEX_CACHE.get(key)
-    if index is None:
-        index = build_minhash_index(
+    index = _MINHASH_INDEX_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: build_minhash_index(
             history, num_hashes=16, bands=4, shingle_n=3
-        ).localCheckpoint(eager=True)
-        _MINHASH_INDEX_CACHE.clear()  # one live app at a time
-        _MINHASH_INDEX_CACHE[key] = index
+        ).localCheckpoint(eager=True),
+    )
     return minhash_lsh_incremental_pairs(
         index, arriving, num_hashes=16, bands=4, shingle_n=3,
         jaccard_threshold=0.5,

@@ -39,7 +39,7 @@ BOUNDS = {
     "q_similarity_lsh_topk:recall": (0.9, None),
     # trained-centroid operating point (r12): 0.625/0.70/0.825 measured
     # at sf0.001/0.01/0.1 vs 0.525 untrained at sf0.1
-    "q_similarity_ivf_topk:recall": (0.55, None),
+    "q_similarity_ivf_topk:recall": (0.85, None),
     "q_dedup_minhash_lsh:recall": (0.8, None),
     "q_dedup_minhash_incremental:parity": (None, 1.0),
     "q_dedup_simhash:copy_rate": (None, 1.0),
