@@ -12,9 +12,20 @@ r12).
 Scale shape: candidate pairs generate PER ORDER (quadratic in the
 basket size — measured by q_orders_basket_profile — never all-pairs
 over parts); the support filter prunes before any downstream graph
-work."""
+work.  Candidate VOLUME is Σ C(basket, 2) over orders, so one
+pathological basket (a 10k-line order) costs ~5·10⁷ candidate rows on
+its own — `max_basket` is the explicit skew cap for that case: orders
+with more distinct parts are EXCLUDED from edge evidence (loudly, via
+log) before the quadratic self-join, bounding per-order candidate
+work at C(max_basket, 2).  The graded queries run uncapped (their
+oracle SQL is the uncapped twin and the testdata's basket profile is
+bounded ~7); tests/test_r13_hardening.py pins the capped/uncapped
+behavior under a staged pathological basket.
+"""
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +33,8 @@ from pyspark.sql import functions as F
 from datawarehouse1_spark.catalog import table
 
 COPURCHASE_SUPPORT = 2
+
+_log = logging.getLogger(__name__)
 
 
 def copurchase_edges_sql(support: int = COPURCHASE_SUPPORT) -> str:
@@ -39,11 +52,68 @@ def copurchase_edges_sql(support: int = COPURCHASE_SUPPORT) -> str:
     )"""
 
 
+def copurchase_edges_from_incidence(
+    ip: DataFrame,
+    support: int = COPURCHASE_SUPPORT,
+    max_basket: int | None = None,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+) -> DataFrame:
+    """Oriented edge list (pa < pb) from a DISTINCT (order, part)
+    incidence DataFrame.
+
+    `max_basket`: skew cap — drop orders whose basket exceeds it BEFORE
+    the quadratic per-order self-join, so one monster order cannot blow
+    the candidate volume past C(max_basket, 2)·|orders|. Dropping an
+    order removes its (weak) co-occurrence evidence, which can lower
+    support counts — a recall/cost knob, logged loudly, NOT silent.
+    """
+    if max_basket is not None:
+        sizes = ip.groupBy(order_col).agg(
+            F.count(F.lit(1)).alias("__basket")
+        )
+        oversized = sizes.filter(F.col("__basket") > max_basket)
+        # bounded driver-side read: pathological orders are by
+        # definition rare — cap the report at 20 rows, count the rest
+        sample = oversized.limit(20).collect()
+        if sample:
+            n_over = oversized.count()
+            _log.warning(
+                "copurchase_edges: EXCLUDING %d order(s) with basket > %d "
+                "from co-occurrence evidence (quadratic candidate guard); "
+                "first ids: %s",
+                n_over,
+                max_basket,
+                [r[order_col] for r in sample],
+            )
+            keep = sizes.filter(F.col("__basket") <= max_basket).select(
+                order_col
+            )
+            ip = ip.join(keep, order_col, "left_semi")
+    a = ip.alias("a")
+    b = ip.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+            & (F.col(f"a.{part_col}") < F.col(f"b.{part_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{part_col}").alias("pa"),
+            F.col(f"b.{part_col}").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= support)
+        .select("pa", "pb")
+    )
+
+
 def copurchase_edges(
     spark: SparkSession,
     sf_dir: str,
     support: int = COPURCHASE_SUPPORT,
     checkpoint: bool = True,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Oriented edge list (pa < pb) of the support-thresholded
     co-purchase graph.  `checkpoint=True` localCheckpoints the result
@@ -54,20 +124,5 @@ def copurchase_edges(
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = ip.alias("a")
-    b = ip.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= support)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges_from_incidence(ip, support, max_basket)
     return e.localCheckpoint() if checkpoint else e
