@@ -165,6 +165,38 @@ def main() -> None:
                 errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
                 print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
 
+    # Analytics battery (VERDICT r12 #5): the r10-r12 analytics surface
+    # had NO per-query bench visibility — a plan regression in any of
+    # them was invisible between rounds. These are the measured most
+    # expensive non-headline/non-TPC-H/non-LLM queries at sf0.1 (full
+    # single-pass ranking, r13), re-timed per round. Warmup + min-of-2;
+    # kept OUT of the headline total. SPARK_GRAFT_BENCH_ANALYTICS=0
+    # skips.
+    ANALYTICS = (
+        "q_graph_components_copurchase",
+        "q_stats_spearman_rho",
+        "q_join_bloom_prefilter",
+        "q_orders_open_backlog",
+        "q_reconcile_checksums",
+        "q_orders_value_deciles",
+        "q_split_ngram_leakage",
+        "q_stats_kruskal_wallis",
+        "q_partition_boundaries",
+    )
+    analytics: dict[str, float] = {}
+    analytics_spread: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ANALYTICS", "1") != "0":
+        for name in ANALYTICS:
+            try:
+                best, spread = run_one(
+                    spark, registry.QUERIES[name], SF_DIR, timed_runs=2
+                )
+                analytics[name] = round(best, 4)
+                analytics_spread[name] = round(spread, 4)
+            except Exception as ex:  # noqa: BLE001 - record and keep benching
+                errors[name] = f"{type(ex).__name__}: {ex}".split("\n")[0][:300]
+                print(f"[bench-error] {name}: {errors[name]}", file=sys.stderr)
+
     # Rows-only accuracy metrics (VERDICT r11 #4): the 11 oracle=None
     # queries get only a rows>0 check from the driver's correctness
     # gate; this section re-measures each one's pytest-pinned accuracy
@@ -217,6 +249,10 @@ def main() -> None:
         out["llm"] = llm
         out["llm_total"] = round(sum(llm.values()), 4)
         out["llm_spread"] = llm_spread
+    if analytics:
+        out["analytics"] = analytics
+        out["analytics_total"] = round(sum(analytics.values()), 4)
+        out["analytics_spread"] = analytics_spread
     if metrics:
         out["rows_only_metrics"] = metrics
         out["metrics_sf_dir"] = metrics_sf_dir
@@ -224,32 +260,54 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
     print(json.dumps(out))
-    # The driver captures only a ~2 KB stdout tail (VERDICT r8 #3), so
-    # the FULL record above is for local runs; the artifact-visible
-    # record is the compact lines below, printed least-critical FIRST so
-    # an overflow truncates from the top (tests/test_r9_hardening.py
-    # pins the worst-case sum of these lines under the tail budget):
-    #   1. llm_per_query    — 26 LLM-battery timings, "q_" stripped, 2dp
-    #   2. rows_only_metrics — accuracy evidence for the oracle=None
-    #      queries (VERDICT r11 #4); key = "<query>:<metric>", legend in
-    #      accuracy.py
-    #   3. tpch_per_query   — TPC-H timings keyed "1".."22", 2dp
+    # The driver captures only the LAST 2000 stdout chars (measured:
+    # BENCH_r12's tail is exactly 2000), so the FULL record above is for
+    # local runs; the artifact-visible record is the compact lines
+    # below, printed least-critical FIRST so an overflow truncates from
+    # the top (tests/test_accuracy_metrics.py pins the worst-case sum of
+    # these lines under the tail budget):
+    #   1. analytics_per_query — the 9 most expensive analytics-surface
+    #      timings (full names; VERDICT r12 #5)
+    #   2. llm_per_query    — 26 LLM-battery timings, 2dp; keys drop
+    #      "q_" AND the family segment (r13: the analytics line had to
+    #      fit the fixed 2000-char capture) — full names in the LLM
+    #      tuple above, e.g. "minhash_lsh" = q_dedup_minhash_lsh
+    #   3. rows_only_metrics — accuracy evidence for the oracle=None
+    #      queries (VERDICT r11 #4); key = "<query>:<metric>" with the
+    #      same family-segment strip; legend in accuracy.py
+    #   4. tpch_per_query   — TPC-H timings keyed "1".."22", 2dp
     #      (VERDICT r11 #7: previously cut off mid-record)
-    #   4. headline_per_query — the 15 headline timings (full names)
-    #   5. totals           — the driver-parsed final line
+    #   5. headline_per_query — the 15 headline timings (full names)
+    #   6. totals           — the driver-parsed final line
     # Per-query spreads stay in the full record only; they no longer fit
-    # alongside three per-query sections.
+    # alongside four per-query sections.
+    def _famstrip(key: str) -> str:
+        """'q_dedup_minhash_lsh' -> 'minhash_lsh' (unique across each
+        line's key set — pinned by tests/test_accuracy_metrics.py)."""
+        return key[2:].split("_", 1)[1]
+
+    if analytics:
+        print(
+            json.dumps(
+                {
+                    "analytics_per_query": {
+                        k[2:]: round(v, 2) for k, v in analytics.items()
+                    }
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
-            {"llm_per_query": {k[2:]: round(v, 2) for k, v in llm.items()}},
+            {"llm_per_query": {_famstrip(k): round(v, 2) for k, v in llm.items()}},
             separators=(",", ":"),
         )
     )
     if metrics:
-        # "q_" stripped from keys in every compact line: the tail budget
+        # family-stripped keys in every compact line: the tail budget
         # is real (tests/test_accuracy_metrics.py pins the worst case)
         mline = {
-            "rows_only_metrics": {k[2:]: v for k, v in metrics.items()}
+            "rows_only_metrics": {_famstrip(k): v for k, v in metrics.items()}
         }
         if metrics_sf_dir != "/root/testdata/sf0.01":
             mline["metrics_sf_dir"] = metrics_sf_dir

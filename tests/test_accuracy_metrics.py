@@ -69,13 +69,18 @@ def test_metrics_clear_their_pinned_thresholds(measured):
     assert not failures, failures
 
 
+def _famstrip(key: str) -> str:
+    return key[2:].split("_", 1)[1]
+
+
 def test_bench_tail_lines_fit_driver_budget():
-    """The driver records only the last ~2000 stdout chars; simulate the
-    five compact lines bench.py emits with worst-case realistic widths
-    (9.99 s per query — current max is 3.2 s and a 10 s query is already
-    a flagged regression; 4-decimal metrics; totals 3-digit) and assert
-    they fit with headroom. This is the static twin of VERDICT r11 #7's
-    'all per-query lines parse from the artifact tail'."""
+    """The driver records EXACTLY the last 2000 stdout chars (measured
+    on BENCH_r12); simulate the six compact lines bench.py emits with
+    worst-case realistic widths (9.99 s per query — current max is
+    5.3 s and a 10 s query is already a flagged regression; 4-decimal
+    metrics; totals 3-digit) and assert they fit with headroom. This is
+    the static twin of VERDICT r11 #7's 'all per-query lines parse from
+    the artifact tail'."""
     import ast
     import pathlib
 
@@ -85,16 +90,26 @@ def test_bench_tail_lines_fit_driver_budget():
         if (
             isinstance(node, ast.Assign)
             and isinstance(node.targets[0], ast.Name)
-            and node.targets[0].id in ("HEADLINE", "LLM")
+            and node.targets[0].id in ("HEADLINE", "LLM", "ANALYTICS")
         ):
             names[node.targets[0].id] = ast.literal_eval(node.value)
+    # the family-segment strip must stay collision-free per line
+    for group in ("LLM",):
+        stripped = [_famstrip(k) for k in names[group]]
+        assert len(set(stripped)) == len(stripped), group
+    mstripped = [_famstrip(k) for k in accuracy.METRICS]
+    assert len(set(mstripped)) == len(mstripped)
     lines = [
         json.dumps(
-            {"llm_per_query": {k[2:]: 9.99 for k in names["LLM"]}},
+            {"analytics_per_query": {k[2:]: 9.99 for k in names["ANALYTICS"]}},
             separators=(",", ":"),
         ),
         json.dumps(
-            {"rows_only_metrics": {k[2:]: 0.9999 for k in accuracy.METRICS}},
+            {"llm_per_query": {_famstrip(k): 9.99 for k in names["LLM"]}},
+            separators=(",", ":"),
+        ),
+        json.dumps(
+            {"rows_only_metrics": {k: 0.9999 for k in mstripped}},
             separators=(",", ":"),
         ),
         json.dumps(
@@ -119,7 +134,7 @@ def test_bench_tail_lines_fit_driver_budget():
         ),
     ]
     total = sum(len(line) + 1 for line in lines)
-    assert total <= 1950, (
+    assert total <= 1970, (
         f"bench tail lines total {total} chars; the driver captures "
-        "~2000 — shrink a section before it truncates the first line"
+        "exactly 2000 — shrink a section before it truncates the first line"
     )
