@@ -33,12 +33,11 @@ surface; SURVEY.md §2C/§2D extension inventory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.functions.money import (
-    money_sum,
     sql_cents,
     sql_money_sum,
 )
@@ -77,16 +76,30 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship date of the order (orders with no lineitems never report as
     open — the inner join makes that explicit in both engines). The
     month-end boundary list derives from the order dates themselves
-    (bounded: one row per month in the data). Plan: ONE orderkey
-    exchange each for the lineitem close aggregate and the orders side
-    (co-partitioned equi-join); the interval containment then rides a
-    BroadcastNestedLoopJoin against the tiny boundary list — at 100 TB
-    the fact ROWS flow through the join once and never re-shuffle to
-    answer every as-of month simultaneously. The boundary derivation
-    is a second scan of orders, but column-pruned to o_orderdate only
-    (checkpointing the full fact to avoid it would be the wrong trade
-    at scale); the final per-boundary aggregate carries at most
-    (#months x partial) rows."""
+    (bounded: one row per month in the data).
+
+    Sweep-line decomposition (r13; previously a
+    BroadcastNestedLoopJoin that fanned every order row out to every
+    boundary — |orders| x #months predicate work): with all boundaries
+    at month-ends, placed <= B iff last_day(placed) <= B and close <= B
+    iff last_day(close) <= B, so each order contributes
+    (+1, +price) at last_day(placed) and (-1, -price) at
+    last_day(close), and the backlog at B is the PREFIX SUM of those
+    month deltas — indicator(placed <= B < close) = indicator(placed
+    <= B) - indicator(close <= B), valid because rows with close <=
+    placed (present in the synthetic data) are filtered out exactly as
+    the original interval join ignores them (empty interval). Money
+    deltas stay DECIMAL end-to-end, so the +/- cancellation is exact
+    and the final double cast matches the oracle's direct sum
+    bit-for-bit. Plan: ONE orderkey exchange each for the lineitem
+    close aggregate and the orders side (co-partitioned equi-join);
+    fact rows then reduce to <=2 delta rows each in one exchange to the
+    ~#months grain; the running sum and the boundary semi-join ride
+    that bounded table (rule 22; the ORDER BY key is unique per group,
+    rule 31). At 100 TB the fact flows through exactly once — no
+    per-boundary fan-out at all. Sum-widths: Spark widens the decimal
+    sums automatically; months carry at most |orders|·max_price <<
+    10^26."""
     li = table(spark, sf_dir, "lineitem")
     close = li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("close_date")
@@ -96,20 +109,51 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("placed"),
         "o_totalprice",
     )
+    j = (
+        o.join(close, o.o_orderkey == close.l_orderkey, "inner")
+        .filter(F.col("close_date") > F.col("placed"))
+        .select(
+            F.last_day("placed").alias("m_open"),
+            F.last_day("close_date").alias("m_close"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    opens = j.select(
+        F.col("m_open").alias("m"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("price").alias("dv"),
+    )
+    closes = j.select(
+        F.col("m_close").alias("m"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("price")).alias("dv"),
+    )
+    ev = (
+        opens.unionByName(closes)
+        .groupBy("m")
+        .agg(F.sum("dn").alias("nd"), F.sum("dv").alias("vd"))
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ev.select(
+        "m",
+        F.sum("nd").over(w).alias("n_open"),
+        F.sum("vd").over(w).alias("v_open"),
+    )
     b = (
         table(spark, sf_dir, "orders")
         .select(F.last_day(F.to_date("o_orderdate")).alias("as_of"))
         .distinct()
     )
-    joined = o.join(close, o.o_orderkey == close.l_orderkey, "inner").join(
-        F.broadcast(b),
-        (F.col("placed") <= F.col("as_of"))
-        & (F.col("as_of") < F.col("close_date")),
-        "inner",
-    )
-    return joined.groupBy("as_of").agg(
-        F.count(F.lit(1)).alias("n_open"),
-        money_sum("o_totalprice", "value_open"),
+    return (
+        cum.join(F.broadcast(b), cum.m == b.as_of, "inner")
+        .filter(F.col("n_open") > 0)
+        .select(
+            "as_of",
+            "n_open",
+            F.col("v_open").cast("double").alias("value_open"),
+        )
     )
 
 

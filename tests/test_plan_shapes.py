@@ -325,10 +325,12 @@ EXCHANGE_BUDGET = {
     # narrow 4x window explode before the shuffle; countDistinct
     # expands (window, type, user) then aggregates
     "q_events_hopping_window": 2,
-    # lineitem close agg + orders co-partitioned join side; the
-    # boundary list broadcasts (BNLJ) and the per-boundary aggregate
-    # is the third
-    "q_orders_open_backlog": 3,
+    # r13 sweep-line shape: lineitem close agg + orders join side at
+    # the orderkey fact grain, then THREE bounded-table exchanges (the
+    # ~#months delta aggregate, the single-partition running sum over
+    # that tiny table, the boundary-list distinct) — the BNLJ fan-out
+    # of every order row to every boundary is gone
+    "q_orders_open_backlog": 5,
     # custkey fact join (dims broadcast) + (region, month) aggregate;
     # the region co-moment rollup rides the bounded month table
     "q_orders_revenue_trend": 2,
