@@ -63,19 +63,29 @@ def copurchase_edges_from_incidence(
     incidence DataFrame.
 
     `max_basket`: skew cap — drop orders whose basket exceeds it BEFORE
-    the quadratic per-order self-join, so one monster order cannot blow
-    the candidate volume past C(max_basket, 2)·|orders|. Dropping an
-    order removes its (weak) co-occurrence evidence, which can lower
+    the quadratic per-order pair generation, so one monster order cannot
+    blow the candidate volume past C(max_basket, 2)·|orders|. Dropping
+    an order removes its (weak) co-occurrence evidence, which can lower
     support counts — a recall/cost knob, logged loudly, NOT silent.
+
+    Shape (r13): the incidence reduces to per-order sorted part ARRAYS
+    in one exchange, and the C(basket, 2) oriented pairs generate
+    MAP-SIDE from each array inside codegen (nested transform +
+    flatten) — the candidate volume is identical to the former
+    incidence self-join, but the second fact-grain shuffle (the join's
+    probe side) and the join itself are gone: one exchange to the order
+    grain, one to the (pa, pb) support aggregate. The basket-size guard
+    becomes a free `size(parts) <= max_basket` filter on the built
+    array instead of a separate counting pass.
     """
+    baskets = ip.groupBy(order_col).agg(
+        F.array_sort(F.collect_set(part_col)).alias("__parts")
+    )
     if max_basket is not None:
-        sizes = ip.groupBy(order_col).agg(
-            F.count(F.lit(1)).alias("__basket")
-        )
-        oversized = sizes.filter(F.col("__basket") > max_basket)
+        oversized = baskets.filter(F.size("__parts") > max_basket)
         # bounded driver-side read: pathological orders are by
         # definition rare — cap the report at 20 rows, count the rest
-        sample = oversized.limit(20).collect()
+        sample = oversized.select(order_col).limit(20).collect()
         if sample:
             n_over = oversized.count()
             _log.warning(
@@ -86,22 +96,27 @@ def copurchase_edges_from_incidence(
                 max_basket,
                 [r[order_col] for r in sample],
             )
-            keep = sizes.filter(F.col("__basket") <= max_basket).select(
-                order_col
+            baskets = baskets.filter(F.size("__parts") <= max_basket)
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__parts",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "__parts", i + 2, F.size("__parts") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("pa"), y.alias("pb")
+                        ),
+                    ),
+                )
             )
-            ip = ip.join(keep, order_col, "left_semi")
-    a = ip.alias("a")
-    b = ip.alias("b")
+        ).alias("__pair")
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
-            & (F.col(f"a.{part_col}") < F.col(f"b.{part_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{part_col}").alias("pa"),
-            F.col(f"b.{part_col}").alias("pb"),
-        )
+        pairs.select(F.col("__pair.pa").alias("pa"), F.col("__pair.pb").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= support)
         .select("pa", "pb")
