@@ -577,7 +577,9 @@ def simhash(tok_col: str | Column, bits: int = 64, seed: int = DEFAULT_SEED) -> 
     and 63 bits of fingerprint lose nothing for near-dup grouping."""
     c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     nbits = min(bits, 63)
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(nbits)])
+    # one py4j call for the constant array (the bloom-bitmap lesson —
+    # per-element F.lit loops pay a driver round-trip per element)
+    powers = F.lit([1 << i for i in range(nbits)]).cast("array<bigint>")
 
     def step(acc: Column, tok: Column) -> Column:
         h = F.xxhash64(tok, F.lit(seed))

@@ -407,7 +407,12 @@ def bloom_prefilter(
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["_word"]] = r["_mask"]
-    bitmap_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # ONE py4j call for the whole array literal: building it as
+    # F.array(*[F.lit(w) for w in bitmap]) costs a driver round-trip
+    # per word (1024 x ~3 ms ~= 3 s of pure py4j before any Spark work
+    # — measured, r13); F.lit(list) ships the same constant in one call
+    # and Catalyst still folds it, so the probe plan is unchanged.
+    bitmap_lit = F.lit(bitmap).cast("array<bigint>")
 
     probe = None
     for p in positions(F.col(fact_key)):
