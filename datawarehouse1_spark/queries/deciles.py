@@ -2,16 +2,35 @@
 q_quality_cumulative_gains).
 
 The nine decile boundaries are exact order statistics (percentile_disc
-picks an actual data value, so Spark and DuckDB agree bit-for-bit);
-each row buckets by a broadcast comparison chain with strict `>`, so
-ties at a boundary deterministically fall LOW and no global sort ever
+semantics: the smallest actual data value whose cumulative count
+reaches k/10 of the rows, so Spark and DuckDB agree bit-for-bit); each
+row buckets by a broadcast comparison chain with strict `>`, so ties
+at a boundary deterministically fall LOW and no global sort ever
 touches the fact table.  Both the Spark bounds aggregate and the SQL
 text live here so the tie-break semantics cannot drift between the
-call sites (review finding, r12)."""
+call sites (review finding, r12).
+
+r13: the Spark side no longer evaluates nine `percentile_disc`
+aggregates — each of those buffers EVERY value in its own aggregation
+buffer (nine copies of the column in executor memory, a sort per
+buffer).  The boundaries now come from the repo's two-level rank
+construction (the _rank2 shape): one exchange to the distinct-value
+marginal, within-bucket cumulative counts (parallel across fixed-width
+value buckets; only the bounded bucket summary crosses a global
+window), then ONE reduction reads all nine order statistics off the
+cumulative table via the integer identity
+
+    percentile_disc(k/10) = min{ v : 10 * cum(v) >= k * n }
+
+(cum and n are exact integers, so no ceil and no float q ever enters).
+The DuckDB oracle keeps the literal percentile_disc text — the
+identity above IS that function's definition, and the three-SF hash
+matches pin the equivalence.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,14 +52,54 @@ def decile_expr_sql(col: str) -> str:
     )
 
 
-def decile_bounds(df: DataFrame, col: str) -> DataFrame:
+def decile_bounds(
+    df: DataFrame, col: str, bucket_width: float = 1024.0
+) -> DataFrame:
     """One-row DataFrame of the nine exact boundary order statistics
-    (broadcast this against the fact side)."""
-    return df.agg(
+    (broadcast this against the fact side).
+
+    `bucket_width` splits the value domain into fixed-width buckets so
+    the within-bucket cumulative windows run in parallel and only the
+    bucket-count summary crosses a global window (rule 22); any
+    positive width is CORRECT — it only shifts work between the two
+    levels — so callers tune it to their column's domain.
+    """
+    marg = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = marg.withColumn(
+        "bucket", F.floor(F.col("v") / F.lit(bucket_width)).cast("long")
+    )
+    borders = b.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    prior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = borders.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(prior), F.lit(0)).alias("boff"),
+    )
+    total = borders.agg(F.sum("bc").alias("n"))
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("boff") + F.sum("c").over(win))
+        .join(F.broadcast(total))
+    )
+    bounds = cum.agg(
         *[
-            F.expr(
-                f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY {col})"
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= F.lit(k) * F.col("n"), F.col("v")
+                )
             ).alias(f"b{k}")
             for k in range(1, 10)
         ]
     )
+    # rule 12: the ONE-row bounds table materializes here, so consumers
+    # broadcast a literal row instead of dragging the whole two-level
+    # rank subplan (its bounded exchanges included) into their own plan
+    return bounds.localCheckpoint(eager=True)

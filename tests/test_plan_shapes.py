@@ -367,8 +367,9 @@ EXCHANGE_BUDGET = {
     # close aggregate + orders co-partitioned join side + the <=5-row
     # priority aggregate
     "q_orders_fill_rate_sla": 2,
-    # one-row percentile bounds + the decile aggregate; the share
-    # windows ride the 10-row table
+    # r13: bounds come from the checkpointed two-level rank table
+    # (no nine-buffer percentile aggregate); the fact shuffles once to
+    # the decile aggregate, share windows ride the 10-row table
     "q_orders_value_deciles": 3,
     # widen repartition (test-SF only) + (bigram) pair counts +
     # (token) head roll-up; TakeOrderedAndProject top-50
@@ -458,7 +459,8 @@ EXCHANGE_BUDGET = {
     "q_profile_key_discovery": 20,
     "q_orders_price_elasticity": 1,  # broadcast part + one brand agg
     "q_date_business_days": 1,  # orderkey join broadcast at test SF
-    # 1-row bounds agg + decile agg + the bounded 10-row window
+    # r13: checkpointed rank-table bounds + decile agg + the bounded
+    # 10-row window
     "q_quality_cumulative_gains": 3,
     # edge build (distinct + self-join + support agg) precedes the
     # checkpoint; degree/triangle/profile aggs after
