@@ -52,17 +52,22 @@ def decile_expr_sql(col: str) -> str:
     )
 
 
-def decile_bounds(
-    df: DataFrame, col: str, bucket_width: float = 1024.0
+def order_stat_bounds(
+    df: DataFrame,
+    col: str,
+    numerators: tuple[int, ...],
+    denominator: int,
+    bucket_width: float = 1024.0,
 ) -> DataFrame:
-    """One-row DataFrame of the nine exact boundary order statistics
+    """One-row DataFrame of exact PERCENTILE_DISC order statistics at
+    quantiles k/denominator for k in `numerators`, aliased b<k>
     (broadcast this against the fact side).
 
     `bucket_width` splits the value domain into fixed-width buckets so
     the within-bucket cumulative windows run in parallel and only the
-    bucket-count summary crosses a global window (rule 22); any
-    positive width is CORRECT — it only shifts work between the two
-    levels — so callers tune it to their column's domain.
+    bounded bucket-count summary crosses a global window (rule 22);
+    any positive width is CORRECT — it only shifts work between the
+    two levels — so callers tune it to their column's domain.
     """
     marg = df.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
@@ -93,13 +98,23 @@ def decile_bounds(
         *[
             F.min(
                 F.when(
-                    F.col("cum") * 10 >= F.lit(k) * F.col("n"), F.col("v")
+                    F.col("cum") * denominator >= F.lit(k) * F.col("n"),
+                    F.col("v"),
                 )
             ).alias(f"b{k}")
-            for k in range(1, 10)
+            for k in numerators
         ]
     )
     # rule 12: the ONE-row bounds table materializes here, so consumers
     # broadcast a literal row instead of dragging the whole two-level
     # rank subplan (its bounded exchanges included) into their own plan
     return bounds.localCheckpoint(eager=True)
+
+
+def decile_bounds(
+    df: DataFrame, col: str, bucket_width: float = 1024.0
+) -> DataFrame:
+    """The nine decile boundaries b1..b9 — see order_stat_bounds."""
+    return order_stat_bounds(
+        df, col, tuple(range(1, 10)), 10, bucket_width
+    )

@@ -284,14 +284,21 @@ def q_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioner samples per-run (nondeterministic splits); planning
     from exact (or, at 100 TB, approx_percentile t-digest — same
     query shape) boundaries makes file layout reproducible run to
-    run. One aggregate pass; the 8-row explode is driver-trivial."""
+    run. r13: the seven order statistics read off the bounded
+    two-level rank table (queries/deciles.py::order_stat_bounds,
+    percentile_disc(k/8) = min{v : 8·cum >= k·n}) instead of seven
+    value-buffering percentile aggregates; the 8-row explode is
+    driver-trivial."""
+    from datawarehouse1_spark.queries.deciles import order_stat_bounds
+
     d = table(spark, sf_dir, "orders")
-    qs = ", ".join(
-        f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
-        for q in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+    bounds = order_stat_bounds(
+        d, "o_totalprice", tuple(range(1, 8)), 8
     )
-    cuts = d.selectExpr(
-        f"array({qs}) AS qs", "CAST(COUNT(*) AS BIGINT) AS n_rows"
+    n_rows = d.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    cuts = bounds.join(F.broadcast(n_rows)).select(
+        F.array(*[F.col(f"b{k}") for k in range(1, 8)]).alias("qs"),
+        "n_rows",
     )
     idx = F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
     rows = cuts.select("qs", "n_rows", idx)
