@@ -17,9 +17,27 @@ Both renderings are deterministic:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
+
+
+def const_bigint_array(values: Sequence[int]) -> Column:
+    """Constant array<bigint> column built in ONE py4j round trip.
+
+    Classic PySpark's `F.lit(list)` is sugar for
+    `array(*[lit(v) for v in values])` — still one driver->JVM call PER
+    ELEMENT (the single-call behavior only holds under Spark Connect;
+    pyspark/sql/functions/builtin.py). The 1-d ndarray path of `lit`,
+    by contrast, ships the whole array through py4j's array converter
+    in one `_invoke_function("lit", col)` call and yields the same
+    folded literal plan (verified: LONG_MIN round-trips, plan shows one
+    literal array). Use this for any constant array longer than a few
+    elements — bloom bitmaps, hash-power tables."""
+    return F.lit(np.asarray(list(values), dtype=np.int64))
 
 
 def array_join_ints(col: Column, sep: str = ",") -> Column:

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.operators.scale import widen_if_narrow
+from datawarehouse1_spark.functions.arrays import const_bigint_array
 
 MERSENNE_P = (1 << 61) - 1
 DEFAULT_SEED = 42
@@ -578,8 +579,10 @@ def simhash(tok_col: str | Column, bits: int = 64, seed: int = DEFAULT_SEED) -> 
     c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     nbits = min(bits, 63)
     # one py4j call for the constant array (the bloom-bitmap lesson —
-    # per-element F.lit loops pay a driver round-trip per element)
-    powers = F.lit([1 << i for i in range(nbits)]).cast("array<bigint>")
+    # per-element F.lit loops pay a driver round-trip per element, and
+    # classic PySpark's F.lit(list) is itself such a loop; the ndarray
+    # path inside const_bigint_array is the single-call route)
+    powers = const_bigint_array([1 << i for i in range(nbits)])
 
     def step(acc: Column, tok: Column) -> Column:
         h = F.xxhash64(tok, F.lit(seed))

@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from datawarehouse1_spark.functions.arrays import const_bigint_array
 
 
 def write_partitioned_fact(
@@ -407,12 +408,13 @@ def bloom_prefilter(
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["_word"]] = r["_mask"]
-    # ONE py4j call for the whole array literal: building it as
-    # F.array(*[F.lit(w) for w in bitmap]) costs a driver round-trip
-    # per word (1024 x ~3 ms ~= 3 s of pure py4j before any Spark work
-    # — measured, r13); F.lit(list) ships the same constant in one call
-    # and Catalyst still folds it, so the probe plan is unchanged.
-    bitmap_lit = F.lit(bitmap).cast("array<bigint>")
+    # ONE py4j call for the whole array literal. NOTE (r14, review
+    # finding): F.lit(list) on classic PySpark is itself sugar for
+    # array(*[lit(w) ...]) — still a round-trip per element; it only
+    # saved the per-element .cast calls of the old loop. The ndarray
+    # path inside const_bigint_array is the genuinely single-call
+    # route; Catalyst folds it to the same literal, plan unchanged.
+    bitmap_lit = const_bigint_array(bitmap)
 
     probe = None
     for p in positions(F.col(fact_key)):

@@ -128,8 +128,27 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("dn"),
         (-F.col("price")).alias("dv"),
     )
+    b = (
+        table(spark, sf_dir, "orders")
+        .select(F.last_day(F.to_date("o_orderdate")).alias("as_of"))
+        .distinct()
+    )
+    # Every boundary month must appear in the event table even when it
+    # contributes no open/close delta (all its orders degenerate with
+    # close <= placed, or lineitem-less): such a month still inherits
+    # the CARRIED cumulative backlog from earlier months. Zero-delta
+    # rows for each boundary make the prefix sum defined there; months
+    # never in b are still dropped by the final semi-join (r13 review
+    # fix — the delta-only table silently omitted carried-positive
+    # boundary months).
+    zeros = b.select(
+        F.col("as_of").alias("m"),
+        F.lit(0).cast("long").alias("dn"),
+        F.lit(0).cast("decimal(18,2)").alias("dv"),
+    )
     ev = (
         opens.unionByName(closes)
+        .unionByName(zeros)
         .groupBy("m")
         .agg(F.sum("dn").alias("nd"), F.sum("dv").alias("vd"))
     )
@@ -140,11 +159,6 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.sum("nd").over(w).alias("n_open"),
         F.sum("vd").over(w).alias("v_open"),
-    )
-    b = (
-        table(spark, sf_dir, "orders")
-        .select(F.last_day(F.to_date("o_orderdate")).alias("as_of"))
-        .distinct()
     )
     return (
         cum.join(F.broadcast(b), cum.m == b.as_of, "inner")

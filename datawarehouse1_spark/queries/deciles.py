@@ -69,8 +69,14 @@ def order_stat_bounds(
     any positive width is CORRECT — it only shifts work between the
     two levels — so callers tune it to their column's domain.
     """
-    marg = df.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # percentile_disc IGNORES NULLs; without this filter NULL values
+    # would form their own marginal row (sorting first in the windows)
+    # and inflate n, shifting every boundary (r13 review fix — latent,
+    # all current callers feed non-null columns).
+    marg = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     b = marg.withColumn(
         "bucket", F.floor(F.col("v") / F.lit(bucket_width)).cast("long")
