@@ -54,63 +54,13 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #       ones — re-grading them burns a hashable slot on `err: no_oracle`
 #       (VERDICT r11 #3); their quantitative evidence ships via the
 #       rows_only_metrics line in bench.py instead.
-# r13 window = the 49 r7-vintage oracle-bearing (TPC-H canon included)
-# + the stalest r8-vintage one (VERDICT r12 #1 — pure refresh round).
-# Vintages computed from CORRECTNESS_r{01..12}.json. Structure pinned by
+# r14 window = the 47 r8-vintage oracle-bearing (TPC-H q18/q19/q20/q22,
+# the drift reports, the events battery included) + the 3 stalest
+# r9-vintage ones (VERDICT r13 #1 — pure refresh round). Vintages
+# computed from CORRECTNESS_r{01..13}.json. Structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # ---- r7-vintage oracle-bearing ----
-    "q_hierarchy_sql_recursive",
-    "q_unpivot_metrics",
-    "q_events_anomaly_days",
-    "q_text_bigram_novelty",
-    "q_bpe_apply_encode",
-    "q_lateral_topn_per_nation",
-    "q_set_ops_all",
-    "q_graph_triangles",
-    "q_events_ewma_daily",
-    "q_reconcile_checksums",
-    "q_stats_winsorized",
-    "q_text_bpe_token_count",
-    "q_wds_extract_samples",
-    "q_multimodal_mp3_scan",
-    "q_compressed_blob_extract",
-    "q_curation_quality_verdict",
-    "q_cdc_extract_changes",
-    "q_sample_stratified_exact",
-    "q_mixture_token_budget",
-    "q_schema_evolution_union",
-    "q_partition_boundaries",
-    "q_dedup_clusters_best_keeper",
-    "q_scd2_from_cdc",
-    "q_scd2_asof_lookup",
-    "q_join_semi",
-    "q_subquery_exists",
-    "q_subquery_scalar_agg",
-    "q_union_incremental",
-    "q_project_enrich",
-    "q_string_funcs",
-    "q_window_range_frame",
-    "q_date_parts",
-    "q_topk_orderby_limit",
-    "q_tpch_q1_pricing_summary",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q4_order_priority",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q8_market_share",
-    "q_tpch_q9_product_type_profit",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q12_shipping_priority_class",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_parts_supplier",
-    "q_tpch_q17_small_quantity_revenue",
     # ---- r8-vintage oracle-bearing ----
-    "q_join_interval_overlap",
     "q_drift_tvd_report",
     "q_curation_chunk_sliding",
     "q_curation_decontaminate",
@@ -358,22 +308,73 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_flagship_monthly_revenue",
     "q_tpch_q5_local_supplier",
     "q_tpch_q21_waiting_supplier",
-    # ---- r6-vintage rows-only ----
+    # ---- r13-vintage oracle-bearing ----
+    "q_hierarchy_sql_recursive",
+    "q_unpivot_metrics",
+    "q_events_anomaly_days",
+    "q_text_bigram_novelty",
+    "q_bpe_apply_encode",
+    "q_lateral_topn_per_nation",
+    "q_set_ops_all",
+    "q_graph_triangles",
+    "q_events_ewma_daily",
+    "q_reconcile_checksums",
+    "q_stats_winsorized",
+    "q_text_bpe_token_count",
+    "q_wds_extract_samples",
+    "q_multimodal_mp3_scan",
+    "q_compressed_blob_extract",
+    "q_curation_quality_verdict",
+    "q_cdc_extract_changes",
+    "q_sample_stratified_exact",
+    "q_mixture_token_budget",
+    "q_schema_evolution_union",
+    "q_partition_boundaries",
+    "q_dedup_clusters_best_keeper",
+    "q_scd2_from_cdc",
+    "q_scd2_asof_lookup",
+    "q_join_semi",
+    "q_subquery_exists",
+    "q_subquery_scalar_agg",
+    "q_union_incremental",
+    "q_project_enrich",
+    "q_string_funcs",
+    "q_window_range_frame",
+    "q_date_parts",
+    "q_topk_orderby_limit",
+    "q_tpch_q1_pricing_summary",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_type_profit",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_shipping_priority_class",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_parts_supplier",
+    "q_tpch_q17_small_quantity_revenue",
+    "q_join_interval_overlap",
+    # ---- r6-vintage rows-only (parked behind all oracle-bearing) ----
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_multimodal_real_decode",
-    # ---- r7-vintage rows-only ----
+    # ---- r7-vintage rows-only (parked behind all oracle-bearing) ----
     "q_dedup_minhash_incremental",
-    # ---- r8-vintage rows-only ----
+    # ---- r8-vintage rows-only (parked behind all oracle-bearing) ----
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    # ---- r9-vintage rows-only ----
+    # ---- r9-vintage rows-only (parked behind all oracle-bearing) ----
     "q_dedup_simhash_neardup",
     "q_dedup_simhash",
-    # ---- r10-vintage rows-only ----
+    # ---- r10-vintage rows-only (parked behind all oracle-bearing) ----
     "q_embedding_pca_power",
-    # ---- r11-vintage rows-only ----
+    # ---- r11-vintage rows-only (parked behind all oracle-bearing) ----
     "q_agg_approx_distinct",
 )
 
