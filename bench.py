@@ -42,6 +42,45 @@ HEADLINE = (
 )
 
 
+def canary_sec(spark) -> float:
+    """Machine-speed canary (VERDICT r13 #2): a FIXED pure-JVM
+    constant-work job — 50M-row range, xxhash64 per row, one sum —
+    timed before any benched query. No I/O, no Python, no data
+    dependence, whole-stage codegen throughout, so its time moves ONLY
+    with the box (CPU speed, load, thermal state). Cross-round
+    normalization: ratio = canary_rN / canary_rM; a per-query delta
+    explained by that ratio (within its recorded spread) is box swing,
+    not a plan change. Warmup + min-of-3 like the headline queries."""
+    def job():
+        # bit_xor, not sum: 50M hash longs overflow an ANSI sum
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).write.format("noop").mode("overwrite").save()
+
+    job()  # warmup (untimed)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def spread_digits(spreads: dict[str, float]) -> str:
+    """Per-query spreads as a fixed-width digit string for the tail
+    budget: position i = i-th key in the dict's iteration order (the
+    same order the matching *_per_query line prints), digit = max-min
+    over the timed runs in DECISECONDS, ceil'd so the reported noise
+    floor never understates, capped at 9 ('>=0.9 s — hopeless noise').
+    One char per query keeps the worst-case line width CONSTANT, which
+    is what lets all four sections fit the driver's 2000-char capture."""
+    import math
+
+    return "".join(
+        str(min(9, math.ceil(round(s, 4) * 10))) for s in spreads.values()
+    )
+
+
 def run_one(spark, fn, sf_dir: str, timed_runs: int = 2) -> tuple[float, float]:
     """Returns (min, max-min spread) over the timed runs. min-of-N damps
     GC/scheduler noise; the recorded spread distinguishes a real plan
@@ -69,6 +108,9 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("datawarehouse1-bench")
+
+    # timed FIRST: the box-speed reference every later number divides by
+    canary = round(canary_sec(spark), 4)
 
     # Per-query isolation: one crashing query must not zero the whole
     # artifact (r4: a mid-list failure left BENCH_r04 as a bare stack
@@ -238,6 +280,9 @@ def main() -> None:
         # smaller than its spread is shared-box noise, not a plan change
         "spread": spreads,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
+        # fixed pure-JVM constant-work time — divide totals by the
+        # canary ratio before comparing across rounds (VERDICT r13 #2)
+        "canary": canary,
     }
     if tpch:
         out["tpch"] = tpch
@@ -277,10 +322,19 @@ def main() -> None:
     #      same family-segment strip; legend in accuracy.py
     #   4. tpch_per_query   — TPC-H timings keyed "1".."22", 2dp
     #      (VERDICT r11 #7: previously cut off mid-record)
-    #   5. headline_per_query — the 15 headline timings (full names)
-    #   6. totals           — the driver-parsed final line
-    # Per-query spreads stay in the full record only; they no longer fit
-    # alongside four per-query sections.
+    #   5. headline_per_query — the 15 headline timings (keys family-
+    #      stripped from r14, like every other line — full names in the
+    #      HEADLINE tuple above)
+    #   6. spread_ds        — per-query spreads for all four sections as
+    #      fixed-width decisecond digit strings (see spread_digits);
+    #      key "a"/"l"/"t"/"h" = analytics/llm/tpch/headline, position
+    #      i = i-th key of that section's per-query line (r14, VERDICT
+    #      r13 #2 — 4dp spread dicts stay in the full record above)
+    #   7. totals           — the driver-parsed final line, now carrying
+    #      "canary" (fixed pure-JVM constant-work sec): normalize any
+    #      cross-round total by canary_rN/canary_rM before calling it a
+    #      regression; a per-query delta inside its spread digit is
+    #      box noise either way.
     def _famstrip(key: str) -> str:
         """'q_dedup_minhash_lsh' -> 'minhash_lsh' (unique across each
         line's key set — pinned by tests/test_accuracy_metrics.py)."""
@@ -291,7 +345,7 @@ def main() -> None:
             json.dumps(
                 {
                     "analytics_per_query": {
-                        k[2:]: round(v, 2) for k, v in analytics.items()
+                        _famstrip(k): round(v, 2) for k, v in analytics.items()
                     }
                 },
                 separators=(",", ":"),
@@ -335,7 +389,20 @@ def main() -> None:
         json.dumps(
             {
                 "headline_per_query": {
-                    k[2:]: round(v, 2) for k, v in timings.items()
+                    _famstrip(k): round(v, 2) for k, v in timings.items()
+                }
+            },
+            separators=(",", ":"),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "spread_ds": {
+                    "a": spread_digits(analytics_spread),
+                    "l": spread_digits(llm_spread),
+                    "t": spread_digits(tpch_spread),
+                    "h": spread_digits(spreads),
                 }
             },
             separators=(",", ":"),
@@ -350,6 +417,7 @@ def main() -> None:
     for key in ("tpch_total", "llm_total"):
         if key in out:
             compact[key] = out[key]
+    compact["canary"] = canary
     if errors:
         compact["incomplete"] = True
     print(json.dumps(compact, separators=(",", ":")))

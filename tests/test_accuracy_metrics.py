@@ -1,7 +1,7 @@
 """Pins for accuracy.py (VERDICT r11 #4): the rows-only queries' bench
 metrics — coverage (every oracle=None query has a metric), thresholds
 (each metric clears the same bar the scattered operator tests assert),
-and the bench stdout tail budget (all five compact lines must fit the
+and the bench stdout tail budget (all seven compact lines must fit the
 driver's ~2 KB capture even with worst-case float widths)."""
 
 from __future__ import annotations
@@ -93,15 +93,21 @@ def test_bench_tail_lines_fit_driver_budget():
             and node.targets[0].id in ("HEADLINE", "LLM", "ANALYTICS")
         ):
             names[node.targets[0].id] = ast.literal_eval(node.value)
-    # the family-segment strip must stay collision-free per line
-    for group in ("LLM",):
+    # the family-segment strip must stay collision-free per line (r14:
+    # the headline and analytics lines are family-stripped too, funding
+    # the spread_ds noise line)
+    for group in ("LLM", "HEADLINE", "ANALYTICS"):
         stripped = [_famstrip(k) for k in names[group]]
         assert len(set(stripped)) == len(stripped), group
     mstripped = [_famstrip(k) for k in accuracy.METRICS]
     assert len(set(mstripped)) == len(mstripped)
     lines = [
         json.dumps(
-            {"analytics_per_query": {k[2:]: 9.99 for k in names["ANALYTICS"]}},
+            {
+                "analytics_per_query": {
+                    _famstrip(k): 9.99 for k in names["ANALYTICS"]
+                }
+            },
             separators=(",", ":"),
         ),
         json.dumps(
@@ -117,7 +123,24 @@ def test_bench_tail_lines_fit_driver_budget():
             separators=(",", ":"),
         ),
         json.dumps(
-            {"headline_per_query": {k[2:]: 9.99 for k in names["HEADLINE"]}},
+            {
+                "headline_per_query": {
+                    _famstrip(k): 9.99 for k in names["HEADLINE"]
+                }
+            },
+            separators=(",", ":"),
+        ),
+        # spread_ds digits are one char per query BY CONSTRUCTION
+        # (capped at 9), so this worst case is exact, not estimated
+        json.dumps(
+            {
+                "spread_ds": {
+                    "a": "9" * len(names["ANALYTICS"]),
+                    "l": "9" * len(names["LLM"]),
+                    "t": "9" * 22,
+                    "h": "9" * len(names["HEADLINE"]),
+                }
+            },
             separators=(",", ":"),
         ),
         json.dumps(
@@ -128,6 +151,7 @@ def test_bench_tail_lines_fit_driver_budget():
                 "sf": 0.1,
                 "tpch_total": 999.9999,
                 "llm_total": 999.9999,
+                "canary": 9.9999,
                 "incomplete": True,
             },
             separators=(",", ":"),
@@ -138,3 +162,23 @@ def test_bench_tail_lines_fit_driver_budget():
         f"bench tail lines total {total} chars; the driver captures "
         "exactly 2000 — shrink a section before it truncates the first line"
     )
+
+
+def test_spread_digits_encoding():
+    """spread_ds digits: deciseconds, ceil'd (never understates the
+    noise floor), capped at 9, one char per query in dict order."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert (
+        bench.spread_digits(
+            {"a": 0.0, "b": 0.01, "c": 0.1, "d": 0.31, "e": 2.5}
+        )
+        == "01149"
+    )
+    assert bench.spread_digits({}) == ""
