@@ -117,6 +117,51 @@ def _rank2(marg: DataFrame, width: int) -> DataFrame:
     )
 
 
+def _rank2_grouped(marg: DataFrame, width_col: F.Column) -> DataFrame:
+    """_rank2 with a grouping column: per (pid, distinct value), the
+    exact 2·(average rank) WITHIN that pid. Same rule-22 two-level
+    construction, every window additionally partitioned by pid so all
+    pairs' rank tables come out of one plan; `width_col` lets each pid
+    carry its own bucket width (any positive width is correct — it only
+    shifts work between the two levels)."""
+    b = marg.withColumn(
+        "bucket", F.floor(F.col("v") / width_col).cast("long")
+    )
+    win_in = (
+        Window.partitionBy("pid", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_in = b.select(
+        "pid",
+        "bucket",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(win_in), F.lit(0)).alias("cin"),
+    )
+    prior = (
+        Window.partitionBy("pid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("pid", "bucket")
+        .agg(F.sum("c").alias("bt"))
+        .select(
+            "pid",
+            "bucket",
+            F.coalesce(F.sum("bt").over(prior), F.lit(0)).alias("off"),
+        )
+    )
+    return cum_in.join(F.broadcast(offsets), ["pid", "bucket"]).select(
+        "pid",
+        "v",
+        (2 * (F.col("cin") + F.col("off")) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+
+
 def _spearman_pair(
     li: DataFrame, x: str, y: str, wx: int, wy: int
 ) -> DataFrame:
@@ -220,17 +265,92 @@ def q_stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_eq + 1 (the ·2 cancels in Pearson's r), co-moments accumulate
     as exact DECIMAL(38,0), and the only float ops are the final
     cast/divide/sqrt/round — both engines emit the identical rho6.
-    Scale shape: per pair ONE exchange groups the fact to its
-    (x, y) joint distribution; marginals, two-level rank cumsums
-    (rule 22: only bounded bucket summaries cross a global window),
-    and the moment reduction all run on distinct-VALUE tables bounded
-    by the value domain, not the row count."""
+    Scale shape (r14, VERDICT r13 #3 — previously one independent
+    fact scan + joint exchange PER pair): lineitem is scanned ONCE,
+    each row posexplodes into one (pair-id, xv, yv) struct per declared
+    pair, and a single map-side-combined exchange reduces the union of
+    ALL pairs' joint distributions at once. Marginals, the pid-grouped
+    two-level rank cumsums (rule 22: only bounded per-pid bucket
+    summaries cross a window), and the moment reduction then run on
+    that one distinct-VALUE table — bounded by the value domains, not
+    the row count. Per-pair bucket widths ride a literal array indexed
+    by pair id. The oracle text is unchanged (per-pair CTE chains);
+    the hash match pins the rewrite."""
     li = table(spark, sf_dir, "lineitem")
-    out = None
-    for x, y, wx, wy in _SPEARMAN_PAIRS:
-        arm = _spearman_pair(li, x, y, wx, wy)
-        out = arm if out is None else out.unionByName(arm)
-    return out
+    joint = (
+        li.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            _cents(x).alias("xv"), _cents(y).alias("yv")
+                        )
+                        for x, y, _, _ in _SPEARMAN_PAIRS
+                    ]
+                )
+            ).alias("pid", "s")
+        )
+        .groupBy("pid", F.col("s.xv").alias("xv"), F.col("s.yv").alias("yv"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # rule 12: three consumers (two marginals + the moment join)
+        # read this table; materializing it keeps the single fact scan
+        # SINGLE (measured at sf0.1: without it the physical plan
+        # re-scans lineitem five times — 6.9 s vs 4.5 s). NOTE the
+        # pair-0 joint is fact-grain here (extendedprice is near-
+        # unique), so the checkpoint is bounded by min(fact, |domain_x|
+        # × |domain_y|) — at 100 TB prefer persist(DISK_ONLY) semantics
+        # if executor storage is tight; the plan shape is unchanged.
+        .localCheckpoint(eager=True)
+    )
+    wx_arr = F.array(*[F.lit(wx) for _, _, wx, _ in _SPEARMAN_PAIRS])
+    wy_arr = F.array(*[F.lit(wy) for _, _, _, wy in _SPEARMAN_PAIRS])
+    mx = joint.groupBy("pid", F.col("xv").alias("v")).agg(
+        F.sum("cnt").alias("c")
+    )
+    my = joint.groupBy("pid", F.col("yv").alias("v")).agg(
+        F.sum("cnt").alias("c")
+    )
+    rx = _rank2_grouped(
+        mx, F.element_at(wx_arr, F.col("pid") + 1)
+    ).withColumnRenamed("r2", "r2x")
+    ry = _rank2_grouped(
+        my, F.element_at(wy_arr, F.col("pid") + 1)
+    ).withColumnRenamed("r2", "r2y")
+    scored = joint.join(
+        rx.withColumnRenamed("v", "xv"), ["pid", "xv"]
+    ).join(ry.withColumnRenamed("v", "yv"), ["pid", "yv"])
+    c = F.col("cnt").cast(_DEC)
+    s = scored.groupBy("pid").agg(
+        F.sum(c).alias("n"),
+        F.sum(c * F.col("r2x")).alias("sx"),
+        F.sum(c * F.col("r2y")).alias("sy"),
+        F.sum(c * F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(c * F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(c * F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    dy = F.nullif(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    names_x = F.array(*[F.lit(x) for x, _, _, _ in _SPEARMAN_PAIRS])
+    names_y = F.array(*[F.lit(y) for _, y, _, _ in _SPEARMAN_PAIRS])
+    return s.select(
+        F.element_at(names_x, F.col("pid") + 1).alias("col_x"),
+        F.element_at(names_y, F.col("pid") + 1).alias("col_y"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("rho6"),
+    )
 
 
 # ---------------------------------------------------------------------------
