@@ -488,21 +488,25 @@ def dedup_clusters_from_pairs(
     must keep ONE of {a,b,c}, which pairwise filtering alone cannot do.
 
     Algorithm: iterative min-label propagation (each id takes the min of
-    its own label and its neighbors' labels) until fixpoint, TWO hops
-    per materialized round (r13): chaining two join+group steps into one
-    linear DAG before the checkpoint+count halves the number of
-    materialized rounds — measured on the sf0.1 co-purchase graph
-    (diameter ~8): 8 -> 5, identical fixpoint. Locally the win is
-    modest (the chained hops still run their stages); on a real cluster
-    each materialized round is a global barrier plus a driver
-    round-trip (checkpoint job + count job), so halving the round count
-    halves exactly the part of the runtime that more executors cannot
-    shrink. Convergence detection is unchanged (changed == 0 across the
-    double-hop implies the single hop is also at fixpoint; labels are
-    min-monotone). Near-dup clusters are shallow, so
-    max_iter=20 double-hop rounds is generous. localCheckpoint
-    truncates the growing lineage each round — without it, iteration k
-    replays rounds 1..k-1.
+    its own label and its neighbors' labels) until fixpoint, THREE hops
+    per materialized round (r13 chained two, r14 three: the sf0.1
+    co-purchase graph, diameter ~8, converges in 8 -> 5 -> 4
+    materialized rounds, identical fixpoint; deeper chaining measured
+    no better locally — the per-round barrier cost flattens — and
+    inflates the unmaterialized DAG). Locally the win is modest (the
+    chained hops still run their stages); on a real cluster each
+    materialized round is a global barrier plus a driver round-trip, so
+    cutting rounds cuts exactly the part of the runtime more executors
+    cannot shrink. Convergence detection (r14): labels are min-monotone
+    — an id's label NEVER increases — so the exact DECIMAL(38,0) sum of
+    labels strictly decreases until fixpoint and sum-unchanged ⟺ no
+    label changed. Comparing sums replaces the former
+    new⋈old-labels count join: one agg pass over the just-checkpointed
+    table instead of shuffling BOTH label tables per round (at 10⁹ ids
+    that join was the convergence check's own shuffle). Near-dup
+    clusters are shallow, so max_iter=20 triple-hop rounds is generous.
+    localCheckpoint truncates the growing lineage each round — without
+    it, iteration k replays rounds 1..k-1.
 
     Id contract: ids must be numeric (or numeric strings) — labels
     propagate as longs so that `min` is a cheap fixed-width aggregate at
@@ -546,21 +550,24 @@ def dedup_clusters_from_pairs(
             .agg(F.min("label").alias("label"))
         )
 
+    def _label_sum(lbl: DataFrame) -> object:
+        # exact: DECIMAL(38,0) can't overflow at any realistic id scale
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        new_labels = _hop(_hop(labels)).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_labels = _hop(_hop(_hop(labels))).localCheckpoint()
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"dedup_clusters_from_pairs did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing): a component's "
+            "rounds (the label sum is still decreasing): a component's "
             "diameter exceeds max_iter, so keepers would be inconsistent "
             "within that component — raise max_iter"
         )
