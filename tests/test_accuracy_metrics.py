@@ -37,8 +37,17 @@ BOUNDS = {
     # distance-1 multi-probe operating point (r12): 1.0 measured at
     # sf0.001/0.01/0.1 vs 0.725 single-probe
     "q_similarity_lsh_topk:recall": (0.9, None),
-    # trained-centroid operating point (r12): 0.625/0.70/0.825 measured
-    # at sf0.001/0.01/0.1 vs 0.525 untrained at sf0.1
+    # trained-centroid + index_spill=2 operating point at nprobe=6/16.
+    # r14 measured the full (spill, nprobe) -> (recall, scan-fraction)
+    # grid (ROUND_NOTES r14): recall 0.869 (sf0.01, 32 queries) / 0.894
+    # (sf0.1) at scan-fraction ~0.75. (spill=1, nprobe=12) measures
+    # marginally higher recall at the SAME candidate volume (0.913 /
+    # 0.975) — near-orthogonal gaussian vectors reward query-side
+    # probing — but reads TWICE the lists per query; with lists mapped
+    # to storage partitions (the 100 TB layout in ivf_topk's docstring)
+    # list-read amplification, not candidate volume, is the binding
+    # cost, so (2, 6) is the deliberate knee. Floor 0.85 = measured
+    # 0.869 minus ~1 query-sample sigma (32x5 hit samples).
     "q_similarity_ivf_topk:recall": (0.85, None),
     "q_dedup_minhash_lsh:recall": (0.8, None),
     "q_dedup_minhash_incremental:parity": (None, 1.0),
