@@ -140,9 +140,12 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows for each boundary make the prefix sum defined there; months
     # never in b are still dropped by the final semi-join (r13 review
     # fix — the delta-only table silently omitted carried-positive
-    # boundary months).
-    zeros = b.select(
-        F.col("as_of").alias("m"),
+    # boundary months). Deliberately NOT deduplicated: duplicate zero
+    # rows vanish in the groupBy's map-side partial aggregate, so this
+    # arm adds no exchange of its own (a distinct here re-shuffled the
+    # month column and blew the pinned 5-exchange budget).
+    zeros = table(spark, sf_dir, "orders").select(
+        F.last_day(F.to_date("o_orderdate")).alias("m"),
         F.lit(0).cast("long").alias("dn"),
         F.lit(0).cast("decimal(18,2)").alias("dv"),
     )
