@@ -766,3 +766,32 @@ def test_hash64_incremental_equals_full(spark):
     assert all(b >= 300 for _a, b in incr)
     combined = {**hist_pairs, **incr}
     assert combined == full
+
+
+def test_tune_nprobe_with_index_spill_monotone(spark):
+    """r14: the tuner measures at the index's spill level. At a fixed
+    nprobe, spill>1 candidate sets are SUPERSETS of spill=1's (every
+    primary assignment survives; boundary vectors gain extra lists),
+    so measured recall is monotone non-decreasing in spill and the
+    chosen nprobe is monotone non-increasing."""
+    from datawarehouse1_spark.catalog import table
+    from datawarehouse1_spark.operators.similarity import (
+        train_ivf_centroids,
+        tune_nprobe,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    np1, rec1 = tune_nprobe(
+        emb, queries, target_recall=0.9, k=5, n_centroids=8,
+        centroids=cents, index_spill=1,
+    )
+    np2, rec2 = tune_nprobe(
+        emb, queries, target_recall=0.9, k=5, n_centroids=8,
+        centroids=cents, index_spill=2,
+    )
+    assert np2 <= np1
+    for n in set(rec1) & set(rec2):
+        assert rec2[n] >= rec1[n]
