@@ -54,64 +54,15 @@ def declared(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #       ones — re-grading them burns a hashable slot on `err: no_oracle`
 #       (VERDICT r11 #3); their quantitative evidence ships via the
 #       rows_only_metrics line in bench.py instead.
-# r14 window = the 47 r8-vintage oracle-bearing (TPC-H q18/q19/q20/q22,
-# the drift reports, the events battery included) + the 3 stalest
-# r9-vintage ones (VERDICT r13 #1 — pure refresh round). Vintages
-# computed from CORRECTNESS_r{01..13}.json. Structure pinned by
+# r15 window = the 45 r9-vintage oracle-bearing verdicts (the stalest:
+# curation domain-stats/length-buckets/master-pipeline, PPS sampling,
+# Exif scan, the window-function battery, the LLM pipeline pair) + the
+# 5 stalest r10-vintage ones (VERDICT r14 #1 — final refresh round of
+# the freshness cycle; after r15 no oracle verdict is older than r10).
+# Vintages computed from CORRECTNESS_r{01..14}.json. Structure pinned by
 # tests/test_r6_hardening.py::test_registry_window_structure.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # ---- r8-vintage oracle-bearing ----
-    "q_drift_tvd_report",
-    "q_curation_chunk_sliding",
-    "q_curation_decontaminate",
-    "q_tpch_q18_large_volume_customer",
-    "q_tpch_q19_discounted_revenue",
-    "q_tpch_q20_part_promotion",
-    "q_tpch_q22_global_sales_opportunity",
-    "q_embedding_neardup",
-    "q_agg_cube",
-    "q_profile_columns",
-    "q_pandas_udf_scalar",
-    "q_array_agg_sorted",
-    "q_multimodal_metadata",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_set_intersect",
-    "q_set_except",
-    "q_pivot_status_by_priority",
-    "q_join_range_bands",
-    "q_join_salted_skew",
-    "q_builtin_charge",
-    "q_udtf_bigrams",
-    "q_upsert_partition_rollup",
-    "q_dedup_url_normalize",
-    "q_curation_shard_assign",
-    "q_join_bloom_prefilter",
-    "q_multimodal_flac_decode",
-    "q_curation_funnel_report",
-    "q_dedup_exact_substring",
-    "q_drift_chisq_report",
-    "q_stats_corr_matrix",
-    "q_text_char_gini",
-    "q_curation_dsir_affinity",
-    "q_stats_regression",
-    "q_layout_zorder_cells",
-    "q_dedup_image_dhash",
-    "q_dedup_audio_fingerprint",
-    "q_drift_ks_report",
-    "q_dedup_video_temporal",
-    "q_events_sessionize",
-    "q_events_tumbling_window",
-    "q_events_session_stats",
-    "q_events_json_extract",
-    "q_events_transition_matrix",
-    "q_events_funnel",
-    "q_events_retention_weekly",
-    "q_join_asof",
     # ---- r9-vintage oracle-bearing ----
-    "q_route_filter",
-    "q_upsert_latest",
-    "q_excel_serial_date",
     "q_null_semantics",
     "q_window_lag_delta",
     "q_window_ntile_quartile",
@@ -359,22 +310,68 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "q_tpch_q16_parts_supplier",
     "q_tpch_q17_small_quantity_revenue",
     "q_join_interval_overlap",
-    # ---- r6-vintage rows-only (parked behind all oracle-bearing) ----
+    # ---- r14-vintage oracle-bearing ----
+    "q_drift_tvd_report",
+    "q_curation_chunk_sliding",
+    "q_curation_decontaminate",
+    "q_tpch_q18_large_volume_customer",
+    "q_tpch_q19_discounted_revenue",
+    "q_tpch_q20_part_promotion",
+    "q_tpch_q22_global_sales_opportunity",
+    "q_embedding_neardup",
+    "q_agg_cube",
+    "q_profile_columns",
+    "q_pandas_udf_scalar",
+    "q_array_agg_sorted",
+    "q_multimodal_metadata",
+    "q_agg_grouping_sets",
+    "q_agg_percentile",
+    "q_set_intersect",
+    "q_set_except",
+    "q_pivot_status_by_priority",
+    "q_join_range_bands",
+    "q_join_salted_skew",
+    "q_builtin_charge",
+    "q_udtf_bigrams",
+    "q_upsert_partition_rollup",
+    "q_dedup_url_normalize",
+    "q_curation_shard_assign",
+    "q_join_bloom_prefilter",
+    "q_multimodal_flac_decode",
+    "q_curation_funnel_report",
+    "q_dedup_exact_substring",
+    "q_drift_chisq_report",
+    "q_stats_corr_matrix",
+    "q_text_char_gini",
+    "q_curation_dsir_affinity",
+    "q_stats_regression",
+    "q_layout_zorder_cells",
+    "q_dedup_image_dhash",
+    "q_dedup_audio_fingerprint",
+    "q_drift_ks_report",
+    "q_dedup_video_temporal",
+    "q_events_sessionize",
+    "q_events_tumbling_window",
+    "q_events_session_stats",
+    "q_events_json_extract",
+    "q_events_transition_matrix",
+    "q_events_funnel",
+    "q_events_retention_weekly",
+    "q_join_asof",
+    "q_route_filter",
+    "q_upsert_latest",
+    "q_excel_serial_date",
+    # ---- rows-only (oracle=None) — behind all oracle-bearing ----
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
     "q_dedup_minhash_lsh",
     "q_multimodal_real_decode",
-    # ---- r7-vintage rows-only (parked behind all oracle-bearing) ----
     "q_dedup_minhash_incremental",
-    # ---- r8-vintage rows-only (parked behind all oracle-bearing) ----
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    # ---- r9-vintage rows-only (parked behind all oracle-bearing) ----
     "q_dedup_simhash_neardup",
     "q_dedup_simhash",
-    # ---- r10-vintage rows-only (parked behind all oracle-bearing) ----
     "q_embedding_pca_power",
-    # ---- r11-vintage rows-only (parked behind all oracle-bearing) ----
     "q_agg_approx_distinct",
 )
 
