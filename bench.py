@@ -42,24 +42,30 @@ HEADLINE = (
 )
 
 
-def canary_sec(spark) -> float:
+def canary_sec(spark, runs: int = 3, warmup: bool = True) -> float:
     """Machine-speed canary (VERDICT r13 #2): a FIXED pure-JVM
-    constant-work job — 50M-row range, xxhash64 per row, one sum —
-    timed before any benched query. No I/O, no Python, no data
-    dependence, whole-stage codegen throughout, so its time moves ONLY
-    with the box (CPU speed, load, thermal state). Cross-round
-    normalization: ratio = canary_rN / canary_rM; a per-query delta
-    explained by that ratio (within its recorded spread) is box swing,
-    not a plan change. Warmup + min-of-3 like the headline queries."""
+    constant-work job — 50M-row range, xxhash64 per row, one sum.
+    No I/O, no Python, no data dependence, whole-stage codegen
+    throughout, so its time moves ONLY with the box (CPU speed, load,
+    thermal state). Cross-round normalization: ratio = canary_rN /
+    canary_rM; a per-query delta explained by that ratio (within its
+    recorded spread) is box swing, not a plan change.
+
+    r15 (VERDICT r14 #2): re-timed BEFORE EACH SECTION, not just once —
+    the single leading canary missed r14's mid-run load ramp (analytics
+    inflated ~1.7x while headline normalized perfectly). First call:
+    warmup + min-of-3; later calls skip warmup (JVM already hot) and
+    use min-of-2 (~0.3 s each)."""
     def job():
         # bit_xor, not sum: 50M hash longs overflow an ANSI sum
         spark.range(0, 50_000_000, 1, 32).selectExpr(
             "bit_xor(xxhash64(id)) AS s"
         ).write.format("noop").mode("overwrite").save()
 
-    job()  # warmup (untimed)
+    if warmup:
+        job()  # warmup (untimed)
     times = []
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.perf_counter()
         job()
         times.append(time.perf_counter() - t0)
@@ -67,17 +73,20 @@ def canary_sec(spark) -> float:
 
 
 def spread_digits(spreads: dict[str, float]) -> str:
-    """Per-query spreads as a fixed-width digit string for the tail
+    """Per-query spreads as a fixed-width HEX-digit string for the tail
     budget: position i = i-th key in the dict's iteration order (the
     same order the matching *_per_query line prints), digit = max-min
     over the timed runs in DECISECONDS, ceil'd so the reported noise
-    floor never understates, capped at 9 ('>=0.9 s — hopeless noise').
-    One char per query keeps the worst-case line width CONSTANT, which
-    is what lets all four sections fit the driver's 2000-char capture."""
+    floor never understates, hex-encoded and capped at 'f' ('>=1.5 s').
+    r15 (VERDICT r14 #2): r14's decimal cap of 9 pegged during the
+    load ramp and hid how bad the swing really was — hex raises the
+    ceiling 1.5x/char at the same one-char-per-query width, which is
+    what lets all four sections fit the driver's 2000-char capture."""
     import math
 
     return "".join(
-        str(min(9, math.ceil(round(s, 4) * 10))) for s in spreads.values()
+        format(min(15, math.ceil(round(s, 4) * 10)), "x")
+        for s in spreads.values()
     )
 
 
@@ -109,8 +118,22 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("datawarehouse1-bench")
 
-    # timed FIRST: the box-speed reference every later number divides by
-    canary = round(canary_sec(spark), 4)
+    # Box-speed references: one canary re-timed immediately BEFORE each
+    # section so a mid-run load ramp (r14's analytics inflation) is
+    # caught, not just start-of-run state. ~1.2 s total for all four.
+    # SPARK_GRAFT_BENCH_CANARY=0 skips (ADVICE r14: quick partial runs
+    # with every section disabled shouldn't pay 4x 50M-row jobs).
+    canaries: dict[str, float] = {}
+    canary_on = os.environ.get("SPARK_GRAFT_BENCH_CANARY", "1") != "0"
+
+    def time_canary(tag: str) -> None:
+        if canary_on:
+            canaries[tag] = round(
+                canary_sec(spark, runs=2 if canaries else 3, warmup=not canaries),
+                4,
+            )
+
+    time_canary("h")
 
     # Per-query isolation: one crashing query must not zero the whole
     # artifact (r4: a mid-list failure left BENCH_r04 as a bare stack
@@ -141,6 +164,7 @@ def main() -> None:
     tpch: dict[str, float] = {}
     tpch_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0":
+        time_canary("t")
         for name in sorted(n for n in registry.QUERIES if n.startswith("q_tpch_")):
             try:
                 best, spread = run_one(
@@ -196,6 +220,7 @@ def main() -> None:
     llm: dict[str, float] = {}
     llm_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LLM", "1") != "0":
+        time_canary("l")
         for name in LLM:
             try:
                 best, spread = run_one(
@@ -228,6 +253,7 @@ def main() -> None:
     analytics: dict[str, float] = {}
     analytics_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ANALYTICS", "1") != "0":
+        time_canary("a")
         for name in ANALYTICS:
             try:
                 best, spread = run_one(
@@ -280,10 +306,13 @@ def main() -> None:
         # smaller than its spread is shared-box noise, not a plan change
         "spread": spreads,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else SF_DIR,
-        # fixed pure-JVM constant-work time — divide totals by the
-        # canary ratio before comparing across rounds (VERDICT r13 #2)
-        "canary": canary,
     }
+    if canaries:
+        # fixed pure-JVM constant-work time per section ("h"/"t"/"l"/
+        # "a" = before headline/tpch/llm/analytics) — divide a
+        # section's numbers by ITS canary ratio before comparing
+        # across rounds (VERDICT r13 #2, per-section from r15)
+        out["canary"] = canaries
     if tpch:
         out["tpch"] = tpch
         out["tpch_total"] = round(sum(tpch.values()), 4)
@@ -326,19 +355,26 @@ def main() -> None:
     #      stripped from r14, like every other line — full names in the
     #      HEADLINE tuple above)
     #   6. spread_ds        — per-query spreads for all four sections as
-    #      fixed-width decisecond digit strings (see spread_digits);
-    #      key "a"/"l"/"t"/"h" = analytics/llm/tpch/headline, position
-    #      i = i-th key of that section's per-query line (r14, VERDICT
-    #      r13 #2 — 4dp spread dicts stay in the full record above)
-    #   7. totals           — the driver-parsed final line, now carrying
-    #      "canary" (fixed pure-JVM constant-work sec): normalize any
-    #      cross-round total by canary_rN/canary_rM before calling it a
-    #      regression; a per-query delta inside its spread digit is
-    #      box noise either way.
+    #      fixed-width decisecond HEX-digit strings (see spread_digits;
+    #      cap 'f' = >=1.5 s from r15 — the r14 decimal cap pegged at 9
+    #      during the load ramp); key "a"/"l"/"t"/"h" = analytics/llm/
+    #      tpch/headline, position i = i-th key of that section's
+    #      per-query line (4dp spread dicts stay in the full record)
+    #   7. totals           — the driver-parsed final line, carrying
+    #      "canary" — from r15 a PER-SECTION dict {"h","t","l","a"} of
+    #      fixed pure-JVM constant-work secs timed immediately before
+    #      each section (VERDICT r14 #2: one leading canary missed the
+    #      r14 mid-run load ramp): normalize a section's numbers by ITS
+    #      canary_rN/canary_rM before calling a delta a regression; a
+    #      per-query delta inside its spread digit is box noise
+    #      either way.
     def _famstrip(key: str) -> str:
         """'q_dedup_minhash_lsh' -> 'minhash_lsh' (unique across each
-        line's key set — pinned by tests/test_accuracy_metrics.py)."""
-        return key[2:].split("_", 1)[1]
+        line's key set — pinned by tests/test_accuracy_metrics.py).
+        Single-segment names ('q_foo') keep their full stripped name
+        (ADVICE r14: the old [1] indexing crashed output emission AFTER
+        all timings were gathered)."""
+        return key[2:].split("_", 1)[-1]
 
     if analytics:
         print(
@@ -417,7 +453,8 @@ def main() -> None:
     for key in ("tpch_total", "llm_total"):
         if key in out:
             compact[key] = out[key]
-    compact["canary"] = canary
+    if canaries:
+        compact["canary"] = canaries
     if errors:
         compact["incomplete"] = True
     print(json.dumps(compact, separators=(",", ":")))

@@ -36,8 +36,22 @@ def const_bigint_array(values: Sequence[int]) -> Column:
     in one `_invoke_function("lit", col)` call and yields the same
     folded literal plan (verified: LONG_MIN round-trips, plan shows one
     literal array). Use this for any constant array longer than a few
-    elements — bloom bitmaps, hash-power tables."""
-    return F.lit(np.asarray(list(values), dtype=np.int64))
+    elements — bloom bitmaps, hash-power tables.
+
+    Contract: every value must fit SIGNED 64-bit (the JVM long the
+    literal becomes). Current callers are safe by construction (simhash
+    powers <= 1<<62, bloom masks already signed longs); a new caller
+    passing a Python int outside that range gets a clear ValueError
+    naming the value rather than numpy's bare OverflowError (ADVICE
+    r14)."""
+    vals = list(values)
+    for v in vals:
+        if not (-(1 << 63) <= v < (1 << 63)):
+            raise ValueError(
+                f"const_bigint_array: {v} does not fit signed 64-bit "
+                "(values become JVM longs)"
+            )
+    return F.lit(np.asarray(vals, dtype=np.int64))
 
 
 def array_join_ints(col: Column, sep: str = ",") -> Column:

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from datawarehouse1_spark.catalog import table
 from datawarehouse1_spark.functions.arrays import word_ngrams
 from datawarehouse1_spark.registry import declared
+from datawarehouse1_spark.state_memo import rotate_checkpoint
 
 _DEC = "decimal(38,0)"
 
@@ -292,16 +293,18 @@ def q_stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("pid", F.col("s.xv").alias("xv"), F.col("s.yv").alias("yv"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # rule 12: three consumers (two marginals + the moment join)
-        # read this table; materializing it keeps the single fact scan
-        # SINGLE (measured at sf0.1: without it the physical plan
-        # re-scans lineitem five times — 6.9 s vs 4.5 s). NOTE the
-        # pair-0 joint is fact-grain here (extendedprice is near-
-        # unique), so the checkpoint is bounded by min(fact, |domain_x|
-        # × |domain_y|) — at 100 TB prefer persist(DISK_ONLY) semantics
-        # if executor storage is tight; the plan shape is unchanged.
-        .localCheckpoint(eager=True)
     )
+    # rule 12: three consumers (two marginals + the moment join)
+    # read this table; materializing it keeps the single fact scan
+    # SINGLE (measured at sf0.1: without it the physical plan
+    # re-scans lineitem five times — 6.9 s vs 4.5 s). NOTE the
+    # pair-0 joint is fact-grain here (extendedprice is near-
+    # unique), so the checkpoint is bounded by min(fact, |domain_x|
+    # × |domain_y|) — at 100 TB prefer persist(DISK_ONLY) semantics
+    # if executor storage is tight; the plan shape is unchanged.
+    # rotate_checkpoint (ADVICE r14): each re-invocation in a
+    # long-lived session unpersists the previous invocation's blocks.
+    joint = rotate_checkpoint(joint, "spearman_joint")
     wx_arr = F.array(*[F.lit(wx) for _, _, wx, _ in _SPEARMAN_PAIRS])
     wy_arr = F.array(*[F.lit(wy) for _, _, _, wy in _SPEARMAN_PAIRS])
     mx = joint.groupBy("pid", F.col("xv").alias("v")).agg(

@@ -79,7 +79,7 @@ def test_metrics_clear_their_pinned_thresholds(measured):
 
 
 def _famstrip(key: str) -> str:
-    return key[2:].split("_", 1)[1]
+    return key[2:].split("_", 1)[-1]
 
 
 def test_bench_tail_lines_fit_driver_budget():
@@ -160,7 +160,13 @@ def test_bench_tail_lines_fit_driver_budget():
                 "sf": 0.1,
                 "tpch_total": 999.9999,
                 "llm_total": 999.9999,
-                "canary": 9.9999,
+                # per-section canaries from r15 (VERDICT r14 #2)
+                "canary": {
+                    "h": 9.9999,
+                    "t": 9.9999,
+                    "l": 9.9999,
+                    "a": 9.9999,
+                },
                 "incomplete": True,
             },
             separators=(",", ":"),
@@ -175,7 +181,9 @@ def test_bench_tail_lines_fit_driver_budget():
 
 def test_spread_digits_encoding():
     """spread_ds digits: deciseconds, ceil'd (never understates the
-    noise floor), capped at 9, one char per query in dict order."""
+    noise floor), HEX-encoded with cap 'f' (>=1.5 s — r15 raised the
+    r14 decimal cap of 9, which pegged during the r14 load ramp), one
+    char per query in dict order."""
     import importlib.util
     import pathlib
 
@@ -188,6 +196,32 @@ def test_spread_digits_encoding():
         bench.spread_digits(
             {"a": 0.0, "b": 0.01, "c": 0.1, "d": 0.31, "e": 2.5}
         )
-        == "01149"
+        == "0114f"
     )
+    # the new headroom: 0.9-1.5 s spreads are now distinguishable
+    assert bench.spread_digits({"x": 0.91, "y": 1.1, "z": 1.49}) == "abf"
     assert bench.spread_digits({}) == ""
+
+
+def test_famstrip_single_segment():
+    """ADVICE r14: q_<single-word> names must not crash the tail
+    emission — the family strip falls back to the full stripped name."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    src = (
+        pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    ).read_text()
+    # the module-level helper in this test file mirrors bench.main's
+    # inner _famstrip; pin both on the single-segment case
+    assert _famstrip("q_flagship") == "flagship"
+    assert _famstrip("q_dedup_minhash_lsh") == "minhash_lsh"
+    assert 'split("_", 1)[-1]' in src, (
+        "bench.py _famstrip must use the [-1] fallback for "
+        "single-segment query names"
+    )
