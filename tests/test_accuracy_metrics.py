@@ -48,6 +48,15 @@ BOUNDS = {
     # list-read amplification, not candidate volume, is the binding
     # cost, so (2, 6) is the deliberate knee. Floor 0.85 = measured
     # 0.869 minus ~1 query-sample sigma (32x5 hit samples).
+    # r15 (VERDICT r14 #4) re-ran the grid at the PRODUCTION ratio
+    # nprobe/n_c ~ 0.05-0.15 (64/128 trained centroids, clustered 10k
+    # corpus — ROUND_NOTES r15): spill=2 beats spill=1 at matched
+    # candidate volume there too (0.847 vs 0.828 @ frac 0.126) and
+    # spill=3 never beats spill=2 at matched volume, so the (spill=2)
+    # knee survives in the regime the 100 TB layout occupies;
+    # test_r15_hardening.py pins the comparison on seeded data. This
+    # bench metric still runs the declared query's (16, 6, 2) point on
+    # the gaussian testdata, so the 0.85 floor is unchanged.
     "q_similarity_ivf_topk:recall": (0.85, None),
     "q_dedup_minhash_lsh:recall": (0.8, None),
     "q_dedup_minhash_incremental:parity": (None, 1.0),
