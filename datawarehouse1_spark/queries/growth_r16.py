@@ -63,7 +63,14 @@ def q_orders_km_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.datediff("close_date", "placed").alias("d"))
         .filter(F.col("d") >= 0)
     )
-    hist = dur.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    # the bounded day histogram feeds BOTH the total and the event
+    # branch; localCheckpoint runs the fact join once (SCALE.md rule 12
+    # — without it the orders+lineitem subtree re-executes per consumer)
+    hist = (
+        dur.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     total = hist.agg(F.sum("n").alias("n_total"))
     events = hist.filter(F.col("d") <= _KM_HORIZON)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -146,8 +153,12 @@ def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    spectrum = tf.groupBy(F.col("c").alias("r")).agg(
-        F.count(F.lit(1)).alias("n_types")
+    # bounded count-of-counts table, checkpointed for the self-join
+    # (rule 12: without it the bigram aggregate re-runs on both sides)
+    spectrum = (
+        tf.groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .localCheckpoint(eager=True)
     )
     nxt = spectrum.select(
         (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next")
@@ -209,10 +220,16 @@ def q_events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-free.
     """
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # each step's per-user scalar table checkpoints (rule 12): the
+    # chain is inherently sequential (t2 needs t1, t3 needs t2), and
+    # without the cut t3's plan re-executes the whole t1->t2 subtree —
+    # measured 6 event scans collapsing to the honest 3 (one filtered
+    # pass per step)
     t1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     t2 = (
         e.filter(F.col("event_type") == "click")
@@ -223,6 +240,7 @@ def q_events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     t3 = (
         e.filter(F.col("event_type") == "purchase")
@@ -233,6 +251,7 @@ def q_events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     t = (
         t1.agg(F.count(F.lit(1)).alias("n1"))
@@ -320,7 +339,14 @@ def q_text_bigram_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select("doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("bg"))
     )
-    bt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    # the bounded bigram-count table feeds the head totals AND the
+    # ratio join-back; checkpointing it keeps the tokenize+explode
+    # subtree at two scans (build + occurrence join) instead of three
+    bt = (
+        grams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
     heads = (
         bt.select(F.substring_index("bg", " ", 1).alias("w1"), "c_xy")
         .groupBy("w1")
