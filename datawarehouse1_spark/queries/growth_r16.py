@@ -398,6 +398,244 @@ BIGRAM_CONDITIONAL_ORACLE = r"""
     GROUP BY g.doc_id
 """
 
+# ---------------------------------------------------------------- 5.
+
+_RESERVOIR_K = 5
+_RESERVOIR_SEED = "r42"
+
+
+def q_sample_reservoir_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded uniform reservoir sample, k={K} per language stratum —
+    the third sampling tier beside PPS-systematic and exact stratified:
+    rank key = md5(seed:doc_id), so the survivor set is a pure function
+    of (seed, identity) — engines, reruns, retried tasks, and corpus
+    REORDERINGS all agree, and bumping the seed redraws the whole
+    reservoir (the property a data-mix ablation needs).  Classic
+    reservoir sampling is stream-order-dependent; the hash-rank form is
+    its deterministic distributed equivalent (uniform because md5 is
+    uniform on identities).
+
+    Scale shape: one narrow projection, one lang-keyed window over
+    (hash, id) — per-stratum groups, no global sort; only
+    (lang, doc_id, 16-byte rank) tuples shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    rank_key = F.md5(
+        F.concat(
+            F.lit(_RESERVOIR_SEED + ":"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RESERVOIR_K)
+    )
+
+
+RESERVOIR_ORACLE = f"""
+    SELECT lang, doc_id, rnk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_RESERVOIR_SEED}:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= {_RESERVOIR_K}
+"""
+
+# ---------------------------------------------------------------- 6.
+
+
+def q_curation_url_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """URL-keyed holdout decontamination: an eval (val/test) document
+    is CONTAMINATED if its canonical host+path — scheme/www/case/
+    query/fragment stripped, the page-identity key — also appears
+    among train documents.  The n-gram leakage report catches copied
+    TEXT; this catches the same PAGE crawled twice into different
+    splits (the usual eval-contamination vector), using the staged
+    URL variants from the url-normalize family and the md5 split rule
+    shared with q_split_train_holdout.  Per holdout split: docs,
+    contaminated docs, floored micro-share.
+
+    Scale shape: one narrow projection to (split, key); the train key
+    set is a DISTINCT on the canonical key, and the probe is one
+    left-semi equi-join on it — bodies and full URLs never shuffle.
+    """
+    from datawarehouse1_spark.queries.curation_r8 import _URL_SQL, host_expr
+    from datawarehouse1_spark.streaming.leakage_guard import split_col
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr(_URL_SQL.format(S="STRING"))
+    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
+    path = F.regexp_replace(
+        F.regexp_extract(no_scheme, "^[^/?#]+([^?#]*)", 1), "/$", ""
+    )
+    keyed = d.select(
+        split_col("doc_id").alias("split"),
+        F.concat(host_expr(url), path).alias("key"),
+    ).localCheckpoint(eager=True)  # rule 12: feeds train set AND probe
+    train_keys = (
+        keyed.filter(F.col("split") == "train").select("key").distinct()
+    )
+    holdout = keyed.filter(F.col("split") != "train")
+    contaminated = (
+        holdout.join(train_keys, "key", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = holdout.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(F.broadcast(contaminated), "split", "left_outer").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.expr("coalesce(n_contaminated, 0) * 1000000 div n_docs")
+        .cast("long")
+        .alias("contaminated_share_e6"),
+    )
+
+
+def _url_decontaminate_oracle() -> str:
+    from datawarehouse1_spark.queries.curation_r8 import _HOST_SQL, _URL_SQL
+
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, {_URL_SQL.format(S='VARCHAR')} AS url FROM documents
+    ),
+    keyed AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split,
+             {_HOST_SQL.format(url='url')} ||
+             regexp_replace(
+               regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''),
+                              '^[^/?#]+([^?#]*)', 1),
+               '/$', '') AS key
+      FROM staged
+    ),
+    train_keys AS (
+      SELECT DISTINCT key FROM keyed WHERE split = 'train'
+    ),
+    holdout AS (SELECT * FROM keyed WHERE split <> 'train'),
+    contaminated AS (
+      SELECT split, COUNT(*) AS n_contaminated
+      FROM holdout SEMI JOIN train_keys USING (key)
+      GROUP BY split
+    )
+    SELECT t.split,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(c.n_contaminated, 0) * 1000000 // t.n_docs
+                AS BIGINT) AS contaminated_share_e6
+    FROM (SELECT split, COUNT(*) AS n_docs FROM holdout GROUP BY split) t
+    LEFT JOIN contaminated c ON c.split = t.split
+"""
+
+# ---------------------------------------------------------------- 7.
+
+_TRAJ_BATCH = 250  # vectors per ingest batch (vec_id div)
+
+
+def q_embedding_centroid_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-ingest-batch centroid trajectory against the corpus centroid
+    — the drift MONITOR over arrival order (batch = vec_id div {B}),
+    where q_embedding_centroid_drift slices by label: a healthy ingest
+    holds cos ~ constant; a souring source shows a falling tail.  Same
+    exactness discipline as the drift report: components floor-quantize
+    to e6 integers before any aggregation, co-moments ride
+    DECIMAL(38,0), and the only float ops are the final
+    cast/mul/divide/sqrt/floor — one expression, identical in both
+    engines.
+
+    Scale shape: quantized components aggregate per (batch, dim) — the
+    only exchange that sees per-row data (bounded by batches × dims);
+    the global centroid re-aggregates that bounded table; the cosine
+    assembles from a dim-keyed join plus a 1-row broadcast.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(f"vec_id div {_TRAJ_BATCH}").alias("batch"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "qv"),
+    )
+    dec = "decimal(38,0)"
+    lab = (
+        q.groupBy("batch", "dim")
+        .agg(
+            F.sum("qv").cast(dec).alias("s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .localCheckpoint(eager=True)  # rule 12: global + per-batch reuse
+    )
+    glob = lab.groupBy("dim").agg(F.sum("s").cast(dec).alias("g"))
+    gn = glob.agg(F.sum(F.col("g") * F.col("g")).alias("g2"))
+    per = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("batch")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).alias("dot"),
+            F.sum(F.col("s") * F.col("s")).alias("l2"),
+            F.max("n_rows").alias("n_vecs"),
+        )
+    )
+    return per.crossJoin(F.broadcast(gn)).select(
+        F.col("batch").cast("long").alias("batch"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.floor(
+            F.col("dot").cast("double")
+            * 1000000
+            / F.sqrt(F.col("l2").cast("double") * F.col("g2").cast("double"))
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+
+
+CENTROID_TRAJECTORY_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id // {_TRAJ_BATCH} AS batch, CAST(i AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    lab AS (
+      SELECT batch, dim,
+             CAST(SUM(qv) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM q GROUP BY batch, dim
+    ),
+    gdim AS (SELECT dim, CAST(SUM(s) AS HUGEINT) AS g FROM lab GROUP BY dim),
+    gn AS (SELECT SUM(g * g) AS g2 FROM gdim),
+    per AS (
+      SELECT batch,
+             SUM(s * g) AS dot,
+             SUM(s * s) AS l2,
+             MAX(n_rows) AS n_vecs
+      FROM lab JOIN gdim USING (dim)
+      GROUP BY batch
+    )
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(floor(CAST(dot AS DOUBLE) * 1000000
+                      / sqrt(CAST(l2 AS DOUBLE) * CAST(g2 AS DOUBLE)))
+                AS BIGINT) AS cos_e6
+    FROM per, gn
+"""
+
 # r16 activation map: name -> (query fn, oracle SQL). The r16 rotation
 # wraps each fn with registry.declared(name, oracle) and fronts the
 # four names in DRIVER_CHECK_ORDER.
@@ -408,5 +646,17 @@ STAGED_QUERIES = {
     "q_text_bigram_conditional": (
         q_text_bigram_conditional,
         BIGRAM_CONDITIONAL_ORACLE,
+    ),
+    "q_sample_reservoir_stratified": (
+        q_sample_reservoir_stratified,
+        RESERVOIR_ORACLE,
+    ),
+    "q_curation_url_decontaminate": (
+        q_curation_url_decontaminate,
+        _url_decontaminate_oracle(),
+    ),
+    "q_embedding_centroid_trajectory": (
+        q_embedding_centroid_trajectory,
+        CENTROID_TRAJECTORY_ORACLE,
     ),
 }

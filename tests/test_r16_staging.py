@@ -89,3 +89,37 @@ def test_bigram_conditional_laws(spark):
     for r in rows:
         assert 0 <= r.predictability_e6 <= 1_000_000
         assert r.n_bigrams >= 1
+
+
+def test_reservoir_laws(spark):
+    rows = growth_r16.q_sample_reservoir_stratified(spark, SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.rnk)
+    for lang, rnks in per_lang.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), lang
+        assert len(rnks) <= 5
+
+
+def test_url_decontaminate_laws(spark):
+    rows = {
+        r.split: r
+        for r in growth_r16.q_curation_url_decontaminate(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert r.contaminated_share_e6 == r.n_contaminated * 1_000_000 // r.n_docs
+    # staged URL keys collide across splits by construction (key class
+    # = doc_id % 200), so the report is non-vacuous
+    assert any(r.n_contaminated > 0 for r in rows.values())
+
+
+def test_centroid_trajectory_laws(spark):
+    rows = growth_r16.q_embedding_centroid_trajectory(spark, SF_DIR).collect()
+    assert len(rows) >= 2  # at least two ingest batches
+    for r in rows:
+        assert -1_000_000 <= r.cos_e6 <= 1_000_000
+        assert r.n_vecs > 0
