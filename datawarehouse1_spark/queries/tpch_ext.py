@@ -683,41 +683,43 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct supplier among its 'R' lines (l1 itself is 'R', so that one
     is l1's supplier).
 
-    Single-scan window shape (r8, replacing the r6 two-level agg +
-    self-join): groupBy(order, supplier) with a per-pair R-line COUNT
-    does everything in one lineitem read, then the per-order supplier
-    stats come from WINDOW functions over the pair rows partitioned by
-    orderkey — the separate per-order aggregate and its join back to
-    pair are gone (4 → 3 shuffles; sf0.1 1.25 → 1.12 s). Per-order
-    window groups are bounded by the suppliers-per-order fan-out, so no
-    straggler risk. The same pair rows with n_r_lines>0 ARE the
-    qualifying l1 candidates (numwait = sum of per-pair R-line counts).
-    A multi-countDistinct would instead plan an Expand that doubles
-    every row before the shuffle; map-side partials here collapse each
-    order's lines ~4:1 before anything shuffles."""
-    from pyspark.sql import Window
-
+    Single-aggregation shape (r16, replacing the r8 pair-grain agg +
+    per-order windows): every per-order statistic the two EXISTS need
+    folds into ONE order-grain aggregate via min/max identities —
+    "some other supplier exists" ⇔ min(suppkey) ≠ max(suppkey), and
+    "exactly one distinct supplier among the order's R lines" ⇔
+    min(R-suppkey) == max(R-suppkey) given n_r_lines > 0 (min/max skip
+    the NULLs the non-R lines contribute). numwait per qualifying order
+    is its total R-line count (all R lines belong to the one R
+    supplier, which IS l1's supplier), and that supplier's key is
+    min(R-suppkey) itself. One lineitem scan with map-side partials
+    collapsing each order's lines before the single fact-grain
+    exchange; the r8 window pass — a second exchange of the pair rows
+    to orderkey grain plus its sort — is gone entirely (3 → 2 shuffles,
+    no Sort/Window operators; plan diff in plans/r16/). A
+    multi-countDistinct would instead plan an Expand that doubles every
+    row before the shuffle; the min/max pair costs nothing extra."""
     li = table(spark, sf_dir, "lineitem")
-    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("n_r_lines")
-    )
-    w = Window.partitionBy("l_orderkey")
-    stats = pair.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
-        "n_r_supp",
-        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).over(w),
+        ).alias("n_r_lines"),
+        F.min("l_suppkey").alias("_supp_min"),
+        F.max("l_suppkey").alias("_supp_max"),
+        F.min(r_supp).alias("_r_supp_min"),
+        F.max(r_supp).alias("_r_supp_max"),
     )
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     return (
-        stats.filter(
+        per_order.filter(
             (F.col("n_r_lines") > 0)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_r_supp") == 1)
+            & (F.col("_supp_min") != F.col("_supp_max"))
+            & (F.col("_r_supp_min") == F.col("_r_supp_max"))
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s), F.col("_r_supp_min") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("s_name")

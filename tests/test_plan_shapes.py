@@ -91,9 +91,10 @@ EXCHANGE_BUDGET = {
     "q_tpch_q17_small_quantity_revenue": 2,
     "q_tpch_q19_discounted_revenue": 1,
     "q_tpch_q20_part_promotion": 2,  # suppkey HAVING agg feeding semi join
-    # r8 window shape: pair agg + per-order window + orders join + name
-    # agg (the r6 per-order aggregate and its join back to pair are gone)
-    "q_tpch_q21_waiting_supplier": 3,
+    # r16 single-aggregation shape: ONE order-grain lineitem agg (the
+    # EXISTS pair decorrelates into min/max supplier identities) + name
+    # agg (the r8 pair-grain window pass and its extra exchange are gone)
+    "q_tpch_q21_waiting_supplier": 2,
     # r8 curation pair: one canonical-key agg / one shard window; the
     # canonicalize / md5 stages are pure narrow string exprs
     "q_dedup_url_normalize": 1,
