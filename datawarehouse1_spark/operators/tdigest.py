@@ -133,8 +133,15 @@ def tdigest_percentiles(
             rows = {c: [] for c in gcols}
             rows["means"] = []
             rows["weights"] = []
+            # dropna=False: Spark groupBy treats NULL as a group, so the
+            # pandas level-1 grouping must too — the default dropna=True
+            # silently discarded every row with a NULL group key (ADVICE
+            # r15). NaN/NaT keys surface as None so Arrow maps them back
+            # to SQL NULL whatever the column type.
             groups = (
-                pdf.groupby(gcols, sort=True) if gcols else [((), pdf)]
+                pdf.groupby(gcols, sort=True, dropna=False)
+                if gcols
+                else [((), pdf)]
             )
             for key, g in groups:
                 vals = np.sort(g[value_col].to_numpy(dtype=float))
@@ -145,7 +152,7 @@ def tdigest_percentiles(
                 if gcols:
                     key = key if isinstance(key, tuple) else (key,)
                     for c, k in zip(gcols, key):
-                        rows[c].append(k)
+                        rows[c].append(None if pd.isna(k) else k)
                 rows["means"].append([float(x) for x in m])
                 rows["weights"].append([float(x) for x in w])
             yield pd.DataFrame(rows)
@@ -162,6 +169,12 @@ def tdigest_percentiles(
     probs_l = [float(p) for p in probs]
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            # zero partial digests (empty input): no estimates, not a
+            # pd.concat/IndexError crash (ADVICE r15)
+            return pd.DataFrame(
+                {**{c: [] for c in gcols}, "prob": [], "est": []}
+            )
         means = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])
         weights = np.concatenate(
             [np.asarray(x, dtype=float) for x in pdf["weights"]]
@@ -180,8 +193,16 @@ def tdigest_percentiles(
     if gcols:
         return part.groupBy(*gcols).applyInPandas(merge_group, out_schema)
     # ungrouped: a single merge task (the bounded partial-digest rows
-    # coalesce to one partition — arrays, never values)
-    return part.coalesce(1).mapInPandas(
-        lambda it: iter([merge_group(pd.concat(list(it), ignore_index=True))]),
-        out_schema,
-    )
+    # coalesce to one partition — arrays, never values). An empty input
+    # yields zero batches: merge an empty frame (→ zero output rows)
+    # instead of crashing in pd.concat([]) (ADVICE r15).
+    def merge_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(it)
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"means": [], "weights": []})
+        )
+        yield merge_group(merged)
+
+    return part.coalesce(1).mapInPandas(merge_all, out_schema)

@@ -106,3 +106,40 @@ def test_spark_ungrouped_deterministic_for_fixed_layout(spark):
     }
     assert a == b
     assert set(a) == set(PROBS)
+
+
+def test_null_group_keys_form_a_group_like_spark_groupby(spark):
+    """ADVICE r15: pandas groupby(dropna=True) silently dropped rows
+    with NULL group keys — Spark groupBy semantics keep NULL as a
+    group. The digest of the NULL group must exist and estimate from
+    exactly the NULL-keyed rows."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .cast("long")
+        .alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = tdigest_percentiles(df, "v", [0.5], group_cols=["g"]).collect()
+    keys = {r.g for r in out}
+    assert None in keys, "NULL group dropped"
+    assert keys == {None, 0, 1, 2}
+    null_med = next(r.est for r in out if r.g is None)
+    # NULL-group values are 0,10,...,990: median ~495, far from the
+    # global median only if the group really is just those rows
+    assert 400.0 <= null_med <= 600.0
+
+
+def test_ungrouped_empty_input_yields_zero_rows(spark):
+    """ADVICE r15: zero input rows used to crash in pd.concat([]) /
+    IndexError in _compress; the contract is zero output rows."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 10)
+        .select(F.col("id").cast("double").alias("v"))
+        .filter(F.col("v") < -1)
+    )
+    assert tdigest_percentiles(df, "v", PROBS).count() == 0
