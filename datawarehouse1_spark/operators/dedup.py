@@ -109,6 +109,19 @@ def minhash_signature(
     code — whole-stage codegen, no Python. Pass pre_hashed=True when the
     column already holds hashed_shingles() output (hash computed once,
     not once per permutation)."""
+    if isinstance(shingle_col, str) and pre_hashed:
+        # Fast construction path (r16): the num_hashes × array_min
+        # (transform(...)) Column build cost ~100 py4j round trips per
+        # signature (~300 ms of driver time); over a plain column name
+        # the identical tree parses from ONE SQL string. 31-bit inputs
+        # keep a*h+b < 2^62 (no int64 overflow under ANSI arithmetic).
+        mins_sql = ", ".join(
+            f"array_min(transform(`{shingle_col}`, h -> "
+            f"(CAST({a} AS BIGINT) * h + CAST({b} AS BIGINT)) "
+            f"% CAST({MERSENNE_P} AS BIGINT)))"
+            for a, b in _minhash_params(num_hashes, seed)
+        )
+        return F.expr(f"array({mins_sql})")
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     hashed = c if pre_hashed else hashed_shingles(c)
 
@@ -206,22 +219,21 @@ def build_minhash_index(
     signed = docs.withColumn(
         "_sig", minhash_signature("_sh", num_hashes, seed, pre_hashed=True)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("_sig")[i].cast("string")
-                            for i in range(b * r, (b + 1) * r)
-                        ],
-                    )
-                ).alias("_band_hash"),
+    # one parsed SQL string instead of bands × rows-per-band Column
+    # calls (same construction-cost argument as minhash_signature)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('_band_idx', {b}, '_band_hash', "
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(_sig[{i}] AS STRING)"
+                for i in range(b * r, (b + 1) * r)
             )
+            + ")))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return signed.select("_id", "_sh", band_structs.alias("_bands"))
 

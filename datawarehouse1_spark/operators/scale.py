@@ -325,11 +325,28 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     for itself exactly when the work, not the data, is the bottleneck.
     Measured: the sf0.1 minhash signature fold drops from 2 tasks to 32
     (2.8 s -> ~0.7 s locally); at production split counts the branch is
-    never taken."""
+    never taken.
+
+    r16: the split-count probe (df.rdd.getNumPartitions) builds a full
+    physical plan + RDD per call (~80 ms of driver work), so repeated
+    constructions of the same operator paid it every time. The DECISION
+    is memoized per (applicationId, semanticHash): same semantic plan in
+    the same app ⇒ same split count. A hash collision could only flip
+    the widen decision — a performance choice, never a correctness one
+    (every caller is aggregation/hash-keyed downstream, indifferent to
+    partitioning)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    narrow = _WIDEN_MEMO.get(key)
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < target
+        _WIDEN_MEMO[key] = narrow
+    if not narrow:
         return df
     return df.repartition(target)
+
+
+_WIDEN_MEMO: dict[tuple[str, int], bool] = {}
 
 
 def bloom_prefilter(
