@@ -53,3 +53,37 @@ def sql_cents(col: str = "o_totalprice") -> str:
     expression text in Spark SQL and DuckDB (both cast through the
     exact DECIMAL(18,2) first, so no float rounding is involved)."""
     return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# --- r16: bounded-group money sums in LONG integer units (guide §2.3,
+# "narrower types"). Spark's decimal Sum leaves whole-stage-codegen's
+# fast path once precision exceeds the compact range, so a fact-grain
+# decimal aggregation costs ~2.5x its integer twin (measured: the
+# flagship per-order pre-agg 1.12 s decimal vs 0.45 s long at sf0.1).
+# When every GROUP is provably bounded (per-order line counts), the
+# group sum of integer cents/e4-units fits int64 at ANY corpus scale,
+# so the exact-decimal contract holds with long arithmetic:
+#     2-dec money double -> exact DECIMAL(18,2) -> exact integer units
+#     -> LONG sum within the bounded group
+#     -> exact DECIMAL reconstruction -> one correctly-rounded DOUBLE.
+# Cross-GROUP re-aggregation (unbounded) must still go through
+# DECIMAL(38,0) — only the per-bounded-group level may use LONG.
+
+
+def money_units_long(col: str | Column, scale: int = 2) -> Column:
+    """Exact integer 10^-scale units of a 2-dec money double (through
+    the exact DECIMAL(18,2) cast, so no float rounding is involved)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(MONEY) * (10 ** scale)).cast("long")
+
+
+def units_to_money_double(col: str | Column, scale: int) -> Column:
+    """Exact 10^-scale integer units -> money DOUBLE with ONE rounding:
+    the value is rebuilt as an exact decimal (cast pads scale, the
+    power-of-ten multiply is exact in decimal arithmetic), then cast to
+    double — bit-identical to casting the equivalent decimal SUM."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.cast("decimal(38,4)")
+        * F.lit(f"0.{'0' * (scale - 1)}1").cast(f"decimal({scale + 1},{scale})")
+    ).cast("double")

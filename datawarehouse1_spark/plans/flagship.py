@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
-from datawarehouse1_spark.functions.money import sql_money_sum  # noqa: F401
+from datawarehouse1_spark.functions.money import (  # noqa: F401
+    money_units_long,
+    sql_money_sum,
+    units_to_money_double,
+)
 from datawarehouse1_spark.registry import declared
 
 
@@ -45,18 +49,26 @@ def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    # discounted price in exact decimal: 2-dec x 2-dec -> 4-dec product,
-    # no rounding anywhere (double rounding modes differ across engines)
-    discounted = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
-    )
+    # discounted price as exact integer e4-units (r16, guide §2.3
+    # narrower types): 2-dec price x 2-dec discount -> 4-dec product,
+    # carried as LONG ten-thousandths. cents x (100 - disc_cents) is
+    # the same integer the decimal product denotes; per-ROW it is
+    # < 10^9 and the level-0 group is ONE ORDER (line count bounded by
+    # basket size), so the long sum cannot overflow at any corpus
+    # scale. The fact-grain aggregation stays in codegen's integer
+    # fast path instead of non-compact decimal adds (measured: the
+    # per-order pre-agg alone 1.12 s decimal vs 0.45 s long; query
+    # 2.13 -> 1.78 s at sf0.1, oracle hash unchanged at all SFs).
+    ext_c = money_units_long("l_extendedprice")
+    disc_c = money_units_long("l_discount")
+    rev_e4 = ext_c * (F.lit(100) - disc_c)
     # level 0 (r6): collapse lineitem to one partial row per order
-    # BEFORE the fact join — decimal sums are exact and associative, so
-    # sum-of-order-sums equals the direct sum bit-for-bit, and the
-    # orderkey shuffle carries ~1/4 the rows (measured 2.13 -> 1.62 s
-    # at sf0.1; the volume argument compounds at 100 TB)
+    # BEFORE the fact join — integer/decimal sums are exact and
+    # associative, so sum-of-order-sums equals the direct sum
+    # bit-for-bit, and the orderkey shuffle carries ~1/4 the rows
+    # (the volume argument compounds at 100 TB)
     lvl0 = li.groupBy("l_orderkey").agg(
-        F.sum(discounted).alias("rev_o"),
+        F.sum(rev_e4).alias("rev_o_e4"),
         F.count(F.lit(1)).alias("n_o"),
     )
     joined = (
@@ -70,16 +82,19 @@ def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compresses that shuffle to one row per customer-month instead of
     # Expand doubling rows; level 2 then counts group rows. Identical
     # results (asserted vs the single-agg form in tests).
+    # cross-group re-aggregation is UNBOUNDED (orders per customer-
+    # month), so above level 0 the e4 units travel as DECIMAL(38,0) —
+    # exact at any scale; the single double cast happens once at the end
     lvl1 = joined.groupBy(
         "r_name",
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
         "o_custkey",
     ).agg(
-        F.sum("rev_o").alias("rev_part"),
+        F.sum(F.col("rev_o_e4").cast("decimal(38,0)")).alias("rev_part_e4"),
         F.sum("n_o").alias("n_part"),
     )
     return lvl1.groupBy("r_name", "order_month").agg(
-        F.sum("rev_part").cast("double").alias("revenue"),
+        units_to_money_double(F.sum("rev_part_e4"), 4).alias("revenue"),
         F.sum("n_part").alias("n_items"),
         F.count(F.lit(1)).alias("n_customers"),
     )

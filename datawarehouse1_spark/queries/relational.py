@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
-from datawarehouse1_spark.functions.money import money_sum, money_sum_expr, sql_money_sum
+from datawarehouse1_spark.functions.money import (
+    money_sum,
+    money_sum_expr,
+    money_units_long,
+    sql_money_sum,
+    units_to_money_double,
+)
 from datawarehouse1_spark.registry import declared
 
 
@@ -203,16 +209,21 @@ def q_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full init-db/init.sql:58-59 FK graph plus the nation->region
     snowflake. Catalyst reorders; nation/region are fixed-cardinality ->
     always broadcast. Lineitem pre-aggregates per orderkey before the
-    fact join (r6): decimal sums are exact and associative, so the
-    orderkey shuffle carries one partial row per order instead of every
-    line — same result bit-for-bit, ~1/4 the shuffle volume."""
+    fact join (r6): the sums are exact and associative, so the orderkey
+    shuffle carries one partial row per order instead of every line —
+    same result bit-for-bit, ~1/4 the shuffle volume. r16 (guide §2.3):
+    the per-order sum runs in LONG integer cents (the group is one
+    order — line count bounded by basket size, so no overflow at any
+    corpus scale; fact-grain decimal adds measured ~2.5x slower); the
+    unbounded region/nation re-aggregation stays DECIMAL(38,0), with
+    one double cast at the end — bit-identical to the decimal chain."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     lvl0 = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_o"),
+        F.sum(money_units_long("l_extendedprice")).alias("rev_o_c"),
         F.count(F.lit(1)).alias("n_o"),
     )
     return (
@@ -222,7 +233,9 @@ def q_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("rev_o").cast("double").alias("revenue"),
+            units_to_money_double(
+                F.sum(F.col("rev_o_c").cast("decimal(38,0)")), 2
+            ).alias("revenue"),
             F.sum("n_o").alias("n_lineitems"),
         )
     )

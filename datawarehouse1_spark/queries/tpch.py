@@ -12,6 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse1_spark.catalog import table
+from datawarehouse1_spark.functions.money import (
+    money_units_long,
+    units_to_money_double,
+)
 from datawarehouse1_spark.registry import declared
 
 _DEC = "decimal(18,2)"
@@ -89,12 +93,17 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    # r16 (guide §2.3): the revenue group is ONE ORDER (bounded line
+    # count), so the exact-decimal product sums as LONG e4-units with
+    # one double cast at the end — bit-identical, ~2.5x cheaper adds
+    rev_e4 = money_units_long("l_extendedprice") * (
+        F.lit(100) - money_units_long("l_discount")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(units_to_money_double(F.sum(rev_e4), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -354,13 +363,17 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # r16 (guide §2.3): per-order quantity sums as LONG integer cents
+    # (the group is one order — bounded line count, no overflow at any
+    # scale); the HAVING boundary > 250 is exactly cents > 25000, and
+    # the carried sum_qty double is the identical one-rounding cast
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_d("l_quantity")).alias("q"))
-        .filter(F.col("q") > 250)
+        .agg(F.sum(money_units_long("l_quantity")).alias("q_c"))
+        .filter(F.col("q_c") > 25000)
         .select(
             F.col("l_orderkey").alias("big_key"),
-            F.col("q").cast("double").alias("sum_qty"),
+            units_to_money_double("q_c", 2).alias("sum_qty"),
         )
     )
     per_order = o.join(big, o.o_orderkey == big.big_key).select(
