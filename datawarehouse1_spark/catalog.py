@@ -57,11 +57,38 @@ TS_COLUMNS: dict[str, tuple[str, ...]] = {
 # that touches five tables paid half a second of pure scan-node
 # construction on EVERY build. The memo holds only the ANALYZED LAZY
 # PLAN (schema + file listing), never data or results: every execution
-# still scans the parquet inputs. Keyed by Spark applicationId so a new
-# context never sees another context's plans; testdata dirs are
-# immutable by contract (and the staging tests write each variant to a
-# fresh tmp dir). SPARK_GRAFT_TABLE_MEMO=0 disables.
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# still scans the parquet inputs. Keyed by Spark applicationId (a new
+# context never sees another context's plans) AND an OS-level
+# fingerprint of the path's file stats (names, sizes, mtimes —
+# microseconds to compute), so overwriting a staged table under the
+# same path (the test_r10_hardening welch pattern) yields a fresh plan
+# instead of a stale file listing. Missing/unstat-able paths bypass the
+# memo. SPARK_GRAFT_TABLE_MEMO=0 disables.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _path_fingerprint(path: str):
+    """(name, size, mtime_ns) of the parquet file, or of every direct
+    child for a directory table (Spark-written parquet dirs get fresh
+    part names on overwrite, so name churn alone re-keys). None when
+    the path is missing or unstat-able — the caller bypasses the memo."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (os.path.basename(path), st.st_size, st.st_mtime_ns)
+    entries = []
+    try:
+        for fn in sorted(os.listdir(path)):
+            try:
+                s = os.stat(os.path.join(path, fn))
+            except OSError:
+                continue
+            entries.append((fn, s.st_size, s.st_mtime_ns))
+    except OSError:
+        return None
+    return tuple(entries)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,8 +96,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Timestamp columns (TS_COLUMNS) are normalized to TIMESTAMP_NTZ."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    memo_on = os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0"
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    fp = _path_fingerprint(path)
+    memo_on = (
+        os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0" and fp is not None
+    )
+    key = (spark.sparkContext.applicationId, path, fp)
     if memo_on:
         cached = _TABLE_MEMO.get(key)
         if cached is not None:
