@@ -455,6 +455,39 @@ def main() -> None:
             compact[key] = out[key]
     if canaries:
         compact["canary"] = canaries
+    # r17 (VERDICT r16 #3, PERF contract): the driver parses ONLY the
+    # last stdout line, so the per-query map must ride THIS line for
+    # PERF's round-over-round table to populate — additions-only: every
+    # existing key above is unchanged, methodology untouched. Keys are
+    # the same family-stripped names (tpch: bare "1".."22") as the
+    # per-section lines; a cross-section strip collision (none today —
+    # pinned by tests/test_accuracy_metrics.py) falls back to the full
+    # name rather than silently merging two queries. Because this line
+    # alone now approaches the driver's 2000-char capture, it also
+    # carries the rows-only accuracy metrics and the spread digits:
+    # everything the artifact needs survives even when the (redundant)
+    # per-section lines above truncate from the top.
+    per_query: dict[str, float] = {}
+    for section in (timings, llm, analytics):
+        for k, v in section.items():
+            sk = _famstrip(k)
+            per_query[k if sk in per_query else sk] = round(v, 2)
+    for k, v in tpch.items():
+        m = re.match(r"q_tpch_q(\d+)", k)
+        sk = m.group(1) if m else k[len("q_tpch_") :]
+        per_query[k if sk in per_query else sk] = round(v, 2)
+    if per_query:
+        compact["per_query"] = per_query
+    if metrics:
+        compact["rows_only_metrics"] = {
+            _famstrip(k): v for k, v in metrics.items()
+        }
+    compact["spread_ds"] = {
+        "a": spread_digits(analytics_spread),
+        "l": spread_digits(llm_spread),
+        "t": spread_digits(tpch_spread),
+        "h": spread_digits(spreads),
+    }
     if errors:
         compact["incomplete"] = True
     print(json.dumps(compact, separators=(",", ":")))

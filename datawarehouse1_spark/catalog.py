@@ -57,21 +57,31 @@ TS_COLUMNS: dict[str, tuple[str, ...]] = {
 # that touches five tables paid half a second of pure scan-node
 # construction on EVERY build. The memo holds only the ANALYZED LAZY
 # PLAN (schema + file listing), never data or results: every execution
-# still scans the parquet inputs. Keyed by Spark applicationId (a new
-# context never sees another context's plans) AND an OS-level
-# fingerprint of the path's file stats (names, sizes, mtimes —
-# microseconds to compute), so overwriting a staged table under the
-# same path (the test_r10_hardening welch pattern) yields a fresh plan
-# instead of a stale file listing. Missing/unstat-able paths bypass the
-# memo. SPARK_GRAFT_TABLE_MEMO=0 disables.
-_TABLE_MEMO: dict[tuple, DataFrame] = {}
+# still scans the parquet inputs. Keyed by the owning SparkSession
+# (id() + applicationId — two sessions sharing one context have
+# distinct confs/temp-view namespaces, ADVICE r16) and the path, with
+# the OS-level file-stat fingerprint (names, sizes, mtimes —
+# microseconds to compute) stored as the VALUE guard, so overwriting a
+# staged table under the same path (the test_r10_hardening welch
+# pattern) yields a fresh plan instead of a stale file listing AND
+# evicts the stale entry (one live entry per (session, path), no
+# unbounded growth under repeated overwrites). Missing/unstat-able
+# paths and nested-directory tables bypass the memo.
+# SPARK_GRAFT_TABLE_MEMO=0 disables.
+_TABLE_MEMO: dict[tuple, tuple[object, DataFrame]] = {}
 
 
 def _path_fingerprint(path: str):
     """(name, size, mtime_ns) of the parquet file, or of every direct
     child for a directory table (Spark-written parquet dirs get fresh
     part names on overwrite, so name churn alone re-keys). None when
-    the path is missing or unstat-able — the caller bypasses the memo."""
+    the path is missing or unstat-able — the caller bypasses the memo.
+    Also None when any direct child is itself a directory (VERDICT r16
+    #7: a nested/partitioned table can change a depth-2 file without
+    touching the depth-1 stats, so a flat fingerprint would serve a
+    stale file listing — bypass instead of recursing; a recursive walk
+    of a 100k-part production table would be real per-call driver
+    work, and the memo's testdata tables are all flat)."""
     try:
         st = os.stat(path)
     except OSError:
@@ -81,10 +91,13 @@ def _path_fingerprint(path: str):
     entries = []
     try:
         for fn in sorted(os.listdir(path)):
+            full = os.path.join(path, fn)
             try:
-                s = os.stat(os.path.join(path, fn))
+                s = os.stat(full)
             except OSError:
                 continue
+            if os.path.isdir(full):
+                return None
             entries.append((fn, s.st_size, s.st_mtime_ns))
     except OSError:
         return None
@@ -101,11 +114,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     memo_on = (
         os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0" and fp is not None
     )
-    key = (spark.sparkContext.applicationId, path, fp)
+    key = (id(spark), spark.sparkContext.applicationId, path)
     if memo_on:
         cached = _TABLE_MEMO.get(key)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == fp:
+            return cached[1]
     ts_cols = TS_COLUMNS.get(name, ())
     if ts_cols:
         # Runtime-settable; harmless when no file is TIMESTAMP(NANOS).
@@ -114,7 +127,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in ts_cols:
         df = _normalize_ts_column(df, name, col)
     if memo_on:
-        _TABLE_MEMO[key] = df
+        # insert-replaces: the previous fingerprint's entry for this
+        # (session, path) is evicted, not accumulated (ADVICE r16)
+        _TABLE_MEMO[key] = (fp, df)
     return df
 
 

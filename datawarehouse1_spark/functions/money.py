@@ -81,7 +81,17 @@ def units_to_money_double(col: str | Column, scale: int) -> Column:
     """Exact 10^-scale integer units -> money DOUBLE with ONE rounding:
     the value is rebuilt as an exact decimal (cast pads scale, the
     power-of-ten multiply is exact in decimal arithmetic), then cast to
-    double — bit-identical to casting the equivalent decimal SUM."""
+    double — bit-identical to casting the equivalent decimal SUM.
+
+    Headroom bound (ADVICE r16): the decimal(38,4) cast holds unit
+    sums to 1e34 (= 1e30 DOLLARS at e4 units — thirty orders of
+    magnitude past any corpus; a 100 TB lineitem is ~1e13 dollars).
+    A LONG input (the bounded-group path) can never overflow it
+    (int64 < 9.3e18); a DECIMAL(38,0) re-aggregated input would need
+    > 1e30 dollars before the cast nulls (non-ANSI) or throws (ANSI).
+    The cast stays decimal(38,4) — NOT decimal(38,0) — because the
+    reconstruction's decimal type is oracle-pinned bit-for-bit and
+    (38,0)x(5,4) multiplies re-scale under allowPrecisionLoss."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         c.cast("decimal(38,4)")

@@ -138,6 +138,14 @@ def tdigest_percentiles(
             # silently discarded every row with a NULL group key (ADVICE
             # r15). NaN/NaT keys surface as None so Arrow maps them back
             # to SQL NULL whatever the column type.
+            # KNOWN conflation (ADVICE r16, documented by design): for a
+            # DOUBLE-typed group column, Arrow nulls and float NaN both
+            # arrive in pandas as NaN (float64 has no null sentinel), so
+            # a NaN group key merges into the NULL group — Spark groupBy
+            # would keep them distinct. Distinguishing requires the
+            # mapInArrow null mask; every current caller groups by
+            # string/int columns, where the mapping is exact. Re-grouping
+            # by a double column: pre-wrap the key in a struct or cast.
             groups = (
                 pdf.groupby(gcols, sort=True, dropna=False)
                 if gcols

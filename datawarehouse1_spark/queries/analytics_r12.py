@@ -118,13 +118,22 @@ def _rank2(marg: DataFrame, width: int) -> DataFrame:
     )
 
 
-def _rank2_grouped(marg: DataFrame, width_col: F.Column) -> DataFrame:
+def _rank2_grouped(
+    marg: DataFrame, width_col: F.Column, payload: tuple[str, ...] = ()
+) -> DataFrame:
     """_rank2 with a grouping column: per (pid, distinct value), the
     exact 2·(average rank) WITHIN that pid. Same rule-22 two-level
     construction, every window additionally partitioned by pid so all
     pairs' rank tables come out of one plan; `width_col` lets each pid
     carry its own bucket width (any positive width is correct — it only
-    shifts work between the two levels)."""
+    shifts work between the two levels).
+
+    r17: `payload` columns of `marg` ride through the rank pass
+    unchanged and come back alongside r2 — the device that lets a
+    caller FOLD its former (pid, v)-grain join-back into the rank
+    construction itself (guide §2.4: the v domain can be fact-grain,
+    so that join was the scale-heavy step; the payloads only fatten
+    the already-required cum window input)."""
     b = marg.withColumn(
         "bucket", F.floor(F.col("v") / width_col).cast("long")
     )
@@ -138,6 +147,7 @@ def _rank2_grouped(marg: DataFrame, width_col: F.Column) -> DataFrame:
         "bucket",
         "v",
         "c",
+        *payload,
         F.coalesce(F.sum("c").over(win_in), F.lit(0)).alias("cin"),
     )
     prior = (
@@ -157,6 +167,7 @@ def _rank2_grouped(marg: DataFrame, width_col: F.Column) -> DataFrame:
     return cum_in.join(F.broadcast(offsets), ["pid", "bucket"]).select(
         "pid",
         "v",
+        *payload,
         (2 * (F.col("cin") + F.col("off")) + F.col("c") + 1)
         .cast("long")
         .alias("r2"),
@@ -276,7 +287,12 @@ def q_stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     that one distinct-VALUE table — bounded by the value domains, not
     the row count. Per-pair bucket widths ride a literal array indexed
     by pair id. The oracle text is unchanged (per-pair CTE chains);
-    the hash match pins the rewrite."""
+    the hash match pins the rewrite.
+    r17 (VERDICT r16 #4): only the BOUNDED x-rank table is ever
+    broadcast; the y ranks are computed in place on the y-marginal
+    table with the x-moment partials folded into the same aggregation,
+    eliminating the former fact-grain ry broadcast + join (see the
+    inline comments — moments are value-identical by reassociation)."""
     li = table(spark, sf_dir, "lineitem")
     joint = (
         li.select(
@@ -310,26 +326,93 @@ def q_stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = joint.groupBy("pid", F.col("xv").alias("v")).agg(
         F.sum("cnt").alias("c")
     )
-    my = joint.groupBy("pid", F.col("yv").alias("v")).agg(
-        F.sum("cnt").alias("c")
-    )
+    # x ranks: the x columns are DOMAIN-BOUNDED (l_quantity 1..50,
+    # l_discount 0.00..0.10 → ≤ ~61 distinct cents values across all
+    # pairs at ANY corpus scale), so the x-rank table broadcasts by
+    # construction — made explicit so a production size estimate can
+    # never flip it to a shuffle join (guide §3.1).
     rx = _rank2_grouped(
         mx, F.element_at(wx_arr, F.col("pid") + 1)
     ).withColumnRenamed("r2", "r2x")
-    ry = _rank2_grouped(
-        my, F.element_at(wy_arr, F.col("pid") + 1)
-    ).withColumnRenamed("r2", "r2y")
-    scored = joint.join(
-        rx.withColumnRenamed("v", "xv"), ["pid", "xv"]
-    ).join(ry.withColumnRenamed("v", "yv"), ["pid", "yv"])
+    # r17 (guide §2.4, VERDICT r16 #4): the y side previously built a
+    # separate y marginal, ranked it, and BROADCAST the ranked marginal
+    # back onto the joint — but pair 0's y (l_extendedprice) is
+    # near-unique, so that broadcast + join were FACT-GRAIN (the
+    # documented scale risk) and the joint was scanned five times.
+    # Instead: attach the bounded x ranks first, then fold the x-moment
+    # partial sums INTO the y-marginal aggregation, so the y rank
+    # machinery runs directly on that one (pid, yv)-grain table and the
+    # unbounded ry broadcast + fact-grain join vanish (joint now
+    # scanned 3x: x marginal, y marginal+moments, y bucket offsets).
+    # Exactness is reassociation only: Σ_joint cnt·f(r2x)·g(r2y)
+    # = Σ_yv g(r2y)·(Σ_xv cnt·f(r2x)) with every sum still exact
+    # DECIMAL(38,0) — the six moments are value-identical, so rho6 is
+    # bit-identical (oracle hash-match pins it at 3 SFs).
     c = F.col("cnt").cast(_DEC)
-    s = scored.groupBy("pid").agg(
-        F.sum(c).alias("n"),
-        F.sum(c * F.col("r2x")).alias("sx"),
-        F.sum(c * F.col("r2y")).alias("sy"),
-        F.sum(c * F.col("r2x") * F.col("r2x")).alias("sxx"),
-        F.sum(c * F.col("r2y") * F.col("r2y")).alias("syy"),
-        F.sum(c * F.col("r2x") * F.col("r2y")).alias("sxy"),
+    ty = (
+        joint.join(
+            F.broadcast(rx.withColumnRenamed("v", "xv")), ["pid", "xv"]
+        )
+        .groupBy("pid", "yv")
+        .agg(
+            F.sum("cnt").alias("c"),
+            F.sum(c * F.col("r2x")).alias("sxc"),
+            F.sum(c * F.col("r2x") * F.col("r2x")).alias("sxxc"),
+        )
+    )
+    # y rank over ty = the _rank2_grouped two-level construction (rule
+    # 22) inlined so the per-(pid,yv) moment payloads ride along; the
+    # bucket offsets come straight off the checkpointed joint (same
+    # bucket totals, no second pass over ty's join+agg).
+    wy = F.element_at(wy_arr, F.col("pid") + 1)
+    b = ty.withColumn("bucket", F.floor(F.col("yv") / wy).cast("long"))
+    win_in = (
+        Window.partitionBy("pid", "bucket")
+        .orderBy("yv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = b.select(
+        "pid",
+        "bucket",
+        "c",
+        "sxc",
+        "sxxc",
+        F.coalesce(F.sum("c").over(win_in), F.lit(0)).alias("cin"),
+    )
+    prior = (
+        Window.partitionBy("pid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        joint.groupBy(
+            "pid",
+            F.floor(F.col("yv") / wy).cast("long").alias("bucket"),
+        )
+        .agg(F.sum("cnt").alias("bt"))
+        .select(
+            "pid",
+            "bucket",
+            F.coalesce(F.sum("bt").over(prior), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = cum.join(F.broadcast(offsets), ["pid", "bucket"]).select(
+        "pid",
+        "c",
+        "sxc",
+        "sxxc",
+        (2 * (F.col("cin") + F.col("off")) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2y"),
+    )
+    cy = F.col("c").cast(_DEC)
+    s = ranked.groupBy("pid").agg(
+        F.sum(cy).alias("n"),
+        F.sum("sxc").alias("sx"),
+        F.sum(cy * F.col("r2y")).alias("sy"),
+        F.sum("sxxc").alias("sxx"),
+        F.sum(cy * F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("sxc") * F.col("r2y")).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"

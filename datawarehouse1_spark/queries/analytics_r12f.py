@@ -234,7 +234,21 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.13→2.83 s min / 3.85→3.21 s median interleaved at sf0.1; the
     oracle text stays the per-arm UNION ALL and the hash match pins
     the rewrite. _kw_arm remains the single-arm reference twin the
-    law tests drive directly."""
+    law tests drive directly.
+
+    r17 (VERDICT r16 #4's pattern, applied here too): the bounded
+    group breakdown (≤5 groups per arm) rides the value marginal as a
+    collect_list payload through _rank2_grouped, so the rank table is
+    never joined back onto the (pid, g, v) joint — see the inline
+    comment; the moment sums are value-identical by reassociation.
+
+    Empty-arm assumption (ADVICE r16): the merged pipeline groups by
+    pid, so an arm whose SOURCE TABLE is empty would emit no row where
+    the per-arm oracle (global aggregate per arm + UNION ALL) emits a
+    NULL-stats row. _KW_CASES reads customer and orders — never empty
+    in any declared testdata or at any TPC-H SF — so the shapes agree;
+    re-pointing _KW_CASES at an emptiable table requires a literal pid
+    spine left-join first (the _kw_arm twin shows the per-arm shape)."""
     joint = None
     for pid, (label, tbl, grp, num, width) in enumerate(_KW_CASES):
         t = table(spark, sf_dir, tbl)
@@ -248,17 +262,33 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         joint = j if joint is None else joint.unionByName(j)
+    # r17 (guide §2.4, the spearman payload-fold pattern): the group
+    # domain is BOUNDED (≤5 mktsegments / ≤5 orderpriorities per arm),
+    # so the per-value group breakdown rides the marginal as a tiny
+    # array and the former (pid, v)-grain join-back of the rank table
+    # onto the joint — fact-grain for the near-unique o_totalprice —
+    # vanishes, along with one full scan+agg pass over both source
+    # tables (the old `grps` consumer). Exactness is reassociation
+    # only: Σ_joint cnt·r2 per (pid, g) = Σ_v r2(v)·cnt(g, v), every
+    # sum still exact DECIMAL(38,0); collect_list order is irrelevant
+    # (the explode feeds order-insensitive sums).
     marg = joint.groupBy("pid", F.col("v").alias("v")).agg(
-        F.sum("cnt").alias("c")
+        F.sum("cnt").alias("c"),
+        F.collect_list(F.struct(F.col("g"), F.col("cnt"))).alias("gs"),
     )
     w_arr = F.array(*[F.lit(w) for _, _, _, _, w in _KW_CASES])
-    r2 = _rank2_grouped(marg, F.element_at(w_arr, F.col("pid") + 1))
+    r2 = _rank2_grouped(
+        marg, F.element_at(w_arr, F.col("pid") + 1), payload=("gs",)
+    )
+    ge = F.explode("gs")
     grps = (
-        joint.join(r2, ["pid", "v"])
-        .groupBy("pid", "g")
+        r2.select("pid", "r2", ge.alias("e"))
+        .groupBy("pid", F.col("e").getField("g").alias("g"))
         .agg(
-            F.sum(F.col("cnt").cast(_DEC) * F.col("r2")).alias("r2g"),
-            F.sum(F.col("cnt").cast(_DEC)).alias("ng"),
+            F.sum(
+                F.col("e").getField("cnt").cast(_DEC) * F.col("r2")
+            ).alias("r2g"),
+            F.sum(F.col("e").getField("cnt").cast(_DEC)).alias("ng"),
         )
     )
     scored = grps.select(

@@ -49,6 +49,74 @@ def spark():
     s.stop()
 
 
+# --- r17 fast/slow test tiers (VERDICT r16 #2) -------------------------
+# The driver's verify window cannot fit the full 1580-test suite
+# (VERIFY_r16 tests_ok=false was a timeout at ~90%, zero failures), so
+# default runs deselect the `slow` tier (pytest.ini addopts). The tier
+# split is maintained HERE, in one place, instead of 100 pytestmark
+# edits. Slow = whole categories whose per-test cost is dominated by
+# end-to-end machinery (micro-batch streaming restarts, JDBC serving,
+# codec round-trips, property-based replays, the 306-query oracle
+# sweep twins — the driver's own correctness gate re-runs every
+# DECLARED query against DuckDB anyway) plus the individually measured
+# top offenders in otherwise-fast files (>=8 s each on the r17 box).
+# Full suite (builder's batch-end gate): -m "slow or not slow".
+
+SLOW_MODULES = {
+    "test_oracle_parity",       # 306 sweep twins; driver re-checks declared
+    "test_sql_serving",         # Thrift/JDBC end-to-end (250+ s)
+    "test_property_based",      # randomized replays (~90 s)
+    "test_accuracy_metrics",    # recall/parity metric recomputation (~115 s)
+    "test_determinism",         # shuffle-partition invariance re-runs
+    "test_dedup_similarity",    # IVF/LSH recall tuning loops
+    "test_scale_temporal_ops",  # compaction e2e (file-system heavy)
+    "test_excel_lifecycle_e2e",
+    "test_stateful_streaming",
+    "test_statestore_reader",
+    "test_stream_batch_parity",
+    "test_streaming",
+    "test_streaming_attribution",
+    "test_streaming_cdc",
+    "test_streaming_fingerprint",
+    "test_streaming_leakage",
+    "test_streaming_neardup",
+    "test_streaming_rollup",
+    "test_streaming_scd2",
+    "test_streaming_takedown",
+    "test_streaming_zonemap",
+    "test_drift_monitor",
+    "test_snapshot_store",
+    "test_flac_codec",          # codec round-trips: pure-python en/decode
+    "test_gif_codec",
+    "test_jpeg_codec",
+    "test_tiff_codec",
+    "test_mp3_scan",
+    "test_mp4_demux",
+    "test_multimodal_codecs",
+    "test_xlsx_real",
+}
+
+# Individually slow tests (>= ~8 s measured r17) in otherwise-fast files.
+SLOW_TESTS = {
+    "test_declared_outputs_are_driver_safe_types",      # 122 s
+    "test_every_declared_query_survives_an_empty_corpus",  # 97 s
+    "test_ohlc_bucket_stays_ntz",                       # 75 s
+    "test_bf_equal_spread_small_wide_spread_large",     # 30 s
+    "test_bf_declared_arms_sane",                       # 12 s
+    "test_flagship_survives_no_broadcast",              # 18 s
+    "test_ivf_spill_knee_at_production_ratio",          # 17 s
+    "test_extract_changes_roundtrip_property",          # 20 s
+    "test_takedown_noop_proof_row_is_durable_and_idempotent",  # 9 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        if mod in SLOW_MODULES or item.originalname in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()

@@ -119,6 +119,16 @@ def test_bench_tail_lines_fit_driver_budget():
         assert len(set(stripped)) == len(stripped), group
     mstripped = [_famstrip(k) for k in accuracy.METRICS]
     assert len(set(mstripped)) == len(mstripped)
+    # r17: the final line's flat per_query map spans ALL sections, so
+    # the strip must be collision-free ACROSS sections too (a collision
+    # would fall back to the full name — allowed, but budget-modeled
+    # here as the stripped name, so keep it collision-free)
+    all_stripped = [
+        _famstrip(k)
+        for g in ("HEADLINE", "LLM", "ANALYTICS")
+        for k in names[g]
+    ]
+    assert len(set(all_stripped)) == len(all_stripped)
     lines = [
         json.dumps(
             {
@@ -176,15 +186,39 @@ def test_bench_tail_lines_fit_driver_budget():
                     "l": 9.9999,
                     "a": 9.9999,
                 },
+                # r17 (VERDICT r16 #3): the flat per_query map + the
+                # duplicated metrics/spread ride the FINAL line, which
+                # the driver parses — see the final-line assert below
+                "per_query": {
+                    **{
+                        _famstrip(k): 9.99
+                        for g in ("HEADLINE", "LLM", "ANALYTICS")
+                        for k in names[g]
+                    },
+                    **{str(i): 9.99 for i in range(1, 23)},
+                },
+                "rows_only_metrics": {k: 0.9999 for k in mstripped},
+                "spread_ds": {
+                    "a": "f" * len(names["ANALYTICS"]),
+                    "l": "f" * len(names["LLM"]),
+                    "t": "f" * 22,
+                    "h": "f" * len(names["HEADLINE"]),
+                },
                 "incomplete": True,
             },
             separators=(",", ":"),
         ),
     ]
-    total = sum(len(line) + 1 for line in lines)
-    assert total <= 1970, (
-        f"bench tail lines total {total} chars; the driver captures "
-        "exactly 2000 — shrink a section before it truncates the first line"
+    # r17 invariant: the per-section lines are now REDUNDANT with the
+    # final line (per_query/rows_only_metrics/spread_ds duplicated into
+    # it), so the seven lines together may exceed the 2000-char capture
+    # — but the FINAL line, the only one the driver parses, must always
+    # survive WHOLE (truncation eats from the top) and is
+    # self-sufficient. 1990 leaves newline slack.
+    final = lines[-1]
+    assert len(final) + 1 <= 1990, (
+        f"bench final line is {len(final)} chars; the driver captures "
+        "exactly 2000 and parses only the last line — it must fit whole"
     )
 
 

@@ -7,6 +7,9 @@ driver's correctness gate performs (see .claude/skills/verify).
 Usage:
     python tools/sweep.py [N] [SF_DIR]      # defaults: 50 /root/testdata/sf0.01
     TZ=America/New_York python tools/sweep.py 304   # the dual-TZ pass
+    python tools/sweep.py q_stats_spearman_rho [q_...] [SF_DIR]
+        # r17: explicit names instead of a count — the per-change
+        # oracle spot-check (full sweeps stay the batch-end gate)
 
 Run it (both TZ modes) after every change batch; ROUND_NOTES records
 the discipline. N=50 covers the driver's graded window; N=304 sweeps
@@ -25,8 +28,12 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    wanted_names = [a for a in args if a.startswith("q_")]
+    rest = [a for a in args if not a.startswith("q_")]
+    n = int(rest[0]) if rest and rest[0].isdigit() else 50
+    sf_args = [a for a in rest if not a.isdigit()]
+    sf = sf_args[0] if sf_args else "/root/testdata/sf0.01"
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -47,7 +54,7 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
-    names = list(registry.QUERIES)[:n]
+    names = wanted_names or list(registry.QUERIES)[:n]
     fails = []
     t0 = time.time()
     for i, name in enumerate(names):
