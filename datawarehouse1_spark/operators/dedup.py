@@ -492,6 +492,7 @@ def dedup_clusters_from_pairs(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: (id, keeper) for every id
     that appears in a pair, keeper = the minimum id in its connected
@@ -562,18 +563,59 @@ def dedup_clusters_from_pairs(
             .agg(F.min("label").alias("label"))
         )
 
+    def _shortcut(lbl: DataFrame) -> DataFrame:
+        """Pointer-doubling jump (r17, VERDICT r16 #6): label(v) <-
+        label(label(v)). Every label VALUE is itself a node id (labels
+        are min-ids over explored sets, initialised to id), so the
+        self-join is total; label(u) <= u and min-monotonicity make the
+        jump only decrease labels toward the same component-min
+        fixpoint, roughly doubling the explored radius per materialized
+        round (O(log diameter) rounds instead of O(diameter/3)). The
+        shortcut joins |V|-grain (id,label) longs with itself — the
+        cheapest table in the loop — and cannot change the fixpoint:
+        at convergence label(label(v)) == label(v) for every v.
+
+        OPT-IN per caller (`shortcut=True`): near-dup clusters (the
+        minhash/simhash/jaccard pair producers) are SHALLOW by
+        construction — they converge in 1-2 rounds where doubling can
+        cut nothing and the extra per-round join is pure cost
+        (measured: q_semantic_dedup_corpus +0.3 s with it always-on).
+        Real-graph callers with diameter (co-purchase components) take
+        it: 4 -> 3 materialized rounds at sf0.1, and O(log d) vs O(d)
+        barriers on a deep 100 TB graph."""
+        jump = lbl.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        return lbl.join(jump, "label").select(
+            "id", F.col("label2").alias("label")
+        )
+
+    _round = (
+        (lambda lbl: _shortcut(_hop(_hop(_hop(lbl)))))
+        if shortcut
+        else (lambda lbl: _hop(_hop(_hop(lbl))))
+    )
+
     def _label_sum(lbl: DataFrame) -> object:
         # exact: DECIMAL(38,0) can't overflow at any realistic id scale
         return lbl.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _label_sum(labels)
+    # r17 (construct-cost, VERDICT r16 #9 class): the pre-loop label
+    # sum is never needed — every edge connects two DISTINCT ids (pair
+    # producers emit id_a < id_b), so every component has >= 2 nodes
+    # and round 1 strictly decreases the sum whenever labels is
+    # non-empty; the empty-graph case terminates on round 1's
+    # sum == None == prev_sum. One fewer driver-visible aggregate job
+    # per build, identical round semantics from round 2 on.
+    prev_sum: object = object()  # sentinel: never equal to a real sum
     for _ in range(max_iter):
-        new_labels = _hop(_hop(_hop(labels))).localCheckpoint()
+        new_labels = _round(labels).localCheckpoint()
         new_sum = _label_sum(new_labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        # None sum <=> zero label rows <=> empty graph: fixpoint too
+        if new_sum is None or new_sum == prev_sum:
             break
         prev_sum = new_sum
     else:

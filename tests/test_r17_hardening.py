@@ -17,6 +17,51 @@ from datawarehouse1_spark import catalog
 from datawarehouse1_spark.catalog import _path_fingerprint, table
 
 
+def test_cluster_shortcut_same_fixpoint_fewer_rounds(spark):
+    """r17 pointer-doubling (operators/dedup.py): on a deep path graph
+    the shortcut must (a) reach the IDENTICAL component-min fixpoint
+    and (b) materialize strictly fewer label-propagation rounds than
+    plain triple-hop."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from datawarehouse1_spark.operators.dedup import (
+        dedup_clusters_from_pairs,
+    )
+
+    # path 0-1-...-13 plus a disjoint triangle 100-101-102
+    edges = [(i, i + 1) for i in range(13)] + [
+        (100, 101), (101, 102), (100, 102)
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    def run(shortcut):
+        orig = CDF.localCheckpoint
+        calls = [0]
+
+        def counting(self, eager=True):
+            calls[0] += 1
+            return orig(self, eager)
+
+        CDF.localCheckpoint = counting
+        try:
+            rows = sorted(
+                (r["id"], r["keeper"])
+                for r in dedup_clusters_from_pairs(
+                    pairs, shortcut=shortcut
+                ).collect()
+            )
+        finally:
+            CDF.localCheckpoint = orig
+        return rows, calls[0]
+
+    plain, plain_ckpts = run(False)
+    jumped, jump_ckpts = run(True)
+    assert plain == jumped
+    assert all(k == 0 for i, k in plain if i < 100)
+    assert all(k == 100 for i, k in plain if i >= 100)
+    assert jump_ckpts < plain_ckpts
+
+
 def test_fingerprint_flat_file_and_dir(tmp_path):
     f = tmp_path / "orders.parquet"
     f.write_bytes(b"x" * 16)
