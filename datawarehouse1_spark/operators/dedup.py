@@ -536,9 +536,23 @@ def dedup_clusters_from_pairs(
         F.col(id_a).try_cast("long").alias("src"),
         F.col(id_b).try_cast("long").alias("dst"),
     )
+    # r17 (construct cost / driver round-trips, guide §1.2/§5): the
+    # loop previously paid TWO driver-synchronous jobs per round (an
+    # EAGER localCheckpoint, then the label-sum aggregate) plus eager
+    # checkpoints for sym and the init labels and a pre-loop sum —
+    # ~10 jobs for a 3-round graph. Every checkpoint is now LAZY
+    # (eager=False): the logical plan is truncated at construction
+    # exactly as before (a lazy localCheckpoint is already a LogicalRDD
+    # — without that truncation the twice-referenced `lbl` makes the
+    # plan grow ~16x per round and explainString OOMs the driver,
+    # measured), but the checkpoint data materializes INSIDE the next
+    # action — the label-sum job per round, the n_bad count for sym,
+    # round 1's job for the init labels. 10 -> 4 driver-synchronous
+    # jobs for the sf0.1 co-purchase graph; block lifecycle (freed by
+    # ContextCleaner when the Datasets drop) is unchanged from r16.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_bad = sym.filter(F.col("src").isNull() | F.col("dst").isNull()).count()
     if n_bad:
         raise ValueError(
@@ -551,7 +565,7 @@ def dedup_clusters_from_pairs(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     def _hop(lbl: DataFrame) -> DataFrame:
         nbr = sym.join(lbl, sym.dst == lbl.id).select(
@@ -611,7 +625,10 @@ def dedup_clusters_from_pairs(
     # per build, identical round semantics from round 2 on.
     prev_sum: object = object()  # sentinel: never equal to a real sum
     for _ in range(max_iter):
-        new_labels = _round(labels).localCheckpoint()
+        new_labels = _round(labels).localCheckpoint(eager=False)
+        # this ONE action materializes the round's checkpoint AND reads
+        # the convergence sum (labels are min-monotone per id, so
+        # sum-unchanged <=> every label unchanged <=> fixpoint)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         # None sum <=> zero label rows <=> empty graph: fixpoint too

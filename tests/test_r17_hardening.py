@@ -21,7 +21,10 @@ def test_cluster_shortcut_same_fixpoint_fewer_rounds(spark):
     """r17 pointer-doubling (operators/dedup.py): on a deep path graph
     the shortcut must (a) reach the IDENTICAL component-min fixpoint
     and (b) materialize strictly fewer label-propagation rounds than
-    plain triple-hop."""
+    plain triple-hop. Rounds are counted as localCheckpoint() calls
+    minus the two fixed ones (sym + init labels) — the r17 loop lazily
+    checkpoints once per round, materialized inside the round's
+    convergence-sum job."""
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
     from datawarehouse1_spark.operators.dedup import (
@@ -38,9 +41,9 @@ def test_cluster_shortcut_same_fixpoint_fewer_rounds(spark):
         orig = CDF.localCheckpoint
         calls = [0]
 
-        def counting(self, eager=True):
+        def counting(self, *a, **kw):
             calls[0] += 1
-            return orig(self, eager)
+            return orig(self, *a, **kw)
 
         CDF.localCheckpoint = counting
         try:
@@ -52,14 +55,14 @@ def test_cluster_shortcut_same_fixpoint_fewer_rounds(spark):
             )
         finally:
             CDF.localCheckpoint = orig
-        return rows, calls[0]
+        return rows, calls[0] - 2  # minus sym + init labels
 
-    plain, plain_ckpts = run(False)
-    jumped, jump_ckpts = run(True)
+    plain, plain_rounds = run(False)
+    jumped, jump_rounds = run(True)
     assert plain == jumped
     assert all(k == 0 for i, k in plain if i < 100)
     assert all(k == 100 for i, k in plain if i >= 100)
-    assert jump_ckpts < plain_ckpts
+    assert jump_rounds < plain_rounds
 
 
 def test_fingerprint_flat_file_and_dir(tmp_path):
